@@ -1,0 +1,75 @@
+"""Idempotent merge-by-key writer (op-sink-upsert).
+
+The reference gets idempotency from `INSERT ... ON CONFLICT (key) DO
+UPDATE` with unique constraints (database.py:119-131, README1.md:128-132).
+Parquet has no constraints, so the engine provides the two standard Spark
+idioms:
+
+- `merge_last_write_wins(old, new, keys, order_col)`: pure-DataFrame merge
+  — union + `row_number() over (partition by keys order by version desc)`
+  = 1. Works on any DataFrames; one shuffle on the key.
+- `upsert_parquet(...)`: read-merge-overwrite for a Parquet path. Writes
+  to a temp dir then swaps, emulating the reference's commit-on-success
+  scope (database.py:60-71). Single-writer, like the reference.
+
+At 100 TB scale the same `merge_last_write_wins` plan is what a Delta/
+Iceberg MERGE compiles to for full-overwrite; with a partitioned layout,
+replace only affected partitions (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_last_write_wins(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key: the one with the greatest `order_col`,
+    preferring `new` over `old` on ties (ON CONFLICT DO UPDATE semantics,
+    database.py:124-130)."""
+    new_tagged = new.withColumn("__src", F.lit(1))
+    unioned = (
+        new_tagged
+        if old is None
+        else old.withColumn("__src", F.lit(0)).unionByName(new_tagged)
+    )
+    order = [F.col(order_col).desc(), F.col("__src").desc()]
+    if tiebreak:
+        order += [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> int:
+    """Merge `new` into the Parquet table at `path`; returns merged count.
+    Re-running with the same input leaves the table unchanged
+    (idempotency property, README1.md:128-132)."""
+    old = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = merge_last_write_wins(old, new, keys, order_col)
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n

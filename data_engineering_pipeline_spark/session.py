@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are chosen for correctness at local[*] test scale while staying
+sane on a real multi-executor cluster:
+
+- AQE on: runtime re-planning (skew-join splitting, dynamic coalescing of
+  shuffle partitions, dynamic broadcast conversion) is the main lever that
+  makes one static plan survive a 100x scale-up.
+- Arrow on: every Pandas-UDF / toPandas boundary is Arrow-batched.
+- Session timezone UTC: the reference stamps UTC timestamps
+  (database.py:93), and cross-engine oracle comparisons need one zone.
+- shuffle.partitions: sized by env (SPARK_GRAFT_CPUS) for local runs; on a
+  real cluster AQE coalescing makes the initial number mostly a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    # The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as int64 nanos and convert in the reader (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 128 MiB input splits: good parallelism at 100 TB (≈800k tasks across
+    # 1000 executors) without tiny-task overhead at test scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "data-engineering-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults applied."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32) if cpus else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,31 @@
+"""The main correctness gate, run locally: every queries() entry with an
+oracle must match DuckDB at sf0.01 (mirrors the driver's CORRECTNESS
+check). Entries without an oracle get a rows-run smoke check."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_pipeline_spark.queries import collect_registry
+from tests.oracle_harness import compare, duckdb_conn
+
+QUERIES, ORACLES = collect_registry()
+
+
+@pytest.fixture(scope="module")
+def con(sf_correct):
+    c = duckdb_conn(sf_correct)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_correct, con):
+    df = QUERIES[name](spark, sf_correct)
+    if name in ORACLES:
+        problems = compare(df, con, ORACLES[name])
+        assert not problems, f"{name}: " + "; ".join(problems)
+    else:
+        # rows-only smoke: runs and yields a stable schema
+        assert df.columns
+        df.collect()
