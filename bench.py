@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Per query: one warm-up execution (JIT/codegen/cache warm), then the
+median of 3 timed runs. The headline metric is the sum of per-query
+medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "parity-pipeline",
+    "q1-pricing-summary",
+    "q3-shipping-priority",
+    "q5-local-supplier-volume",
+    "q6-forecast-revenue",
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "ann-topk-cosine",
+    "text-quality",
+]
+
+TIMED_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_engineering_pipeline_spark.queries import collect_registry
+
+    queries, _ = collect_registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        fn(spark, sf_dir).collect()  # warm-up
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

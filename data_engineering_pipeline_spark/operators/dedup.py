@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- exact_dedup: one hash-aggregate shuffle on the normalized text (or its
+  fingerprint at very large scale — shuffling a 8-byte key instead of the
+  full document body).
+- shingle_jaccard_pairs: exact all-pairs similarity via an inverted index
+  (explode shingles -> self-join on shingle -> count). Quadratic in the
+  worst case — correct and fine up to ~10^5 docs; it is also the
+  verification stage LSH candidates are checked against.
+- minhash_lsh_pairs: the 100 TB path. Per-doc signature of K minhashes
+  (one explode + one groupBy), banded into B buckets; only docs sharing a
+  band bucket are paired, then exact-verified. Cost is O(docs * K) +
+  candidate pairs, not O(docs^2).
+- simhash: 64-bit near-dup fingerprint; candidate pairs via 16-bit chunk
+  banding (pigeonhole: hamming<=3 over 4 chunks guarantees one equal
+  chunk), verified with bit_count(xor).
+
+Everything is built-in expressions — xxhash64 for MinHash/SimHash hashing
+(JVM, codegen'd); no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne-ish prime for the affine minhash permutations; kept < 2^31 so
+# a*h+b stays < 2^62 (no int64 overflow under ANSI mode).
+_MH_PRIME = 2_147_483_647
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, strip punctuation,
+    collapse whitespace."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[.,!?;:\'\"()]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized text. Deterministic (unlike
+    dropDuplicates, which keeps an arbitrary row)."""
+    w = Window.partitionBy(normalize_text(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (1-based element_at, mirroring SQL)."""
+    toks = F.filter(F.split(F.lower(F.col(text) if isinstance(text, str) else text), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        df.filter(F.size(word_shingles(text_col, n)) > 0)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (i < j) with shingle-set Jaccard >= threshold.
+    Output: (id_a, id_b, jaccard). The jaccard is NOT rounded: it is an
+    int/int IEEE division, bit-deterministic in any engine — rounding
+    could land on a representable half and diverge."""
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    ex_shingles: DataFrame, id_col: str, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """K minhashes per doc from exploded shingles: h_i = min over shingles
+    of (a_i * x + b_i mod p), x = xxhash64(shingle) folded into [0, p).
+    One groupBy with K min-aggregates — a single shuffle on doc id."""
+    import random
+
+    rng = random.Random(seed)
+    coefs = [
+        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coefs)
+    ]
+    return ex_shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs at scale: MinHash signatures -> LSH banding ->
+    candidate pairs -> exact Jaccard verification >= threshold.
+    Output: (id_a, id_b, jaccard). With K=32, B=8 (r=4), a pair at
+    jaccard s collides with prob 1-(1-s^4)^8: ~0.97 at s=0.7."""
+    rows = num_hashes // bands
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    sig = minhash_signature(ex, id_col, num_hashes)
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # exact verification of the candidate set only
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over token occurrences: bit b of the fingerprint is
+    the majority vote of bit b across xxhash64(token) of every token.
+    Implemented as 64 conditional sums in ONE aggregation (single
+    shuffle), recombined into a long."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "h", F.xxhash64(F.col("tok"))
+    )
+    # bit 63 of a signed long is -(2^63); 1<<63 would overflow
+    mask = lambda b: (1 << b) if b < 63 else -(1 << 63)  # noqa: E731
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidates via 4x16-bit chunk banding (pigeonhole guarantees any pair
+    within hamming 3 shares at least one chunk), verified with
+    bit_count(xor). Output: (id_a, id_b, hamming)."""
+    fps = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")
+    ).select(
+        id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine(): pure built-in expression (zip_with + aggregate in DOUBLE) —
+  JVM-side, no Python, exact enough to oracle-check at 4 dp.
+- ann_topk_brute(): exact top-k per query via broadcast of the query set
+  over the corpus — the baseline and the verifier for approximate paths.
+  The corpus is never shuffled: queries broadcast, per-partition partial
+  top-k via window over (query, rounded score, id).
+- ann_topk_lsh(): the scale path — random-hyperplane LSH buckets the
+  corpus; each query probes only its own buckets. Approximate (recall
+  measured in tests), cost ~ docs/2^bits per query instead of full scan.
+- cosine_pairs(): all-pairs near-dup over embeddings (a < b, cosine >=
+  threshold), brute force; at scale compose with the LSH bucketer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def ann_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query. Ranking uses the ROUNDED score with
+    the corpus id as tie-break, so results are deterministic across
+    engines (raw float ordering is not). Output: (query_id, corpus_id,
+    cos_sim, rank)."""
+    q = queries.select(
+        F.col(query_id), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), scale)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, bits: int = 8, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(v . r_i). Hyperplanes
+    are seeded literals compiled into the plan — no side data to ship."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+    sig = F.lit(0)
+    v = _as_double(vec)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = dot(v, p)
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    n_tables: int = 4,
+    scale: int = 4,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent hyperplane signatures; a
+    query only scores corpus vectors sharing a bucket in some table.
+    Output schema matches ann_topk_brute (rank over the candidate set)."""
+    def banded(df: DataFrame, id_col: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature(
+                        F.col(vec_col), dim, bits, seed=7 + t
+                    ).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.explode(tables).alias("b")
+        ).select(
+            id_col, vec_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+        )
+
+    qb = banded(queries, query_id).withColumnRenamed(vec_col, "__qv")
+    cb = banded(corpus, corpus_id).withColumnRenamed(vec_col, "__cv")
+    cand = (
+        qb.join(cb, ["tbl", "sig"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__qv", "__cv")
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), scale)
+    scored = cand.select(query_id, corpus_id, sim.alias("cos_sim"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    scale: int = 4,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold (embedding near-dup).
+    Output: (id_a, id_b, cos_sim)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), scale)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

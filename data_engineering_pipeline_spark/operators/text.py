@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Catalyst expressions (split/filter/
+transform/aggregate lambdas) — JVM-side, no Python UDFs, so the operators
+whole-stage-codegen and scale linearly with input: tokenization and
+scoring are per-row map work (no shuffle at all), and the only shuffles
+in the downstream queries are the final aggregations.
+
+Ops: tokenization + token counting, quality scoring (length / punct /
+stopword ratios), language-ID (marker-word heuristic), document
+fingerprinting (polynomial rolling hash). The rolling hash uses exact
+int64 arithmetic mod 1e9+7 so an external engine (the DuckDB oracle)
+reproduces it bit-for-bit; xxhash64 would be marginally faster but is
+Spark-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mirrored in SQL oracles — keep literal lists in sync with queries/text.py.
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "las", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokenization, empty tokens dropped."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    """Fraction of token occurrences that are stopwords."""
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column | str, punct_class: str = r"[.,!?;:\'\"()]") -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, punct_class, "")
+    return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic composite quality heuristic in [0, 1]: rewards
+    mid-length docs, lexical diversity, and a sane stopword rate;
+    penalizes punctuation soup. A stand-in for model-based quality
+    filters; the shape (pure per-row expression) is what matters."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(col)
+    diversity = distinct_token_count(col).cast("double") / n_tok
+    len_score = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
+    stop_pen = F.least(stopword_ratio(col) * 2.0, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    raw = (
+        0.4 * len_score + 0.4 * diversity + 0.2 * stop_pen - 0.2 * punct_pen
+    )
+    return F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language (counts token occurrences)."""
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax language by marker score; 'und' when no marker hits.
+    Deterministic tie-break: language order en<de<es<fr<zh (first max
+    wins via strict > comparison in that order)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # fold left: strictly-greater keeps the earliest language on ties
+    for lang in langs:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over characters: left fold of
+    acc*31 + ascii(char) (mod 1e9+7). Exact int64 math (no overflow:
+    acc < 1e9+7 so acc*31+255 < 2^63), reproducible in any engine."""
+    col = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(col, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,112 @@
+"""Dedup queries over the documents table, with DuckDB oracles where the
+algorithm is SQL-expressible. MinHash-LSH and SimHash hash with Spark's
+xxhash64 (no DuckDB equivalent) -> rows-only driver check; their
+correctness is covered by property tests against the exact-Jaccard oracle
+path (tests/test_dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+)
+from data_engineering_pipeline_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+JACCARD_THRESHOLD = 0.7
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "dedup-exact",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang, source, n_chars,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[.,!?;:''"()]', '', 'g'), '\\s+', ' ', 'g')) AS tnorm
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM norm
+    QUALIFY row_number() OVER (PARTITION BY tnorm ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text, keeping the lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+_JACCARD_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.7
+    ORDER BY id_a, id_b
+"""
+
+
+@_register("dedup-jaccard-pairs", _JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram (word-shingle) Jaccard near-dup pairs >= 0.7."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@_register("dedup-minhash-lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidates, exact-verified >= 0.7 —
+    the 100 TB-scale near-dup path. Property-tested against
+    dedup-jaccard-pairs in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@_register("dedup-simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit chunk banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )

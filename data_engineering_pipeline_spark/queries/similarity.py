@@ -1,0 +1,112 @@
+"""Similarity-search queries over the embeddings table.
+
+- ann-topk-cosine: exact brute-force top-5 (oracle-checked) — ranking by
+  ROUNDED cosine with id tie-break so order is engine-independent.
+- ann-topk-lsh: random-hyperplane LSH candidates (rows-only; recall vs
+  the brute-force path is asserted in tests/test_similarity.py).
+- dedup-embedding-cosine: all-pairs near-dup (cosine >= 0.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.similarity import (
+    ann_topk_brute,
+    ann_topk_lsh,
+    cosine_pairs,
+)
+from data_engineering_pipeline_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+EMBED_DIM = 64
+N_QUERIES = 10
+TOP_K = 5
+NEARDUP_THRESHOLD = 0.4
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_VECS = """
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@_register(
+    "ann-topk-cosine",
+    f"""
+    WITH {_VECS},
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4) AS cos_sim
+      FROM q, n c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, corpus_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, corpus_id) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ann_topk_brute(queries, corpus, k=TOP_K).orderBy("query_id", "rank")
+
+
+@_register("ann-topk-lsh")  # rows-only: candidate set depends on seeded hyperplanes
+def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 — the scale path (probes buckets
+    instead of scanning the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    # 4-bit signatures x 16 tables: measured recall@5 ~0.96 on this corpus
+    # (uniform random vectors — the hard case for hyperplane LSH; real
+    # embedding corpora are clustered and allow more selective buckets).
+    return ann_topk_lsh(
+        queries, corpus, dim=EMBED_DIM, k=TOP_K, bits=4, n_tables=16
+    ).orderBy("query_id", "rank")
+
+
+@_register(
+    "dedup-embedding-cosine",
+    f"""
+    WITH {_VECS}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+          >= {NEARDUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(
+        emb, "vec_id", "embedding", NEARDUP_THRESHOLD
+    ).orderBy("id_a", "id_b")

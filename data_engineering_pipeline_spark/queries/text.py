@@ -1,0 +1,166 @@
+"""Text-analysis queries over the documents table, each with a DuckDB
+oracle mirroring the expression semantics exactly (same token split, same
+integer arithmetic, same fold order).
+
+Ratios and means here are int/int IEEE divisions — bit-deterministic
+across engines, so no rounding is applied (rounding could land on a
+representable half and diverge; SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    distinct_token_count,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from data_engineering_pipeline_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@_register(
+    "text-stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_token_len,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprint (rolling polynomial hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        mean_token_length("text").alias("mean_token_len"),
+        fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + ")"
+
+@_register(
+    "text-quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+          / len(toks) AS stopword_ratio,
+        CAST(length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text)
+          AS punct_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, diversity,
+      greatest(least(
+        0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+        + 0.4 * diversity
+        + 0.2 * least(stopword_ratio * 2.0, 1.0)
+        - 0.2 * least(punct_ratio * 4.0, 1.0), 1.0), 0.0) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        (distinct_token_count("text").cast("double") / token_count("text")).alias(
+            "diversity"
+        ),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _markers_sql(lang: str) -> str:
+    return "(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")"
+
+
+_LANG_SCORE_COLS = ",\n        ".join(
+    f"len(list_filter(toks, x -> x IN {_markers_sql(lang)})) AS score_{lang}"
+    for lang in LANG_MARKERS
+)
+
+# Mirrors operators/text.py lang_id (fold-left, earliest language wins
+# ties): language L wins iff strictly greater than every EARLIER
+# language's score — hence the reverse-order CASE, each arm comparing
+# only against languages before it.
+_LANG_PRED = """
+      CASE
+        WHEN score_zh > greatest(score_en, score_de, score_es, score_fr, 0)
+          THEN 'zh'
+        WHEN score_fr > greatest(score_en, score_de, score_es, 0)
+          THEN 'fr'
+        WHEN score_es > greatest(score_en, score_de, 0) THEN 'es'
+        WHEN score_de > greatest(score_en, 0) THEN 'de'
+        WHEN score_en > 0 THEN 'en'
+        ELSE 'und'
+      END
+"""
+
+@_register(
+    "text-langid",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        {_LANG_SCORE_COLS}
+      FROM t
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           {_LANG_PRED} AS lang_pred
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language scores + argmax
+    (earliest language wins ties; 'und' when nothing matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        lang_id("text").alias("lang_pred"),
+    ).orderBy("doc_id")

@@ -1,0 +1,62 @@
+"""Upsert-writer semantics (op-sink-upsert): ON CONFLICT DO UPDATE
+equivalence — idempotent re-runs, updates win, inserts append
+(database.py:119-138, README1.md:128-132)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.upsert import (
+    merge_last_write_wins,
+    upsert_parquet,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "country_iso3 string, year int, value double, fetched_at long"
+    )
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    path = os.path.join(tmp_path, "raw")
+    batch = _df(spark, [("ZAF", 2015, 1.2, 100), ("KEN", 2015, 3.4, 100)])
+    n1 = upsert_parquet(spark, path, batch, ["country_iso3", "year"], "fetched_at")
+    n2 = upsert_parquet(spark, path, batch, ["country_iso3", "year"], "fetched_at")
+    assert n1 == n2 == 2
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_update_wins_insert_appends(spark, tmp_path):
+    path = os.path.join(tmp_path, "raw")
+    upsert_parquet(
+        spark,
+        path,
+        _df(spark, [("ZAF", 2015, 1.2, 100), ("KEN", 2015, 3.4, 100)]),
+        ["country_iso3", "year"],
+        "fetched_at",
+    )
+    upsert_parquet(
+        spark,
+        path,
+        _df(spark, [("ZAF", 2015, 9.9, 200), ("NGA", 2015, 5.0, 200)]),
+        ["country_iso3", "year"],
+        "fetched_at",
+    )
+    rows = {
+        (r.country_iso3, r.year): r.value
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {("ZAF", 2015): 9.9, ("KEN", 2015): 3.4, ("NGA", 2015): 5.0}
+
+
+def test_merge_prefers_new_on_equal_version(spark):
+    old = _df(spark, [("ZAF", 2015, 1.0, 100)])
+    new = _df(spark, [("ZAF", 2015, 2.0, 100)])  # same version stamp
+    merged = merge_last_write_wins(
+        old, new, ["country_iso3", "year"], "fetched_at"
+    ).collect()
+    assert len(merged) == 1
+    assert merged[0].value == 2.0
