@@ -52,20 +52,46 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (1-based element_at, mirroring SQL)."""
-    toks = F.filter(F.split(F.lower(F.col(text) if isinstance(text, str) else text), r"\s+"), lambda t: t != "")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token-array COLUMN.
+
+    Built with slice + zip_with (each token touched O(1) times) rather
+    than element_at-per-index: Catalyst does not common-subexpression-
+    eliminate inside lambda functions, so an element_at(tokens(text), i)
+    formulation re-evaluates the whole tokenization per index — O(n^2)
+    regex work per row (measured 20x slower). zip_with pads the shorter
+    side with null and concat propagates null, so the trailing partial
+    shingles drop out in the filter."""
+    z = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(z, lambda s: s.isNotNull()))
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingles array, n_sh) with the tokenization materialized in
+    its own projection so it is computed once per row. Docs with fewer
+    than n tokens (empty shingle set) are dropped, matching the SQL
+    oracle's `len(toks) >= n` gate."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    return F.array_distinct(F.transform(idx, shingle))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    sh = toked.select(
+        F.col(id_col),
+        word_shingles(F.col("__toks"), n).alias("shingles"),
+    )
+    return sh.filter(F.size("shingles") > 0).withColumn(
+        "n_sh", F.size("shingles")
+    )
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (
-        df.filter(F.size(word_shingles(text_col, n)) > 0)
-        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    return shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -80,8 +106,10 @@ def shingle_jaccard_pairs(
     Output: (id_a, id_b, jaccard). The jaccard is NOT rounded: it is an
     int/int IEEE division, bit-deterministic in any engine — rounding
     could land on a representable half and diverge."""
-    ex = _exploded_shingles(df, id_col, text_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sets = shingle_sets(df, id_col, text_col, n)
+    ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # set sizes come from the array length — no aggregation shuffle
+    sizes = sets.select(F.col(id_col), "n_sh")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
@@ -141,7 +169,8 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard). With K=32, B=8 (r=4), a pair at
     jaccard s collides with prob 1-(1-s^4)^8: ~0.97 at s=0.7."""
     rows = num_hashes // bands
-    ex = _exploded_shingles(df, id_col, text_col, n)
+    sets = shingle_sets(df, id_col, text_col, n)
+    ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sig = minhash_signature(ex, id_col, num_hashes)
 
     band_cols = [
@@ -173,7 +202,7 @@ def minhash_lsh_pairs(
     )
 
     # exact verification of the candidate set only
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sets.select(F.col(id_col), "n_sh")
     ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
     eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (
