@@ -49,6 +49,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32) if cpus else 32
 
+    # Python workers inherit the JVM's environment, captured at JVM
+    # start: put the repo root on PYTHONPATH now so closures that DO
+    # reference this package (tests, user code) import it on workers
+    # regardless of the driver's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
