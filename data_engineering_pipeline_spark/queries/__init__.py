@@ -23,7 +23,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in (parity, ops_mod, tpch):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    for mod_name in ("dedup", "text", "similarity", "streaming_batch", "multimodal"):
+    for mod_name in (
+        "dedup",
+        "text",
+        "similarity",
+        "streaming_batch",
+        "multimodal",
+        "extra",
+    ):
         try:
             mod = __import__(
                 f"data_engineering_pipeline_spark.queries.{mod_name}",

@@ -1,0 +1,297 @@
+"""Relational coverage beyond the reference's own surface (SURVEY.md §2.7
+notes the reference has no set ops / pivot — called out as schema-level
+improvements; these make the engine a drop-in for the analytics a user
+would expect on the same tables).
+
+All oracle-checked. Money sums round to 2 dp (cross-engine double
+summation), ratios/averages of exact ints stay unrounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _register(name: str, oracle: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "op-pivot-events",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def op_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot a tall observations table into wide per-key columns — the
+    schema improvement SURVEY.md §2.7 suggests over the reference's
+    two-tables design. Explicit value list => static schema (required
+    for deterministic columns and for streaming compatibility)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "op-agg-distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def op_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg in Spark; at scale
+    prefer approx_count_distinct when exactness isn't required)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "op-join-semi",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    ORDER BY o_orderkey
+    """,
+)
+def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with any line shipped >90 days
+    after the order date (TPC-H q4 shape on the available columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 90)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "op-join-anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no finished order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "op-rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag -> flag+status -> grand
+    total). Nulls from the rollup are labeled 'ALL' on both sides so the
+    subtotal rows hash identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "total_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@_register(
+    "op-set-ops",
+    """
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+    supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS side, nationkey
+    FROM (SELECT nationkey FROM cust_nations INTERSECT
+          SELECT nationkey FROM supp_nations)
+    UNION ALL
+    SELECT 'customer_only' AS side, nationkey
+    FROM (SELECT nationkey FROM cust_nations EXCEPT
+          SELECT nationkey FROM supp_nations)
+    ORDER BY side, nationkey
+    """,
+)
+def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys (absent from the
+    reference; §2.7)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust.intersect(supp).select(
+        F.lit("both").alias("side"), "nationkey"
+    )
+    cust_only = cust.exceptAll(supp).select(
+        F.lit("customer_only").alias("side"), "nationkey"
+    )
+    return both.unionAll(cust_only).orderBy("side", "nationkey")
+
+
+@_register(
+    "op-date-trunc-trend",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1 ORDER BY month
+    """,
+)
+def op_date_trunc_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bucketed trend: monthly order counts and revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@_register(
+    "op-string-funcs",
+    """
+    SELECT p_partkey, p_name,
+           upper(p_brand) AS brand_uc,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER)
+             AS brand_num,
+           substr(p_type, 1, 6) AS type_prefix,
+           length(p_name) AS name_len
+    FROM part
+    WHERE p_type LIKE 'PROMO%' OR contains(p_type, 'ECONOMY')
+    ORDER BY p_partkey
+    """,
+)
+def op_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: LIKE/contains predicates, regexp_extract, case
+    mapping, substring, length."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").like("PROMO%")
+            | F.col("p_type").contains("ECONOMY")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.upper("p_brand").alias("brand_uc"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1)
+            .try_cast("int")
+            .alias("brand_num"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "op-topk-per-group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """,
+)
+def op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped form of op-sort-limit-topk
+    (one window shuffle; no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    )
