@@ -30,6 +30,10 @@ HEADLINE = [
     "dedup-minhash-lsh",
     "ann-topk-cosine",
     "text-quality",
+    "text-stats",
+    "events-sessionize",
+    "op-topk-per-group",
+    "multimodal-decode",
 ]
 
 TIMED_RUNS = 3

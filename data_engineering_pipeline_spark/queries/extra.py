@@ -295,3 +295,57 @@ def op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("o_custkey", "rnk")
     )
+
+
+@_register(
+    "op-percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def op_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont). At 100 TB use approx_percentile: one pass,
+    mergeable sketches, no full sort of the group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register(
+    "op-explode-arrays",
+    """
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+    )
+    SELECT p_partkey,
+           CAST(generate_subscripts(words, 1) - 1 AS INTEGER) AS pos,
+           unnest(words) AS word
+    FROM t
+    ORDER BY p_partkey, pos
+    """,
+)
+def op_explode_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + positional explode (lateral view): one row
+    per word of p_name with its 0-based position."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        )
+        .orderBy("p_partkey", "pos")
+    )
