@@ -201,24 +201,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of the candidate set only
-    sizes = sets.select(F.col(id_col), "n_sh")
-    ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        candidates.join(ea, "id_a")
-        .join(eb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.join(sa, "id_a")
+    # Exact verification of the candidate set only. Candidates are few
+    # (that's the point of LSH), so fetch both shingle ARRAYS per pair
+    # and intersect in-expression — two hash joins total, instead of
+    # re-exploding the corpus into two more shuffle joins.
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"))
+    paired = (
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).alias("shared"),
+            F.size("__sha").alias("na"),
+            F.size("__shb").alias("nb"),
+        )
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -349,3 +349,45 @@ def op_explode_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "pos")
     )
+
+
+def _quality_oracle_block(col: str, numeric: bool) -> str:
+    parts = [
+        f"""SELECT '{col}' AS col_name, 'null_ratio' AS metric,
+            CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS value FROM orders""",
+        f"""SELECT '{col}', 'distinct_count',
+            CAST(count(DISTINCT {col}) AS DOUBLE) FROM orders""",
+    ]
+    if numeric:
+        parts.append(
+            f"SELECT '{col}', 'min', CAST(min({col}) AS DOUBLE) FROM orders"
+        )
+        parts.append(
+            f"SELECT '{col}', 'max', CAST(max({col}) AS DOUBLE) FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_QUALITY_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+@_register(
+    "op-quality-report",
+    "\nUNION ALL\n".join(_quality_oracle_block(c, num) for c, num in _QUALITY_COLS)
+    + "\nORDER BY col_name, metric",
+)
+def op_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality report over orders (completeness,
+    cardinality, numeric ranges) — the reference's acknowledged-missing
+    data-quality checks (README1.md Next Steps) as an operator."""
+    from data_engineering_pipeline_spark.operators.quality import quality_report
+
+    return quality_report(
+        load_table(spark, sf_dir, "orders"), [c for c, _ in _QUALITY_COLS]
+    ).orderBy("col_name", "metric")
