@@ -391,3 +391,82 @@ def op_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(
         load_table(spark, sf_dir, "orders"), [c for c, _ in _QUALITY_COLS]
     ).orderBy("col_name", "metric")
+
+
+@_register(
+    "op-join-outer",
+    """
+    SELECT n.n_nationkey, n.n_name,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust
+               FROM customer GROUP BY c_nationkey) c
+      ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey) s
+      ON n.n_nationkey = s.s_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def op_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer joins preserving unmatched dimension rows (nations with
+    no customers/suppliers surface with zero counts)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+"""
+
+
+@_register("op-subquery-correlated", _CORRELATED_SQL)
+def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL interface
+    (Catalyst decorrelates it into an aggregate + join — no per-row
+    re-execution). Orders 50%+ above their customer's average."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+_SCALAR_SQL = """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS flag_revenue,
+           round(sum(l_extendedprice)
+                 / (SELECT sum(l_extendedprice) FROM lineitem), 6)
+             AS revenue_share
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@_register("op-subquery-scalar", _SCALAR_SQL)
+def op_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: per-group revenue share of total."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SCALAR_SQL)
