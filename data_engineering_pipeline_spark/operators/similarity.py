@@ -169,3 +169,88 @@ def cosine_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 7
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: distributed KMeans over L2-normalized
+    vectors (normalized euclidean == cosine ordering). Only the k x dim
+    centroid matrix comes back to the driver — at 100 TB the fit is the
+    distributed part and the centroids are still tiny literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = _as_double(F.col(vec_col))
+    unit = F.transform(v, lambda x: x / norm(v))
+    feats = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of struct(dot, idx) of the normalized vector against every
+    centroid — struct ordering makes array_max/array_sort pick by dot."""
+    v = _as_double(vec)
+    unit = F.transform(v, lambda x: x / norm(v))
+    return F.array(
+        *[
+            F.struct(
+                dot(unit, F.array(*[F.lit(x) for x in c])).alias("dot"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    scale: int = 4,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest centroid's cell;
+    each query scores only the n_probe nearest cells. Cost per query is
+    ~ n_probe/n_cells of the corpus instead of a full scan. Output
+    schema matches ann_topk_brute."""
+    centroids = train_ivf_centroids(corpus, vec_col, n_cells, seed)
+
+    corpus_cells = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        F.array_max(_cell_scores(F.col(vec_col), centroids))["idx"].alias("cell"),
+    )
+    probe = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
+    )
+    query_cells = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe).alias("cell"),
+    )
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__qv", F.col(vec_col).alias("__cv"))
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), scale)
+    scored = cand.select(query_id, corpus_id, sim.alias("cos_sim"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -53,3 +53,27 @@ def test_lsh_recall_at_5(spark, sf_smoke):
     recall = len(brute & lsh) / len(brute)
     # measured 0.96 with these params on this corpus; guard with margin
     assert recall >= 0.7, f"LSH recall@5 {recall}"
+
+
+def test_ivf_scores_exact_and_recall(spark, sf_smoke):
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    queries, corpus = _qc(spark, sf_smoke)
+    brute_full = ann_topk_brute(queries, corpus, k=500)
+    ivf = ann_topk_ivf(queries, corpus, k=5, n_cells=16, n_probe=6)
+    joined = ivf.alias("i").join(
+        brute_full.alias("b"),
+        (F.col("i.query_id") == F.col("b.query_id"))
+        & (F.col("i.corpus_id") == F.col("b.corpus_id")),
+    )
+    assert joined.filter(F.col("i.cos_sim") != F.col("b.cos_sim")).count() == 0
+
+    brute5 = {
+        (r.query_id, r.corpus_id)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+    got = {(r.query_id, r.corpus_id) for r in ivf.collect()}
+    recall = len(brute5 & got) / len(brute5)
+    assert recall >= 0.5, f"IVF recall@5 {recall}"  # measured 0.78
