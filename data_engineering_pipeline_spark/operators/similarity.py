@@ -53,13 +53,22 @@ def ann_topk_brute(
     the corpus id as tie-break, so results are deterministic across
     engines (raw float ordering is not). Output: (query_id, corpus_id,
     cos_sim, rank)."""
+    # Norms are computed ONCE per row in their own projections (higher-
+    # order-function lambdas don't codegen, so per-pair recomputation is
+    # the dominant cost); the per-pair work is a single dot product. The
+    # arithmetic (dot / (qn * cn)) matches the oracle exactly.
     q = queries.select(
-        F.col(query_id), _as_double(F.col(vec_col)).alias("__qv")
-    )
+        F.col(query_id),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).select(query_id, "__qv", norm(F.col("__qv")).alias("__qn"))
     c = corpus.select(
-        F.col(corpus_id), _as_double(F.col(vec_col)).alias("__cv")
+        F.col(corpus_id),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).select(corpus_id, "__cv", norm(F.col("__cv")).alias("__cn"))
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        scale,
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), scale)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -135,8 +144,25 @@ def ann_topk_lsh(
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id, "__qv", "__cv")
         .distinct()
+        .select(
+            query_id,
+            corpus_id,
+            _as_double(F.col("__qv")).alias("__qvd"),
+            _as_double(F.col("__cv")).alias("__cvd"),
+        )
+        .select(
+            query_id,
+            corpus_id,
+            "__qvd",
+            "__cvd",
+            norm(F.col("__qvd")).alias("__qn"),
+            norm(F.col("__cvd")).alias("__cn"),
+        )
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), scale)
+    sim = F.round(
+        dot(F.col("__qvd"), F.col("__cvd")) / (F.col("__qn") * F.col("__cn")),
+        scale,
+    )
     scored = cand.select(query_id, corpus_id, sim.alias("cos_sim"))
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id)
@@ -158,11 +184,14 @@ def cosine_pairs(
     Output: (id_a, id_b, cos_sim)."""
     a = df.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
-    )
+    ).select("id_a", "__va", norm(F.col("__va")).alias("__na"))
     b = df.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+    ).select("id_b", "__vb", norm(F.col("__vb")).alias("__nb"))
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        scale,
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), scale)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
