@@ -60,14 +60,24 @@ def upsert_parquet(
     new: DataFrame,
     keys: list[str],
     order_col: str,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Merge `new` into the Parquet table at `path`; returns merged count.
     Re-running with the same input leaves the table unchanged
-    (idempotency property, README1.md:128-132)."""
+    (idempotency property, README1.md:128-132).
+
+    `partition_cols` lays the merged table out hive-partitioned so
+    downstream scans filtered on those columns prune directories (the
+    SURVEY §4.2 default for the cleaned layer). At very large scale,
+    pair it with dynamic partition overwrite to rewrite only the
+    partitions the batch touches."""
     old = spark.read.parquet(path) if os.path.exists(path) else None
     merged = merge_last_write_wins(old, new, keys, order_col)
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
     if os.path.exists(path):
         shutil.rmtree(path)

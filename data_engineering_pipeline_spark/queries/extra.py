@@ -470,3 +470,34 @@ def op_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: per-group revenue share of total."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SCALAR_SQL)
+
+
+@_register(
+    "op-json-schema-extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 'has_k' ELSE 'no_k' END AS k_presence
+    FROM events ORDER BY event_id
+    """,
+)
+def op_json_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json -> struct field access) —
+    the typed alternative to get_json_object string extraction: the JSON
+    is parsed ONCE into a struct and fields are column accesses, which
+    matters when many fields come out of one payload."""
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = events.select(
+        "event_id", F.from_json("props", props_schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k").isNotNull(), F.lit("has_k"))
+        .otherwise(F.lit("no_k"))
+        .alias("k_presence"),
+    ).orderBy("event_id")

@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(pushdown, pruning, broadcast, top-k without global sort) must survive
+refactors. These parse executedPlan/adaptive plans directly."""
+
+from __future__ import annotations
+
+from data_engineering_pipeline_spark.queries import collect_registry
+
+QUERIES, _ = collect_registry()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    # formatted explain: full (untruncated) scan details
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q6-forecast-revenue")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # projection pruned to the 4 needed columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_dimensions(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "q3-shipping-priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "op-sort-limit-topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_parity_pipeline_joins_adaptively(spark, sf_smoke):
+    """After execution AQE should have converted the post-aggregation
+    series join (both sides tiny) to a broadcast join."""
+    df = QUERIES["parity-pipeline"](spark, sf_smoke)
+    df.collect()  # finalize adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multimodal_decode_is_single_map_stage(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "multimodal-decode")
+    # featurize itself must not shuffle (orderBy adds the only exchange)
+    before_sort = plan.split("Sort")[-1]
+    assert "MapInPandas" in plan
+    assert "Exchange" not in before_sort.split("MapInPandas")[-1]

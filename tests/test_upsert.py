@@ -60,3 +60,29 @@ def test_merge_prefers_new_on_equal_version(spark):
     ).collect()
     assert len(merged) == 1
     assert merged[0].value == 2.0
+
+
+def test_partitioned_upsert_prunes_and_stays_idempotent(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tmp_path, "raw_part")
+    batch = _df(
+        spark,
+        [("ZAF", 2015, 1.2, 100), ("ZAF", 2016, 2.2, 100), ("KEN", 2015, 3.4, 100)],
+    )
+    upsert_parquet(
+        spark, path, batch, ["country_iso3", "year"], "fetched_at",
+        partition_cols=["year"],
+    )
+    upsert_parquet(
+        spark, path, batch, ["country_iso3", "year"], "fetched_at",
+        partition_cols=["year"],
+    )
+    df = spark.read.parquet(path)
+    assert df.count() == 3
+    scan = df.filter(F.col("year") == 2015)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert scan.count() == 2
