@@ -30,6 +30,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "streaming_batch",
         "multimodal",
         "extra",
+        "temporal",
     ):
         try:
             mod = __import__(
