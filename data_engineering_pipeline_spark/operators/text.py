@@ -35,27 +35,45 @@ FINGERPRINT_BASE = 31
 
 
 def tokens(text: Column | str) -> Column:
-    """Lowercased whitespace tokenization, empty tokens dropped."""
+    """Lowercased whitespace tokenization, empty tokens dropped.
+
+    Metric functions below accept EITHER raw text (tokenize inline) or a
+    pre-tokenized array column via `toks=`. For multi-metric queries,
+    materialize the tokens once in their own projection and pass them in
+    — Catalyst does not CSE the tokenization across metric expressions,
+    so inline re-tokenization multiplies the regex work per row (same
+    pitfall as the shingle construction, operators/dedup.py)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
-def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+def _toks(text: Column | str | None, toks: Column | None) -> Column:
+    if toks is not None:
+        return toks
+    if text is None:
+        raise ValueError("pass text or toks")
+    return tokens(text)
 
 
-def distinct_token_count(text: Column | str) -> Column:
-    return F.size(F.array_distinct(tokens(text)))
+def token_count(text: Column | str | None = None, *, toks: Column | None = None) -> Column:
+    return F.size(_toks(text, toks))
+
+
+def distinct_token_count(text: Column | str | None = None, *, toks: Column | None = None) -> Column:
+    return F.size(F.array_distinct(_toks(text, toks)))
 
 
 def stopword_ratio(
-    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+    text: Column | str | None = None,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    *,
+    toks: Column | None = None,
 ) -> Column:
     """Fraction of token occurrences that are stopwords."""
-    toks = tokens(text)
+    t = _toks(text, toks)
     stop = F.array(*[F.lit(s) for s in stopwords])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    return n_stop.cast("double") / F.size(toks)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    return n_stop.cast("double") / F.size(t)
 
 
 def punct_ratio(text: Column | str, punct_class: str = r"[.,!?;:\'\"()]") -> Column:
@@ -64,24 +82,22 @@ def punct_ratio(text: Column | str, punct_class: str = r"[.,!?;:\'\"()]") -> Col
     return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
 
 
-def mean_token_length(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
-    )
-    return total.cast("double") / F.size(toks)
+def mean_token_length(text: Column | str | None = None, *, toks: Column | None = None) -> Column:
+    t = _toks(text, toks)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, *, toks: Column | None = None) -> Column:
     """Deterministic composite quality heuristic in [0, 1]: rewards
     mid-length docs, lexical diversity, and a sane stopword rate;
     penalizes punctuation soup. A stand-in for model-based quality
     filters; the shape (pure per-row expression) is what matters."""
     col = F.col(text) if isinstance(text, str) else text
-    n_tok = token_count(col)
-    diversity = distinct_token_count(col).cast("double") / n_tok
+    n_tok = token_count(col, toks=toks)
+    diversity = distinct_token_count(col, toks=toks).cast("double") / n_tok
     len_score = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
-    stop_pen = F.least(stopword_ratio(col) * 2.0, F.lit(1.0))
+    stop_pen = F.least(stopword_ratio(col, toks=toks) * 2.0, F.lit(1.0))
     punct_pen = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
     raw = (
         0.4 * len_score + 0.4 * diversity + 0.2 * stop_pen - 0.2 * punct_pen
@@ -89,21 +105,25 @@ def quality_score(text: Column | str) -> Column:
     return F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
+def lang_scores(
+    text: Column | str | None = None, *, toks: Column | None = None
+) -> dict[str, Column]:
     """Marker-word hit counts per language (counts token occurrences)."""
-    toks = tokens(text)
+    t = _toks(text, toks)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
     return out
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(
+    text: Column | str | None = None, *, toks: Column | None = None
+) -> Column:
     """argmax language by marker score; 'und' when no marker hits.
     Deterministic tie-break: language order en<de<es<fr<zh (first max
     wins via strict > comparison in that order)."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks=toks)
     langs = list(LANG_MARKERS)
     best_lang = F.lit("und")
     best_score = F.lit(0)
@@ -120,9 +140,8 @@ def fingerprint(text: Column | str) -> Column:
     acc*31 + ascii(char) (mod 1e9+7). Exact int64 math (no overflow:
     acc < 1e9+7 so acc*31+255 < 2^63), reproducible in any engine."""
     col = F.col(text) if isinstance(text, str) else text
-    codes = F.transform(F.split(col, ""), F.ascii)
     return F.aggregate(
-        codes,
+        F.split(col, ""),
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
     )

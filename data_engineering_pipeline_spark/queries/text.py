@@ -23,6 +23,7 @@ from data_engineering_pipeline_spark.operators.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from data_engineering_pipeline_spark.sources import load_table
 
@@ -61,13 +62,17 @@ _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + document fingerprint (rolling polynomial hash)."""
+    """Token counting + document fingerprint (rolling polynomial hash).
+    Tokens materialize once per row in their own projection (no CSE
+    across metric expressions — see operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    return toked.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        distinct_token_count("text").alias("n_distinct"),
-        mean_token_length("text").alias("mean_token_len"),
+        token_count(toks=t).alias("n_tokens"),
+        distinct_token_count(toks=t).alias("n_distinct"),
+        mean_token_length(toks=t).alias("mean_token_len"),
         fingerprint("text").alias("fingerprint"),
     ).orderBy("doc_id")
 
@@ -101,15 +106,17 @@ _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + ")"
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword ratios + composite score."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    return toked.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        stopword_ratio("text").alias("stopword_ratio"),
+        token_count(toks=t).alias("n_tokens"),
+        stopword_ratio(toks=t).alias("stopword_ratio"),
         punct_ratio("text").alias("punct_ratio"),
-        (distinct_token_count("text").cast("double") / token_count("text")).alias(
-            "diversity"
-        ),
-        quality_score("text").alias("quality"),
+        (
+            distinct_token_count(toks=t).cast("double") / token_count(toks=t)
+        ).alias("diversity"),
+        quality_score("text", toks=t).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -157,10 +164,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: per-language scores + argmax
     (earliest language wins ties; 'und' when nothing matches)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores("text")
-    return docs.select(
+    toked = docs.select("doc_id", "lang", tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    scores = lang_scores(toks=t)
+    return toked.select(
         "doc_id",
         "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        lang_id("text").alias("lang_pred"),
+        lang_id(toks=t).alias("lang_pred"),
     ).orderBy("doc_id")
