@@ -238,7 +238,7 @@ def op_date_trunc_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER)
              AS brand_num,
            substr(p_type, 1, 6) AS type_prefix,
-           length(p_name) AS name_len
+           CAST(length(p_name) AS INTEGER) AS name_len
     FROM part
     WHERE p_type LIKE 'PROMO%' OR contains(p_type, 'ECONOMY')
     ORDER BY p_partkey
@@ -272,8 +272,8 @@ def op_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
       FROM orders)
     WHERE rnk <= 3 ORDER BY o_custkey, rnk
     """,
@@ -501,3 +501,47 @@ def op_json_schema_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_k"))
         .alias("k_presence"),
     ).orderBy("event_id")
+
+
+@_register(
+    "op-window-ranks",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cdist,
+           round(sum(c_acctbal) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2)
+             AS acct_range_sum
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def op_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: rank/dense_rank/ntile/cume_dist plus a
+    RANGE frame (value-based: all accounts within 100.0 below the
+    current balance) — the §2.5 surface beyond the reference's
+    lag/rolling."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    # the Python rangeBetween API only takes integer offsets; fractional
+    # range bounds go through the SQL expression form
+    range_sum = F.expr(
+        "round(sum(c_acctbal) OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW), 2)"
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+        range_sum.alias("acct_range_sum"),
+    ).orderBy("c_custkey")

@@ -32,8 +32,8 @@ ORACLES["multimodal-decode"] = """
       SELECT doc_id AS media_id,
              'application/octet-stream' AS media_type,
              octet_length(encode(text)) AS byte_len,
-             list_sum(list_transform(string_split(text, ''),
-                                     c -> ascii(c))) % 997 AS checksum,
+             CAST(list_sum(list_transform(string_split(text, ''),
+                                     c -> ascii(c))) % 997 AS BIGINT) AS checksum,
              ascii(substr(text, 1, 1)) AS first_byte
       FROM documents
     )

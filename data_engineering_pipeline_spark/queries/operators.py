@@ -250,9 +250,9 @@ def op_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-groupby-collect",
     """
     SELECT c_custkey, c_nationkey,
-           row_number() OVER (
+           CAST(row_number() OVER (
              PARTITION BY c_nationkey
-             ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation,
+             ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank_in_nation,
            count(*) OVER (PARTITION BY c_nationkey) AS nation_size
     FROM customer ORDER BY c_custkey
     """,

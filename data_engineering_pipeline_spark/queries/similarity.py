@@ -58,8 +58,8 @@ _VECS = """
       FROM q, n c WHERE c.vec_id <> q.query_id
     )
     SELECT query_id, corpus_id, cos_sim,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, corpus_id) AS "rank"
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, corpus_id) AS INTEGER) AS "rank"
     FROM scored
     QUALIFY "rank" <= {TOP_K}
     ORDER BY query_id, "rank"

@@ -120,7 +120,8 @@ def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )
-    SELECT user_id, session_no, count(*) AS n_events,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
            round(sum(value), 4) AS value_sum,
            min(us) AS start_us, max(us) AS end_us
     FROM sessions

@@ -49,8 +49,8 @@ _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
              / len(toks) AS mean_token_len,
            list_reduce(
@@ -85,7 +85,7 @@ _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + ")"
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     m AS (
       SELECT doc_id,
-        len(toks) AS n_tokens,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
           / len(toks) AS stopword_ratio,
         CAST(length(text) - length(regexp_replace(text,
@@ -125,7 +125,8 @@ def _markers_sql(lang: str) -> str:
 
 
 _LANG_SCORE_COLS = ",\n        ".join(
-    f"len(list_filter(toks, x -> x IN {_markers_sql(lang)})) AS score_{lang}"
+    f"CAST(len(list_filter(toks, x -> x IN {_markers_sql(lang)})) AS INTEGER)"
+    f" AS score_{lang}"
     for lang in LANG_MARKERS
 )
 
