@@ -31,6 +31,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "multimodal",
         "extra",
         "temporal",
+        "search",
     ):
         try:
             mod = __import__(
