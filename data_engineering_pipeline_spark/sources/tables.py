@@ -20,6 +20,15 @@ from data_engineering_pipeline_spark.schemas import TESTDATA_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Column pruning + predicate pushdown reach
     the parquet scan because this returns the bare lazy scan."""
+    # Defensive session confs, set here (they're dynamic) so sessions NOT
+    # built by get_spark() — e.g. the driver's own — behave identically:
+    # UTC pins NTZ-timestamp -> epoch conversions (unix_micros) to the
+    # values the DuckDB oracles produce regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet: Spark rejects it unless read as int64
+        # nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as int64 nanos (nanosAsLong): convert to a

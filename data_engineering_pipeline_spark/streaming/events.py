@@ -37,6 +37,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over landed event parquet files. New files in
     `path` become micro-batches; at scale this is the landing-zone
     pattern (upstream writers drop files; Spark tails the directory)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 4)
