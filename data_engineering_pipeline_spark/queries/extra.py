@@ -545,3 +545,32 @@ def op_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         range_sum.alias("acct_range_sum"),
     ).orderBy("c_custkey")
+
+
+@_register(
+    "op-histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via bucket arithmetic (one map-side-combined
+    aggregation — the scalable way to histogram 100 TB; no sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

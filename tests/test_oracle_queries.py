@@ -29,3 +29,20 @@ def test_query_matches_oracle(name, spark, sf_correct, con):
         # rows-only smoke: runs and yields a stable schema
         assert df.columns
         df.collect()
+
+
+def test_approx_count_distinct_within_bound(spark, sf_correct):
+    """Sketch aggregates (HyperLogLog++): no oracle (approximate by
+    design) — assert the estimate is within the documented rsd bound of
+    the exact count. At 100 TB this one-pass mergeable sketch replaces
+    the expensive exact DISTINCT expansion."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.sources import load_table
+
+    li = load_table(spark, sf_correct, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1
