@@ -129,3 +129,14 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (broadcast)
+    dimension table — the standard pattern for attaching reference data
+    to a stream. The static side is re-resolved per micro-batch, so a
+    refreshed dimension table is picked up without restarting the
+    query."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -55,3 +55,38 @@ def test_stream_sessions_bounded_and_consistent(spark, events_dir):
     for starts in by_user.values():
         s = sorted(starts)
         assert s == sorted(set(starts))
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
+    from data_engineering_pipeline_spark.sources import load_table
+    from data_engineering_pipeline_spark.streaming.events import (
+        enrich_with_dimension,
+    )
+    from pyspark.sql import functions as F
+
+    # dimension: per-user segment derived from user_id
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("int").alias("segment"),
+    )
+    stream = enrich_with_dimension(
+        read_events_stream(spark, events_dir), dim, ["user_id"]
+    ).groupBy("segment").count()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.segment: r["count"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    expected = {
+        r.segment: r["count"]
+        for r in load_table(spark, sf_smoke, "events")
+        .join(dim, ["user_id"])
+        .groupBy("segment")
+        .count()
+        .collect()
+    }
+    assert got == expected
