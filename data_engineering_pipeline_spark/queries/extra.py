@@ -137,7 +137,8 @@ def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS total_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+             AS DOUBLE) AS total_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -152,7 +153,9 @@ def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -206,7 +209,8 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+             AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate < TIMESTAMP '1999-01-01'
@@ -224,7 +228,9 @@ def op_date_trunc_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("month")
     )
