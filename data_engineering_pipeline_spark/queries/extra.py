@@ -463,7 +463,8 @@ def op_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_SQL = """
     SELECT l_returnflag,
-           round(sum(l_extendedprice), 2) AS flag_revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+             AS DOUBLE) AS flag_revenue,
            round(sum(l_extendedprice)
                  / (SELECT sum(l_extendedprice) FROM lineitem), 6)
              AS revenue_share
