@@ -1,0 +1,64 @@
+"""Iterative graph operators on DataFrames: connected components by
+min-label propagation — the step that turns pairwise near-duplicate
+PAIRS into duplicate CLUSTERS (pick one canonical doc per component).
+
+Each iteration is one distributed join+aggregate (labels against the
+bidirectional edge list); labels monotonically decrease to the
+component's minimum vertex id, converging in O(component diameter)
+iterations — near-dup clusters are shallow (stars/chains of a few
+docs), so a handful of iterations suffices at any corpus size. The
+driver loop only inspects a changed-row COUNT per iteration (no data
+collected)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) with component = min vertex id reachable.
+    `edges` may be directed pairs; they are symmetrized here. Vertices
+    with no edges keep themselves as component."""
+    both = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("component")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.a == labels.v)
+            .groupBy(F.col("b").alias("v2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__chg"),
+            )
+        )
+        # Truncate lineage each iteration (localCheckpoint): without it
+        # the plan doubles per round and analysis time, not compute,
+        # becomes the bottleneck. On a cluster with a checkpoint dir,
+        # checkpoint() gives the fault-tolerant variant.
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), "component")

@@ -110,3 +110,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+_COMPONENTS_ORACLE = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.7
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v
+    )
+    SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v
+    ORDER BY doc_id
+"""
+
+
+@_register("dedup-components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (iterative min-label
+    propagation) over the exact-Jaccard pair graph — the step that picks
+    one canonical document per duplicate group. Oracle: transitive
+    closure via WITH RECURSIVE."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    return connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    ).orderBy("doc_id")
