@@ -581,3 +581,67 @@ def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_register(
+    "op-unpivot",
+    """
+    WITH wide AS (
+      SELECT c_nationkey,
+             round(avg(c_acctbal), 4) AS avg_bal,
+             round(min(c_acctbal), 4) AS min_bal,
+             round(max(c_acctbal), 4) AS max_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, metric, value FROM (
+      SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS value FROM wide
+      UNION ALL
+      SELECT c_nationkey, 'min_bal', min_bal FROM wide
+      UNION ALL
+      SELECT c_nationkey, 'max_bal', max_bal FROM wide)
+    ORDER BY c_nationkey, metric
+    """,
+)
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-nation stats back to tall (metric, value)
+    rows — the inverse of op-pivot-events, via the native unpivot
+    operator."""
+    customer = load_table(spark, sf_dir, "customer")
+    wide = customer.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["avg_bal", "min_bal", "max_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("c_nationkey", "metric")
+
+
+@_register(
+    "op-cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations (adds the status-only
+    subtotals ROLLUP omits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
