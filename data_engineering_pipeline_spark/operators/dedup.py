@@ -293,3 +293,84 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing_signatures: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion dedup: test a NEW batch against the corpus
+    without re-scanning it. `existing_signatures` is the persisted
+    output of previous calls (doc id + minhash columns + banded buckets,
+    tiny next to the corpus); only bucket-colliding (new, existing) and
+    (new, new) candidate pairs are signature-verified.
+
+    Returns (updated_signatures, dup_pairs):
+    - updated_signatures: existing + this batch's signatures — persist
+      this for the next batch;
+    - dup_pairs: (id_a, id_b, est_jaccard) where est_jaccard is the
+      fraction of matching minhashes (the unbiased Jaccard estimator) —
+      at threshold 0.7 with K=32 the estimator's std error is ~0.08, so
+      exact-verify against stored text where precision matters.
+    """
+    rows = num_hashes // bands
+    ex = shingle_sets(new_docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    sig = minhash_signature(ex, id_col, num_hashes)
+
+    all_sigs = (
+        sig if existing_signatures is None
+        else existing_signatures.unionByName(sig)
+    )
+
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for bi in range(bands)
+    ]
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), *mh_cols, F.explode(F.array(*band_cols)).alias("bb")
+        ).select(
+            id_col, *mh_cols,
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+
+    new_banded = banded(sig).alias("a")
+    all_banded = banded(all_sigs).alias("b")
+    # candidates: new docs vs ANYTHING (old or new) sharing a band bucket
+    matches = F.lit(0)
+    for c in mh_cols:
+        matches = matches + F.when(
+            F.col(f"a.{c}") == F.col(f"b.{c}"), 1
+        ).otherwise(0)
+    est = (matches / F.lit(num_hashes)).alias("est_jaccard")
+    pairs = (
+        new_banded.join(
+            all_banded,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            est,
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return all_sigs, pairs

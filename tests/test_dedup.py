@@ -63,3 +63,35 @@ def test_exact_dedup_removes_planted_copies(spark, sf_smoke):
     # every surviving row is the lowest id -> all original ids, no copies
     assert deduped.count() == n
     assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_incremental_dedup_finds_cross_batch_duplicates(spark, sf_correct):
+    """Continuous-ingestion path: a doc arriving in batch 2 that copies a
+    batch-1 doc must be flagged against the signature store, without
+    rescanning batch 1's text."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") < 250)
+    # batch 2: the rest, plus exact copies of three batch-1 docs
+    copies = docs.filter(F.col("doc_id").isin([0, 100, 200])).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch2 = docs.filter(F.col("doc_id") >= 250).unionByName(copies)
+
+    sigs1, _ = incremental_minhash_dedup(batch1, None)
+    assert sigs1.count() == 250
+    sigs2, dups = incremental_minhash_dedup(batch2, sigs1)
+    assert sigs2.count() == 503
+
+    found = {(r.id_a, r.id_b) for r in dups.collect()}
+    for orig in (0, 100, 200):
+        assert (orig, orig + 1_000_000) in found
+    # exact copies carry identical signatures -> estimator says 1.0
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dups.collect()
+    }
+    assert all(est[(o, o + 1_000_000)] == 1.0 for o in (0, 100, 200))
