@@ -645,3 +645,72 @@ def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@_register(
+    "op-resample-ffill",
+    """
+    WITH s AS (
+      SELECT n.n_name AS country,
+             CAST(year(o.o_orderdate) AS INTEGER) AS year,
+             round(avg(o.o_totalprice), 4) AS value
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderkey % 7 = 0
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT country, min(year) AS ymin, max(year) AS ymax FROM s GROUP BY 1
+    ), grid AS (
+      SELECT country, CAST(unnest(generate_series(ymin, ymax)) AS INTEGER)
+               AS year
+      FROM spans
+    )
+    SELECT g.country AS country, g.year AS year, s.value AS value,
+           last_value(s.value IGNORE NULLS) OVER (
+             PARTITION BY g.country ORDER BY g.year
+             ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM grid g LEFT JOIN s ON s.country = g.country AND s.year = g.year
+    ORDER BY g.country, g.year
+    """,
+)
+def op_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling + gap fill: build the complete per-group
+    year grid (sequence + explode), left-join the sparse observations,
+    forward-fill with last(ignorenulls) over the ordered window — the
+    panel-completion step the reference's country-year data wants when a
+    year is missing. (The %7 sample makes gaps actually occur.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    s = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("country"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("value"))
+    )
+    spans = s.groupBy("country").agg(
+        F.min("year").alias("ymin"), F.max("year").alias("ymax")
+    )
+    # sequence over int bounds yields array<int>; a cast around explode
+    # would be a generator-nested-in-expression error anyway
+    grid = spans.select(
+        "country", F.explode(F.sequence("ymin", "ymax")).alias("year")
+    )
+    joined = grid.join(s, ["country", "year"], "left")
+    w = (
+        Window.partitionBy("country")
+        .orderBy("year")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "country",
+        "year",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
+    ).orderBy("country", "year")
