@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineering_pipeline_spark.queries._exact import mean_money_round4
 from data_engineering_pipeline_spark.sources import load_table
 
 QUERIES = {}
@@ -588,7 +589,9 @@ def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wide AS (
       SELECT c_nationkey,
-             round(avg(c_acctbal), 4) AS avg_bal,
+             floor((CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                     * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                   / (count(*) * 2)) / 10000.0 AS avg_bal,
              round(min(c_acctbal), 4) AS min_bal,
              round(max(c_acctbal), 4) AS max_bal
       FROM customer GROUP BY c_nationkey
@@ -608,7 +611,7 @@ def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator."""
     customer = load_table(spark, sf_dir, "customer")
     wide = customer.groupBy("c_nationkey").agg(
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        mean_money_round4("c_acctbal").alias("avg_bal"),
         F.round(F.min("c_acctbal"), 4).alias("min_bal"),
         F.round(F.max("c_acctbal"), 4).alias("max_bal"),
     )
@@ -653,7 +656,9 @@ def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT n.n_name AS country,
              CAST(year(o.o_orderdate) AS INTEGER) AS year,
-             round(avg(o.o_totalprice), 4) AS value
+             floor((CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+                     * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                   / (count(*) * 2)) / 10000.0 AS value
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -692,7 +697,7 @@ def op_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("country"),
             F.year("o_orderdate").cast("int").alias("year"),
         )
-        .agg(F.round(F.avg("o_totalprice"), 4).alias("value"))
+        .agg(mean_money_round4("o_totalprice").alias("value"))
     )
     spans = s.groupBy("country").agg(
         F.min("year").alias("ymin"), F.max("year").alias("ymax")

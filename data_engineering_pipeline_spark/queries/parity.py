@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_pipeline_spark.queries._exact import (
+    mean_int_round4,
+    mean_money_round4,
+)
 from data_engineering_pipeline_spark.operators.windows import (
     lag_feature,
     ordered_window,
@@ -52,9 +56,12 @@ def gdp_like_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("year"),
         )
         .agg(
+            # exact integer half-up rounding (queries/_exact.py): a
+            # rounded double mean can land on a representable half at
+            # 4 dp, where Spark and DuckDB legitimately disagree
             F.when(
                 F.count(F.lit(1)) >= 3,
-                F.round(F.avg("o_totalprice") / 1000.0, 4),
+                mean_money_round4("o_totalprice", divisor=1000),
             ).alias("value")
         )
     )
@@ -75,7 +82,7 @@ def unemp_like_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.when(
                 F.count(F.lit(1)) >= 5,
-                F.round(F.avg("l_quantity"), 4),
+                mean_int_round4("l_quantity"),
             ).alias("value")
         )
     )
@@ -116,7 +123,9 @@ WITH a AS (
   SELECT n.n_name AS country,
          CAST(year(o.o_orderdate) AS INTEGER) AS year,
          CASE WHEN count(*) >= 3
-              THEN round(avg(o.o_totalprice) / 1000.0, 4) END AS value
+              THEN floor((CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+                       * 100 AS BIGINT)) AS BIGINT) * 200 + count(*) * 1000)
+                     / (count(*) * 2000)) / 10000.0 END AS value
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -125,7 +134,9 @@ WITH a AS (
   SELECT n.n_name AS country,
          CAST(year(l.l_shipdate) AS INTEGER) AS year,
          CASE WHEN count(*) >= 5
-              THEN round(avg(l.l_quantity), 4) END AS value
+              THEN floor((CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       * 20000 + count(*))
+                     / (count(*) * 2)) / 10000.0 END AS value
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_pipeline_spark.queries._exact import (
+    mean_int_round4,
+    mean_money_round4,
+)
 from data_engineering_pipeline_spark.sources import load_table
 
 QUERIES = {}
@@ -90,9 +94,14 @@ def _register(name: str, oracle: str):
                  AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
                  AS DOUBLE) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           floor((CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 20000
+                  + count(*)) / (count(*) * 2)) / 10000.0 AS avg_qty,
+           floor((CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                 / (count(*) * 2)) / 10000.0 AS avg_price,
+           floor((CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2))
+                    * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                 / (count(*) * 2)) / 10000.0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -114,9 +123,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum(_dec("l_extendedprice")).alias("sum_base_price"),
             _money_sum(disc_price).alias("sum_disc_price"),
             _money_sum(charge).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            mean_int_round4("l_quantity").alias("avg_qty"),
+            mean_money_round4("l_extendedprice").alias("avg_price"),
+            mean_money_round4("l_discount", typ="decimal(4,2)").alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -351,10 +362,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14-promo-revenue",
     """
     SELECT round(
-             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l.l_discount AS DECIMAL(4,2)))
+                        AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l.l_discount AS DECIMAL(4,2)))
+                   AS DECIMAL(18,4))) AS DOUBLE), 4)
              AS promo_share_pct,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -367,8 +384,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a broadcast dimension join)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    disc = _disc_price_dec()
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
@@ -376,9 +395,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
-                "promo_share_pct"
-            ),
+            F.round(
+                100.0 * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -11,8 +11,12 @@ import duckdb
 
 from data_engineering_pipeline_spark.schemas import TESTDATA_TABLES
 
-FLOAT_RTOL = 1e-9
-FLOAT_ATOL = 1e-8
+# The driver hash-compares values EXACTLY — a tolerance here hides real
+# gate failures (rel 1e-9 on a 3.7e5 mean admits a 1e-4 gap, i.e. a full
+# flipped 4-dp round). Queries must be bit-identical cross-engine; see
+# queries/_exact.py for how rounded means achieve that.
+FLOAT_RTOL = 0.0
+FLOAT_ATOL = 0.0
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
