@@ -26,6 +26,10 @@ HEADLINE = [
     "q3-shipping-priority",
     "q5-local-supplier-volume",
     "q6-forecast-revenue",
+    "q9-product-profit",
+    "q13-order-distribution",
+    "q18-large-orders",
+    "q21-waiting-supplier",
     "dedup-exact",
     "dedup-minhash-lsh",
     "ann-topk-cosine",
