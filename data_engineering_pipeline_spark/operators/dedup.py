@@ -374,3 +374,51 @@ def incremental_minhash_dedup(
         .filter(F.col("est_jaccard") >= threshold)
     )
     return all_sigs, pairs
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every eval document, the
+    fraction of its n-gram shingles that appear ANYWHERE in the train
+    corpus. Output: (id, n_sh, n_contam, contamination), contamination
+    an int/int IEEE division (bit-deterministic, never rounded); eval
+    docs with no overlap are kept at 0.0.
+
+    The training-data hygiene op the reference pipeline lacks: before
+    training on a crawl, every held-out benchmark doc is screened
+    against it (the reverse direction — screening the crawl against a
+    benchmark — is the same call with the arguments swapped).
+
+    Scale: the train side collapses to DISTINCT shingles (one shuffle),
+    typically orders of magnitude smaller than the corpus; the
+    shingle-equality join shuffles both sides on the shingle string —
+    at 100 TB, hash the shingle to a 64-bit key first so the exchange
+    moves 8-byte keys, and let AQE handle the skew of stop-shingles."""
+    ev = shingle_sets(eval_df, id_col, text_col, n)
+    ev_ex = ev.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    train_sh = (
+        _exploded_shingles(train, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    overlap = (
+        ev_ex.join(train_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        ev.select(id_col, "n_sh")
+        .join(overlap, id_col, "left")
+        .withColumn("n_contam", F.coalesce("n_contam", F.lit(0)))
+        .select(
+            id_col,
+            "n_sh",
+            F.col("n_contam").cast("long").alias("n_contam"),
+            (F.col("n_contam") / F.col("n_sh")).alias("contamination"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Deterministic sampling operators.
+
+df.sample() is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes, which makes results irreproducible
+across cluster sizes and unverifiable against an oracle. These
+operators derive inclusion from the DATA (a multiplicative hash of the
+row key), so the same rows are chosen on 1 executor or 1000, and an
+external engine can reproduce the exact sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG step constants (Numerical Recipes). The multiplier must keep
+# (2^32 - 1 + key) * mult inside int64 — ANSI Spark and DuckDB both
+# raise on bigint overflow rather than wrapping — which rules out the
+# classic 2654435761 Knuth constant.
+_MULT = 69069
+_INC = 1
+_MOD = 2**32
+
+
+def key_hash(*keys: Column) -> Column:
+    """Order-mixing integer hash of one or more integral key columns —
+    exact int64 arithmetic, reproducible in any engine."""
+    h = F.lit(0).cast("long")
+    for k in keys:
+        h = ((h + k.cast("long")) * _MULT + _INC) % _MOD
+    return h
+
+
+def hash_sample(df: DataFrame, rate_pct: int, *keys: Column) -> DataFrame:
+    """Bernoulli-style deterministic sample: keep rows whose key hash
+    lands in the first rate_pct of 100 buckets. Stateless and
+    partitioning-independent — the corpus-subsampling primitive (e.g.
+    'train on a reproducible 10% of the crawl').
+
+    Scale: a narrow filter — no shuffle, fully pushed into the scan
+    stage."""
+    return df.filter(key_hash(*keys) % 100 < rate_pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    rate_pct: int,
+    *order_keys: Column,
+) -> DataFrame:
+    """Exact per-stratum sampling: ceil(rate_pct% of each stratum),
+    rows chosen by hash order (deterministic, partitioning-independent).
+    Guarantees every stratum is represented — what hash_sample cannot
+    promise for rare strata — e.g. 'keep 1% per language, but never
+    drop a language'.
+
+    Scale: one shuffle on the strata columns for the window; per-row
+    state is a row_number, so skewed strata stream through without
+    materializing. (A giant stratum makes the window's sort the
+    bottleneck — pre-aggregate per-stratum counts and hash_sample
+    within strata instead when strata are few and huge.)"""
+    w = Window.partitionBy(*strata).orderBy(key_hash(*order_keys), *order_keys)
+    cnt = Window.partitionBy(*strata)
+    # ceil(cnt * rate / 100) in exact integer arithmetic
+    take = F.floor((F.count(F.lit(1)).over(cnt) * rate_pct + 99) / 100)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__take", take)
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn", "__take")
+    )

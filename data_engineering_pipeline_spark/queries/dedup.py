@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.dedup import (
+    cross_corpus_contamination,
     exact_dedup,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
@@ -162,4 +163,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id",
         src_col="id_a", dst_col="id_b",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "text-contamination",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ev AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      FROM sh WHERE TRY_CAST(substr(source, 4) AS INTEGER) >= 10
+    ), tr AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+      WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 10
+    ), overlap AS (
+      SELECT e.doc_id, count(*) AS n_contam
+      FROM ev e JOIN tr ON e.shingle = tr.shingle GROUP BY 1
+    ), evdocs AS (SELECT DISTINCT doc_id, n_sh FROM ev)
+    SELECT d.doc_id, d.n_sh,
+           CAST(coalesce(o.n_contam, 0) AS BIGINT) AS n_contam,
+           coalesce(o.n_contam, 0) / CAST(d.n_sh AS DOUBLE) AS contamination
+    FROM evdocs d LEFT JOIN overlap o ON o.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: treating sources src10+ as the
+    held-out corpus and src0-src9 as the training crawl, the fraction
+    of each held-out doc's 3-gram shingles that appear anywhere in the
+    crawl (operators/dedup.py cross_corpus_contamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).try_cast("int")
+    train = docs.filter(srcnum < 10)
+    eval_df = docs.filter(srcnum >= 10)
+    return cross_corpus_contamination(
+        train, eval_df, "doc_id", "text", n=3
     ).orderBy("doc_id")

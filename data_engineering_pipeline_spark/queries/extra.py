@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_engineering_pipeline_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
 from data_engineering_pipeline_spark.queries._exact import mean_money_round4
 from data_engineering_pipeline_spark.sources import load_table
 
@@ -719,3 +723,64 @@ def op_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
     ).orderBy("country", "year")
+
+
+_KEY_HASH_SQL = (
+    "(((l_orderkey * 69069 + 1) % 4294967296 + l_linenumber)"
+    " * 69069 + 1) % 4294967296"
+)
+
+
+@_register(
+    "op-hash-sample",
+    f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE ({_KEY_HASH_SQL}) % 100 < 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def op_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by key hash
+    (operators/sampling.py) — reproducible on any partitioning/cluster
+    size, unlike df.sample(). A narrow filter: no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        hash_sample(li, 10, F.col("l_orderkey"), F.col("l_linenumber"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_register(
+    "op-stratified-sample",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             {_KEY_HASH_SQL} AS hk
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber FROM h
+    QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY hk, l_orderkey, l_linenumber)
+            <= floor((count(*) OVER (PARTITION BY l_returnflag) * 1 + 99)
+                     / 100)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1%-per-stratum sample (ceil, so rare strata keep >= 1 row),
+    rows chosen in key-hash order — deterministic stratified sampling
+    for balanced training subsets (operators/sampling.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        stratified_sample(
+            li,
+            ["l_returnflag"],
+            1,
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )

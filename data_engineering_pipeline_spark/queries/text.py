@@ -174,3 +174,37 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
         lang_id(toks=t).alias("lang_pred"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "text-vocab",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t)
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM ex GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 100
+    """,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence count with
+    document frequency — the vocabulary/BPE-seeding pass of a training
+    pipeline.
+
+    Scale: explode + two-level aggregation; the token groupBy partial-
+    aggregates map-side so the shuffle carries one row per distinct
+    token per partition, and the top-100 is TakeOrderedAndProject (no
+    global sort). Stop-token skew is absorbed by the partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    ex = docs.select("doc_id", F.explode(toks).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )
