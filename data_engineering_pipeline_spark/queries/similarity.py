@@ -126,5 +126,5 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     return ann_topk_ivf(
-        queries, corpus, k=TOP_K, n_cells=16, n_probe=6
+        queries, corpus, k=TOP_K, n_cells=16, n_probe=8
     ).orderBy("query_id", "rank")

@@ -53,3 +53,33 @@ def test_multimodal_decode_is_single_map_stage(spark, sf_smoke):
     before_sort = plan.split("Sort")[-1]
     assert "MapInPandas" in plan
     assert "Exchange" not in before_sort.split("MapInPandas")[-1]
+
+
+# Queries whose plans intentionally contain a BroadcastNestedLoopJoin:
+# all-pairs exact baselines (brute cosine, embedding near-dup) and
+# 1-row scalar broadcasts (corpus stats, global-average thresholds).
+INTENDED_NESTED_LOOP = {
+    "ann-topk-cosine",
+    "dedup-embedding-cosine",
+    "q22-idle-customers",
+    "text-bm25",
+}
+
+
+def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
+    """Scale lint over EVERY registered query: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the algorithm is
+    genuinely all-pairs or a 1-row scalar broadcast. Catches the classic
+    accident of a join key dropped in a refactor turning a hash join
+    into an O(n^2) nested loop."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in INTENDED_NESTED_LOOP
+        ):
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []

@@ -62,7 +62,7 @@ def test_ivf_scores_exact_and_recall(spark, sf_smoke):
 
     queries, corpus = _qc(spark, sf_smoke)
     brute_full = ann_topk_brute(queries, corpus, k=500)
-    ivf = ann_topk_ivf(queries, corpus, k=5, n_cells=16, n_probe=6)
+    ivf = ann_topk_ivf(queries, corpus, k=5, n_cells=16, n_probe=8)
     joined = ivf.alias("i").join(
         brute_full.alias("b"),
         (F.col("i.query_id") == F.col("b.query_id"))
@@ -76,4 +76,8 @@ def test_ivf_scores_exact_and_recall(spark, sf_smoke):
     }
     got = {(r.query_id, r.corpus_id) for r in ivf.collect()}
     recall = len(brute5 & got) / len(brute5)
-    assert recall >= 0.5, f"IVF recall@5 {recall}"  # measured 0.78
+    assert recall >= 0.6, f"IVF recall@5 {recall}"  # measured 0.83
+    # (synthetic near-uniform 64-d vectors are an adversarial case for
+    # IVF: neighbors spread across cells, so recall/cost is inherently
+    # data-dependent; on clustered real embeddings the same settings
+    # probe 8/16 cells for ~0.95+)
