@@ -128,3 +128,37 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(
         queries, corpus, k=TOP_K, n_cells=16, n_probe=8
     ).orderBy("query_id", "rank")
+
+
+@_register("embedding-centroids")  # rows-only: float summation order is
+# engine-specific, so no DuckDB value-hash; verified against a NumPy
+# recomputation in tests/test_similarity.py
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (class prototype) of the embedding column —
+    the label-prototype / cluster-seed computation of a training
+    pipeline, plus each label's member count.
+
+    Scale: posexplode fans each vector into (label, pos, value) rows;
+    the groupBy(label, pos) partial-aggregates map-side, so the shuffle
+    carries one partial per (label, dim) per partition — independent of
+    corpus size. The final array_agg reassembles dims sorted by
+    position. No driver-side vectors at any point."""
+    from data_engineering_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.avg("col").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "v"))
+            ).getField("v").alias("centroid"),
+            F.first("n").alias("n_members"),
+        )
+        .orderBy("label")
+    )

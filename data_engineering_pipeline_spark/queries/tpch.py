@@ -1012,3 +1012,95 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@_register(
+    "q16-supplier-part-count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape, adapted (no partsupp — the lineitem supplier-part
+    pairs stand in for the supply relation): distinct suppliers per
+    (brand, type, size) with brand/type/size exclusion predicates.
+
+    Scale: part filters broadcast-join against lineitem; the DISTINCT
+    agg expands (group-keys, suppkey) then two-phase aggregates — both
+    shuffles on small key spaces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "q20-excess-supplier",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq FROM pq GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM pq
+    JOIN tot ON tot.l_partkey = pq.l_partkey
+    JOIN part p ON p.p_partkey = pq.l_partkey
+    JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+    WHERE p.p_name LIKE 'red%' AND pq.sq * 2 > tot.tq
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape, adapted (no partsupp/availqty — "excess" = shipped
+    more than half of a red part's 1996 volume). The nested agg
+    subquery becomes a per-(part, supplier) agg re-aggregated per part
+    and joined back; the share threshold compares exact integers
+    (2 * sq > tq).
+
+    Scale: one shuffle on partkey serves both aggregation levels (the
+    second agg reuses the first's partitioning); part/supplier are
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("sq").alias("tq")
+    )
+    return (
+        pq.join(tot, pq.l_partkey == F.col("t_partkey"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .join(F.broadcast(part), pq.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), pq.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

@@ -81,3 +81,29 @@ def test_ivf_scores_exact_and_recall(spark, sf_smoke):
     # IVF: neighbors spread across cells, so recall/cost is inherently
     # data-dependent; on clustered real embeddings the same settings
     # probe 8/16 cells for ~0.95+)
+
+
+def test_embedding_centroids_match_numpy(spark, sf_smoke):
+    """The distributed posexplode+avg centroid equals a local NumPy mean
+    (float tolerance — summation order differs, which is also why this
+    query is rows-only for the oracle gate)."""
+    import numpy as np
+
+    from data_engineering_pipeline_spark.queries.similarity import (
+        embedding_centroids,
+    )
+    from data_engineering_pipeline_spark.sources import load_table
+
+    got = {
+        r["label"]: (np.array(r["centroid"]), r["n_members"])
+        for r in embedding_centroids(spark, sf_smoke).collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in load_table(spark, sf_smoke, "embeddings").collect():
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        assert got[lbl][1] == len(vecs)
+        assert np.allclose(got[lbl][0], np.mean(np.stack(vecs), axis=0), atol=1e-9)
