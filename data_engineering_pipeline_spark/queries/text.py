@@ -177,6 +177,94 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text-filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / len(toks) AS mean_token_len,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS INTEGER)
+          AS n_stopwords,
+        CAST(list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+          / len(toks) AS top_token_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_token_len, diversity, n_stopwords,
+           top_token_ratio,
+           (n_tokens BETWEEN 25 AND 90) AS r_len,
+           (mean_token_len >= 4.0 AND mean_token_len <= 5.0) AS r_mean_len,
+           (n_stopwords >= 2) AS r_stopwords,
+           (diversity >= 0.4) AS r_diversity,
+           (top_token_ratio <= 0.1) AS r_repetition,
+           ((n_tokens BETWEEN 25 AND 90)
+            AND mean_token_len >= 4.0 AND mean_token_len <= 5.0
+            AND n_stopwords >= 2 AND diversity >= 0.4
+            AND top_token_ratio <= 0.1) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021 §A1.1,
+    adapted to the synthetic corpus): per-doc rule flags — token-count
+    band, mean-token-length band, stopword floor, lexical-diversity
+    floor, top-token-dominance cap — plus the conjunctive keep decision.
+    Flags are emitted (not just the kept rows) because a real pipeline
+    audits per-rule rejection rates before applying the filter.
+
+    Scale: pure per-row map work over one tokenization pass — no
+    shuffle, whole-stage codegen end to end; the top-token scan is
+    O(distinct * tokens) per row, bounded by document length. All
+    ratios are int/int IEEE divisions, so the DuckDB oracle matches
+    with zero float tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda d: F.size(F.filter(t, lambda x: x == d)),
+        )
+    )
+    m = toked.select(
+        "doc_id",
+        token_count(toks=t).alias("n_tokens"),
+        mean_token_length(toks=t).alias("mean_token_len"),
+        (
+            distinct_token_count(toks=t).cast("double") / token_count(toks=t)
+        ).alias("diversity"),
+        F.size(
+            F.filter(
+                t,
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
+                ),
+            )
+        ).alias("n_stopwords"),
+        (top_freq.cast("double") / token_count(toks=t)).alias(
+            "top_token_ratio"
+        ),
+    )
+    r_len = F.col("n_tokens").between(25, 90)
+    r_mtl = (F.col("mean_token_len") >= 4.0) & (F.col("mean_token_len") <= 5.0)
+    r_stop = F.col("n_stopwords") >= 2
+    r_div = F.col("diversity") >= 0.4
+    r_rep = F.col("top_token_ratio") <= 0.1
+    return m.select(
+        "*",
+        r_len.alias("r_len"),
+        r_mtl.alias("r_mean_len"),
+        r_stop.alias("r_stopwords"),
+        r_div.alias("r_diversity"),
+        r_rep.alias("r_repetition"),
+        (r_len & r_mtl & r_stop & r_div & r_rep).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "text-vocab",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
