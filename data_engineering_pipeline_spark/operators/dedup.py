@@ -101,11 +101,22 @@ def shingle_jaccard_pairs(
     text_col: str,
     threshold: float,
     n: int = 3,
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """All pairs (i < j) with shingle-set Jaccard >= threshold.
     Output: (id_a, id_b, jaccard). The jaccard is NOT rounded: it is an
     int/int IEEE division, bit-deterministic in any engine — rounding
-    could land on a representable half and diverge."""
+    could land on a representable half and diverge.
+
+    This is the exact BASELINE AND VERIFIER for minhash_lsh_pairs, not
+    the scale path: the inverted-index self-join is quadratic in the
+    worst case, so it is gated to max_rows documents (raise explicitly
+    to run bigger on purpose; use minhash_lsh_pairs at scale)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        _guard_small_n,
+    )
+
+    _guard_small_n(df, max_rows, "shingle_jaccard_pairs")
     sets = shingle_sets(df, id_col, text_col, n)
     ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     # set sizes come from the array length — no aggregation shuffle
@@ -442,19 +453,25 @@ def cross_corpus_contamination(
     benchmark — is the same call with the arguments swapped).
 
     Scale: the train side collapses to DISTINCT shingles (one shuffle),
-    typically orders of magnitude smaller than the corpus; the
-    shingle-equality join shuffles both sides on the shingle string —
-    at 100 TB, hash the shingle to a 64-bit key first so the exchange
-    moves 8-byte keys, and let AQE handle the skew of stop-shingles."""
+    typically orders of magnitude smaller than the corpus, and BOTH
+    sides are hashed to 64-bit keys before the existence join, so the
+    exchange moves 8-byte keys instead of shingle strings (a ~n-word
+    shingle is tens of bytes; at 100 TB that is the difference between
+    shuffling terabytes and shuffling the key space). A false positive
+    needs an xxhash64 collision between an eval and a train shingle —
+    ~(n_train * n_eval) / 2^64, negligible — and AQE handles the skew
+    of stop-shingles."""
     ev = shingle_sets(eval_df, id_col, text_col, n)
-    ev_ex = ev.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ev_ex = ev.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("sh_key"))
     train_sh = (
         _exploded_shingles(train, id_col, text_col, n)
-        .select("shingle")
+        .select(F.xxhash64("shingle").alias("sh_key"))
         .distinct()
     )
     overlap = (
-        ev_ex.join(train_sh, "shingle")
+        ev_ex.join(train_sh, "sh_key")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contam"))
     )

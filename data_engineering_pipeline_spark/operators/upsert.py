@@ -79,7 +79,17 @@ def upsert_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # Swap via rename-aside so every intermediate state still has a
+    # recoverable table (the reference's transaction never loses the
+    # table, database.py:60-71): old -> .__old__, tmp -> live, then
+    # delete the old copy. A crash mid-sequence leaves either the
+    # original or the merged table on disk under a findable name —
+    # never a deleted table with the data stranded in a tmp dir.
+    old_aside = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    had_old = os.path.exists(path)
+    if had_old:
+        os.rename(path, old_aside)
     os.rename(tmp, path)
+    if had_old:
+        shutil.rmtree(old_aside)
     return n

@@ -41,7 +41,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             total += float(pdf["value"].sum())
             batch_max = int(pdf["ts"].astype("int64").max()) // 1000
             last_us = max(last_us, batch_max)
-        state.update((n, round(total, 4), last_us))
+        # state keeps the UNROUNDED accumulator — rounding is display-only
+        # on the emitted row; re-rounding state every micro-batch would
+        # accumulate up to 5e-5 drift per batch into the running sum
+        state.update((n, total, last_us))
         yield pd.DataFrame(
             [
                 {
