@@ -61,6 +61,9 @@ _CHECK_FIRST = [
     "ann-topk-ivf",
     # new this round
     "dedup-embedding-lsh",
+    "text-repetition",
+    "text-head-coverage",
+    "corpus-curation",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

@@ -265,6 +265,275 @@ def text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text-repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+           END AS dup_bigram_fraction,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(bg),
+                    d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+               / len(bg)
+           END AS top_bigram_ratio
+    FROM b ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    duplicate-n-gram family): per-doc bigram occurrence counts, the
+    fraction of bigram occurrences that are repeats, and the dominance
+    of the single most frequent bigram. High values flag boilerplate /
+    generated spam that token-level filters miss.
+
+    Scale: per-row map work over one tokenization pass (bigrams via the
+    same slice+zip_with trick as the shingles — no per-index
+    re-tokenization); no shuffle. Ratios are int/int IEEE divisions —
+    zero-tolerance oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    t = F.col("__toks")
+    bigrams = F.filter(
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    bg = toked.select("doc_id", bigrams.alias("__bg"))
+    n = F.size(F.col("__bg"))
+    nd = F.size(F.array_distinct(F.col("__bg")))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__bg")),
+            lambda d: F.size(F.filter(F.col("__bg"), lambda x: x == d)),
+        )
+    )
+    return bg.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        F.when(n > 0, (n - nd).cast("double") / n).alias(
+            "dup_bigram_fraction"
+        ),
+        F.when(n > 0, top.cast("double") / n).alias("top_bigram_ratio"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "text-head-coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    vocab AS (
+      SELECT token FROM ex GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT 100
+    ),
+    c AS (
+      SELECT doc_id, count(*) AS n_head
+      FROM ex JOIN vocab USING (token) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(c.n_head, 0) AS BIGINT) AS n_head,
+           CASE WHEN len(t.toks) > 0 THEN
+             CAST(coalesce(c.n_head, 0) AS DOUBLE) / len(t.toks)
+           END AS head_rate
+    FROM t LEFT JOIN c ON c.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary coverage: the fraction of each document's token
+    occurrences that fall in the corpus top-100 vocabulary — a cheap
+    language-model-free 'commonness' score (natural text is head-heavy;
+    near-zero coverage flags noise/code/foreign text, near-one flags
+    stopword soup). Composes a corpus-wide statistic with per-doc
+    scoring, the two-pass shape of every frequency-based quality
+    filter.
+
+    Scale: the vocab is a partial-agg + TakeOrderedAndProject (top-100,
+    no global sort) and is broadcast to the scoring join — the corpus
+    side shuffles once on doc_id for the count; the 100-row dim never
+    shuffles the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    ex = toked.select("doc_id", F.explode("__toks").alias("token"))
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), "token")
+        .limit(100)
+        .select("token")
+    )
+    counts = (
+        ex.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_head"))
+    )
+    base = toked.select("doc_id", F.size("__toks").alias("n_tokens"))
+    n_head = F.coalesce(F.col("__n_head"), F.lit(0)).cast("long")
+    return (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_head.alias("n_head"),
+            F.when(
+                F.col("n_tokens") > 0,
+                n_head.cast("double") / F.col("n_tokens"),
+            ).alias("head_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_SAMPLE_PCT = 20
+
+@_register(
+    "corpus-curation",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / len(toks) AS mtl,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS div,
+        len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop,
+        CAST(list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+          / len(toks) AS ttr
+      FROM t
+    ), kept AS (
+      SELECT doc_id, lang, text, n_tokens FROM m
+      WHERE n_tokens BETWEEN 25 AND 90 AND mtl >= 4.0 AND mtl <= 5.0
+        AND n_stop >= 2 AND div >= 0.4 AND ttr <= 0.1
+    ), uniq AS (
+      SELECT doc_id, lang, n_tokens,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[.,!?;:''"()]', '', 'g'), '\\s+', ' ', 'g')) AS tnorm
+      FROM kept
+      QUALIFY row_number() OVER (PARTITION BY tnorm ORDER BY doc_id) = 1
+    ), samp AS (
+      SELECT * FROM uniq
+      WHERE ((doc_id * 69069 + 1) % 4294967296) % 100
+            < {_CURATION_SAMPLE_PCT}
+    ),
+    a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    b AS (SELECT lang, count(*) AS n_quality FROM kept GROUP BY lang),
+    c AS (SELECT lang, count(*) AS n_unique FROM uniq GROUP BY lang),
+    d AS (SELECT lang, count(*) AS n_sampled,
+                 CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+          FROM samp GROUP BY lang)
+    SELECT a.lang, a.n_docs,
+           CAST(coalesce(b.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(c.n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(coalesce(d.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(d.sampled_tokens, 0) AS BIGINT)
+             AS sampled_tokens
+    FROM a
+    LEFT JOIN b ON b.lang = a.lang
+    LEFT JOIN c ON c.lang = a.lang
+    LEFT JOIN d ON d.lang = a.lang
+    ORDER BY a.lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation funnel as ONE lazy plan:
+    Gopher-style quality filter -> exact dedup (keep lowest doc_id per
+    normalized text) -> deterministic 20% hash sample -> per-language
+    funnel report (docs in, surviving each stage, sampled token
+    budget). This is the composition a user of the reference pipeline
+    would actually run before training; each stage is the registered
+    operator (text-filter, dedup-exact, op-hash-sample) chained.
+
+    Scale: the filter is per-row map work fused into the scan; the
+    dedup is one hash shuffle on the normalized text; the sample is a
+    narrow filter (partitioning-independent LCG on doc_id); the report
+    aggregations partial-aggregate map-side. No stage widens the data —
+    the funnel only narrows, so the plan scales with the input scan."""
+    from data_engineering_pipeline_spark.operators.dedup import exact_dedup
+    from data_engineering_pipeline_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", "text", tokens("text").alias("__toks")
+    )
+    t = F.col("__toks")
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda d: F.size(F.filter(t, lambda x: x == d)),
+        )
+    )
+    m = toked.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count(toks=t).alias("n_tokens"),
+        mean_token_length(toks=t).alias("__mtl"),
+        (
+            distinct_token_count(toks=t).cast("double") / token_count(toks=t)
+        ).alias("__div"),
+        F.size(
+            F.filter(
+                t,
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
+                ),
+            )
+        ).alias("__n_stop"),
+        (top_freq.cast("double") / token_count(toks=t)).alias("__ttr"),
+    )
+    kept = m.filter(
+        F.col("n_tokens").between(25, 90)
+        & (F.col("__mtl") >= 4.0)
+        & (F.col("__mtl") <= 5.0)
+        & (F.col("__n_stop") >= 2)
+        & (F.col("__div") >= 0.4)
+        & (F.col("__ttr") <= 0.1)
+    ).select("doc_id", "lang", "text", "n_tokens")
+    uniq = exact_dedup(kept, "text", "doc_id")
+    samp = hash_sample(uniq, _CURATION_SAMPLE_PCT, F.col("doc_id"))
+
+    a = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    b = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("__q"))
+    c = uniq.groupBy("lang").agg(F.count(F.lit(1)).alias("__u"))
+    d = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__s"),
+        F.sum("n_tokens").alias("__st"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        a.join(b, "lang", "left")
+        .join(c, "lang", "left")
+        .join(d, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("__q"), z).alias("n_quality"),
+            F.coalesce(F.col("__u"), z).alias("n_unique"),
+            F.coalesce(F.col("__s"), z).alias("n_sampled"),
+            F.coalesce(F.col("__st"), z).alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "text-vocab",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
