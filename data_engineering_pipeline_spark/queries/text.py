@@ -458,15 +458,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     would actually run before training; each stage is the registered
     operator (text-filter, dedup-exact, op-hash-sample) chained.
 
-    Scale: the filter is per-row map work fused into the scan; the
-    dedup is one hash shuffle on the normalized text; the sample is a
-    narrow filter (partitioning-independent LCG on doc_id); the report
-    aggregations partial-aggregate map-side. No stage widens the data —
-    the funnel only narrows, so the plan scales with the input scan."""
-    from data_engineering_pipeline_spark.operators.dedup import exact_dedup
-    from data_engineering_pipeline_spark.operators.sampling import (
-        hash_sample,
-    )
+    Scale: ONE scan of the corpus. Every stage is computed as a
+    survival FLAG on the same row stream — the quality rules are
+    per-row map work, the dedup flag is row_number() == 1 over a window
+    partitioned by (kept, normalized-text) (so 'first among kept docs'
+    needs no separate branch), and the sample flag is a narrow LCG
+    predicate — then one conditional aggregation produces the whole
+    funnel report. Total: one window shuffle + one agg shuffle,
+    regardless of how many stages the funnel grows; the naive
+    branch-per-stage formulation re-scans the corpus once per stage."""
+    from data_engineering_pipeline_spark.operators.dedup import normalize_text
+    from data_engineering_pipeline_spark.operators.sampling import key_hash
+
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
@@ -498,36 +502,48 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__n_stop"),
         (top_freq.cast("double") / token_count(toks=t)).alias("__ttr"),
     )
-    kept = m.filter(
+    kept = (
         F.col("n_tokens").between(25, 90)
         & (F.col("__mtl") >= 4.0)
         & (F.col("__mtl") <= 5.0)
         & (F.col("__n_stop") >= 2)
         & (F.col("__div") >= 0.4)
         & (F.col("__ttr") <= 0.1)
-    ).select("doc_id", "lang", "text", "n_tokens")
-    uniq = exact_dedup(kept, "text", "doc_id")
-    samp = hash_sample(uniq, _CURATION_SAMPLE_PCT, F.col("doc_id"))
-
-    a = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    b = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("__q"))
-    c = uniq.groupBy("lang").agg(F.count(F.lit(1)).alias("__u"))
-    d = samp.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("__s"),
-        F.sum("n_tokens").alias("__st"),
     )
-    z = F.lit(0).cast("long")
+    flagged = m.select(
+        "doc_id", "lang", "n_tokens",
+        kept.alias("__kept"),
+        normalize_text("text").alias("__tnorm"),
+    )
+    w = Window.partitionBy("__kept", "__tnorm").orderBy("doc_id")
+    staged = flagged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "__kept",
+        (F.col("__kept") & (F.row_number().over(w) == 1)).alias("__uniq"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "__kept",
+        "__uniq",
+        (
+            F.col("__uniq")
+            & (key_hash(F.col("doc_id")) % 100 < _CURATION_SAMPLE_PCT)
+        ).alias("__samp"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
     return (
-        a.join(b, "lang", "left")
-        .join(c, "lang", "left")
-        .join(d, "lang", "left")
-        .select(
-            "lang",
-            "n_docs",
-            F.coalesce(F.col("__q"), z).alias("n_quality"),
-            F.coalesce(F.col("__u"), z).alias("n_unique"),
-            F.coalesce(F.col("__s"), z).alias("n_sampled"),
-            F.coalesce(F.col("__st"), z).alias("sampled_tokens"),
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("__kept").alias("n_quality"),
+            cnt("__uniq").alias("n_unique"),
+            cnt("__samp").alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("__samp"), F.col("n_tokens"))),
+                F.lit(0),
+            ).cast("long").alias("sampled_tokens"),
         )
         .orderBy("lang")
     )
