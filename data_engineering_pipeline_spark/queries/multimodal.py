@@ -41,6 +41,10 @@ ORACLES["multimodal-decode"] = """
            CAST(64 + (byte_len % 577) AS INTEGER) AS width,
            CAST(64 + ((byte_len * 31 + first_byte) % 449) AS INTEGER)
              AS height,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS DOUBLE) AS mean_val,
            'fake-deterministic' AS decoder
     FROM b ORDER BY media_id
 """
