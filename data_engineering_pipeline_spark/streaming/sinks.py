@@ -28,6 +28,94 @@ def dedup_stream(
     )
 
 
+def near_dedup_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    sig_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> StreamingQuery:
+    """Streaming near-duplicate filter over document micro-batches: each
+    batch is MinHash-signed and probed against the persisted signature
+    store of everything seen so far (operators/dedup.py
+    incremental_minhash_dedup) — the corpus itself is never re-scanned.
+    Surviving docs are merged into out_path (upsert by id, so replayed
+    batches converge instead of duplicating); the signature store is
+    swapped atomically after each batch.
+
+    Drop rule per new doc: it loses to ANY earlier-seen near-duplicate,
+    and to a same-batch near-duplicate with a lower id — the streaming
+    form of exact_dedup's deterministic keep-lowest-id.
+
+    Scale: state is one row of K minhashes per document ever seen —
+    tiny next to the corpus — and each batch shuffles only itself plus
+    bucket-colliding candidates. Single-writer, like the reference."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        existing = (
+            spark.read.parquet(sig_path) if os.path.exists(sig_path) else None
+        )
+        sigs, pairs = incremental_minhash_dedup(
+            batch_df, existing, id_col, text_col, threshold
+        )
+        new_ids = batch_df.select(F.col(id_col).alias("__o")).distinct()
+        edges = pairs.select(
+            F.col("id_a").alias("__d"), F.col("id_b").alias("__o")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("__d"), F.col("id_a").alias("__o"))
+        )
+        drop_ids = (
+            edges.join(
+                new_ids.withColumn("__in_batch", F.lit(True)), "__o", "left"
+            )
+            # counterpart seen in an earlier batch -> drop; counterpart in
+            # this batch -> lowest id wins
+            .filter(
+                F.col("__in_batch").isNull() | (F.col("__o") < F.col("__d"))
+            )
+            .select(F.col("__d").alias(id_col))
+            .distinct()
+        )
+        survivors = batch_df.join(drop_ids, id_col, "left_anti")
+        upsert_parquet(spark, out_path, survivors, [id_col], id_col)
+        # materialize the updated store to a temp dir BEFORE touching the
+        # live one (the plan lazily reads the live store), then swap
+        tmp = f"{sig_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        sigs.write.mode("overwrite").parquet(tmp)
+        old = f"{sig_path}.__old__{uuid.uuid4().hex[:8]}"
+        had = os.path.exists(sig_path)
+        if had:
+            os.rename(sig_path, old)
+        os.rename(tmp, sig_path)
+        if had:
+            import shutil
+
+            shutil.rmtree(old)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def upsert_sink(
     stream_df: DataFrame,
     path: str,

@@ -40,6 +40,74 @@ def test_upsert_sink_idempotent_across_restarts(spark, tmp_path, sf_smoke):
     assert n1 == n2 > 0
 
 
+def test_near_dedup_sink_cross_batch(spark, tmp_path, sf_smoke):
+    """Two micro-batches through the streaming near-dup filter: batch 2
+    contains an exact copy and a near-copy of batch-1 docs plus one
+    genuinely new doc — only the new doc survives from batch 2."""
+    import os
+    import time
+
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        near_dedup_sink,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(60)) for i in range(20)
+    }
+    b1 = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    near = texts[3].replace(texts[3].split()[0], "zzz", 1)  # 1-token change
+    b2 = spark.createDataFrame(
+        [
+            (1000, texts[5], "en", "src0", len(texts[5])),  # exact copy
+            (1001, near, "en", "src0", len(near)),           # near copy
+            (1002, "entirely novel words " * 10, "en", "src0", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    for i, d in enumerate(["b1", "b2"]):
+        part = next(
+            p for p in os.listdir(tmp_path / d) if p.endswith(".parquet")
+        )
+        dst = src / f"{d}.parquet"
+        os.rename(tmp_path / d / part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "dedup_out")
+    sig = str(tmp_path / "dedup_sig")
+    q = near_dedup_sink(
+        stream, out, sig, str(tmp_path / "dedup_ck"), threshold=0.7
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert set(range(20)) <= kept          # batch 1 all kept
+    assert 1002 in kept                    # novel doc survives
+    assert 1000 not in kept                # exact cross-batch copy dropped
+    assert 1001 not in kept                # near cross-batch copy dropped
+    # signature store covers every doc ever seen (dups included)
+    sig_ids = {r.doc_id for r in spark.read.parquet(sig).collect()}
+    assert set(range(20)) | {1000, 1001, 1002} <= sig_ids
+
+
 def test_dedup_stream_drops_same_key(spark, tmp_path, sf_smoke):
     # duplicate the entire input file -> every (event_id, ts) twice
     d = tmp_path / "in2"
