@@ -55,6 +55,32 @@ def test_multimodal_decode_is_single_map_stage(spark, sf_smoke):
     assert "Exchange" not in before_sort.split("MapInPandas")[-1]
 
 
+def test_corpus_curation_is_single_scan(spark, sf_smoke):
+    """The whole curation funnel (filter -> dedup -> sample -> report)
+    must stay ONE scan of documents — stage flags over one row stream,
+    not a branch (and a re-scan) per funnel stage."""
+    df = QUERIES["corpus-curation"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_text_repetition_no_shuffle(spark, sf_smoke):
+    """Per-row repetition metrics: the only exchange is the final
+    orderBy; the metric computation itself is map-only."""
+    df = QUERIES["text-repetition"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the presentation sort
+
+
+def test_head_coverage_broadcasts_vocab(spark, sf_smoke):
+    """The 100-row head vocabulary must be broadcast to the scoring
+    join — the corpus is never shuffled against the dim."""
+    df = QUERIES["text-head-coverage"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 vocab, no global sort
+
+
 # Queries whose plans intentionally contain a BroadcastNestedLoopJoin:
 # all-pairs exact baselines (brute cosine, embedding near-dup) and
 # 1-row scalar broadcasts (corpus stats, global-average thresholds).
