@@ -95,3 +95,57 @@ def test_incremental_dedup_finds_cross_batch_duplicates(spark, sf_correct):
         for r in dups.collect()
     }
     assert all(est[(o, o + 1_000_000)] == 1.0 for o in (0, 100, 200))
+
+
+def test_portable_token_hash_matches_duckdb_fuzz(spark):
+    """Cross-engine fuzz for the portable hash the graded simhash rides
+    on: random printable tokens (incl. unicode) must hash identically in
+    Spark and DuckDB — guards against regex/ascii/fold dialect drift."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    rng = random.Random(99)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+        "!@#$%^&*()-_=+[]{}|;,.<>/?",
+        "äöüßéèñçλπ中文字符日本語",
+    ]
+    toks = [
+        "".join(rng.choice(rng.choice(pools)) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.h
+        for r in df.select("tok", portable_token_hash(F.col("tok")).alias("h")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in toks])
+    expect = dict(
+        con.execute(
+            """
+        SELECT tok,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007)
+               * 2147483648
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 131 + c) % 999999937) AS h
+        FROM t
+        """
+        ).fetchall()
+    )
+    assert got == expect
