@@ -64,6 +64,8 @@ _CHECK_FIRST = [
     "text-repetition",
     "text-head-coverage",
     "corpus-curation",
+    "q2-min-cost-supplier",
+    "q11-important-stock",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

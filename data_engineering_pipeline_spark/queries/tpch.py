@@ -18,7 +18,7 @@ depending on its post-filter size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.queries._exact import (
@@ -1103,4 +1103,180 @@ def q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")
+    )
+
+
+# q2/q11 need a part-supplier supply relation with a supplier-varying
+# cost; the fixtures lack partsupp, so (like q16/q20's supply pairs)
+# it is DERIVED: pairs = distinct lineitem (partkey, suppkey), availqty
+# = total shipped quantity per pair, and supplycost is a deterministic
+# per-pair price in EXACT integer units of $1e-4:
+#   cost_units = retail_cents * (50 + (s_suppkey*31 + p_partkey) % 50)
+# i.e. 50-99% of retail, varying by pair — integer arithmetic both
+# engines execute identically (no float, no rounding hazards).
+_COST_UNITS_SQL = (
+    "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    " * (50 + (s_suppkey * 31 + p_partkey) % 50)"
+)
+
+
+def _cost_units():
+    cents = (_dec("p_retailprice") * 100).cast("long")
+    pct = (F.col("s_suppkey") * 31 + F.col("p_partkey")) % 50 + 50
+    return cents * pct
+
+
+def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("availqty")
+    )
+
+
+@_register(
+    "q2-min-cost-supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+      FROM lineitem GROUP BY 1, 2
+    ), costed AS (
+      SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name, {_COST_UNITS_SQL} AS cost_units
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(cost_units AS DOUBLE) / 10000.0 AS supply_cost
+    FROM costed
+    QUALIFY cost_units = min(cost_units) OVER (PARTITION BY p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape (min-cost supplier per part within a region) over the
+    derived supply relation — the classic correlated-min subquery,
+    expressed as a min-over-window on the costed pairs (one shuffle
+    instead of a self-join back). Cost compares exact int64 units.
+
+    Scale: the pair aggregation shuffles lineitem once on (part, supp);
+    part/supplier/nation/region all broadcast; the per-part min is a
+    window over the already-filtered costed pairs; ordered LIMIT 100 is
+    a TakeOrderedAndProject."""
+    ps = _supply_pairs(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    costed = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            _cost_units().alias("cost_units"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costed.withColumn("__min", F.min("cost_units").over(w))
+        .filter(F.col("cost_units") == F.col("__min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("cost_units").cast("double") / 10000.0).alias(
+                "supply_cost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q11-important-stock",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+      FROM lineitem GROUP BY 1, 2
+    ), valued AS (
+      SELECT p.p_partkey,
+             {_COST_UNITS_SQL} * availqty AS value_units
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), grouped AS (
+      SELECT p_partkey,
+             CAST(sum(value_units) AS BIGINT) AS part_units
+      FROM valued GROUP BY 1
+    ), tot AS (SELECT CAST(sum(part_units) AS BIGINT) AS t FROM grouped)
+    SELECT p_partkey,
+           CAST(part_units AS DOUBLE) / 10000.0 AS stock_value
+    FROM grouped, tot
+    WHERE part_units * 1000 > t
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape (parts whose stock value exceeds a fraction of the
+    regional total) over the derived supply relation. The
+    fraction-of-grand-total threshold compares exact integers
+    (part_units * 1000 > total) — no float in the predicate.
+
+    Scale: one (part, supp) shuffle for the pairs, one partkey shuffle
+    for the group; the grand total is a 1-row broadcast back onto the
+    grouped rows (the only sane plan for a HAVING-vs-global-sum)."""
+    ps = _supply_pairs(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    valued = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "p_partkey",
+            (_cost_units() * F.col("availqty")).alias("value_units"),
+        )
+    )
+    grouped = valued.groupBy("p_partkey").agg(
+        F.sum("value_units").alias("part_units")
+    )
+    tot = grouped.agg(F.sum("part_units").alias("t"))
+    return (
+        grouped.join(F.broadcast(tot))
+        .filter(F.col("part_units") * 1000 > F.col("t"))
+        .select(
+            "p_partkey",
+            (F.col("part_units").cast("double") / 10000.0).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
     )

@@ -88,6 +88,7 @@ INTENDED_NESTED_LOOP = {
     "ann-topk-cosine",
     "dedup-embedding-cosine",
     "q22-idle-customers",
+    "q11-important-stock",  # grand-total: 1-row broadcast onto groups
     "text-bm25",
 }
 
