@@ -486,3 +486,76 @@ def cross_corpus_contamination(
             (F.col("n_contam") / F.col("n_sh")).alias("contamination"),
         )
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup, CCNet-style (Wenzek et
+    al. 2019 dedup paragraphs across the corpus; this corpus has no
+    paragraph marks, so a chunk = `chunk_tokens` consecutive tokens):
+    every chunk keeps only its FIRST occurrence corpus-wide (lowest
+    (doc_id, pos)), and each document is reassembled from its surviving
+    chunks. Returns (doc_id, n_chunks, n_kept, dedup_text) for every
+    input row — dedup_text is '' when nothing survives.
+
+    Catches the boilerplate that whole-document dedup misses (shared
+    headers/footers/licenses), without the cost of shingle similarity.
+
+    Scale: one projection builds chunks (slice+zip-free — a transform
+    over chunk indices slicing the MATERIALIZED token array; referencing
+    a materialized column inside the lambda is O(1), unlike re-running
+    an expression), one explode, one window shuffle keyed by the chunk
+    string (first-occurrence needs the true chunk grouping; at 100 TB
+    partition-prune by xxhash64(chunk) bucketing first), one doc_id
+    shuffle to reassemble. Verbatim chunk strings shuffle once; the
+    window state per key is a single row_number."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("long")
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(1), n_chunks.cast("int")),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("__toks"),
+                (i - 1) * chunk_tokens + 1,
+                F.lit(chunk_tokens),
+            ),
+            " ",
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    chunked = toked.select(
+        F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("__chunks")
+    )
+    ex = chunked.select(
+        id_col, F.posexplode("__chunks").alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("pos"))
+    kept = ex.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        chunked.select(id_col, "n_chunks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

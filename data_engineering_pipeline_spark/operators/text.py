@@ -145,3 +145,34 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
     )
+
+
+# PII scrubbing patterns — the Java-regex / RE2 COMMON SUBSET only
+# (\d, \b, bounded repeats, explicit classes; no lookaround), so the
+# DuckDB oracle runs the identical pattern strings. Order matters:
+# emails are redacted before IPs so a dotted-quad inside a hostname is
+# already gone.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts (pre-redaction, on the raw text)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(col, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder. Pure
+    regexp_replace chain — per-row map work, whole-stage codegen, no
+    shuffle; the shape of every scrubbing pass (PII, secrets, URLs)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col

@@ -66,6 +66,10 @@ _CHECK_FIRST = [
     "corpus-curation",
     "q2-min-cost-supplier",
     "q11-important-stock",
+    "curation-chunk-dedup",
+    "curation-pii-redact",
+    "curation-mixture",
+    "curation-pack",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",
@@ -104,6 +108,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod_name in (
         "dedup",
         "text",
+        "curation",
         "similarity",
         "streaming_batch",
         "multimodal",

@@ -1,0 +1,254 @@
+"""Corpus-curation queries: sub-document dedup, PII scrubbing, domain
+mixture rebalancing, and sequence packing — the remaining steps between
+a filtered corpus and a training run. Every query has an exact DuckDB
+oracle (integer arithmetic / verbatim strings end to end; the one
+sequential operator, packing, is mirrored by a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.dedup import chunk_dedup
+from data_engineering_pipeline_spark.operators.packing import (
+    pack_greedy,
+    pack_report,
+)
+from data_engineering_pipeline_spark.operators.sampling import (
+    mixture_rebalance,
+)
+from data_engineering_pipeline_spark.operators.text import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+    tokens,
+)
+from data_engineering_pipeline_spark.queries.text import _TOKS
+from data_engineering_pipeline_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_CHUNK = 10
+
+@_register(
+    "curation-chunk-dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT) AS n_chunks,
+             CASE WHEN len(toks) > 0 THEN
+               list_transform(
+                 generate_series(1,
+                   CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT)),
+                 i -> array_to_string(
+                        toks[(i-1)*{_CHUNK}+1 : i*{_CHUNK}], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS chunks
+      FROM t
+    ),
+    ex AS (
+      SELECT doc_id, unnest(chunks) AS chunk,
+             unnest(generate_series(1, len(chunks))) - 1 AS pos
+      FROM c
+    ),
+    kept AS (
+      SELECT doc_id, pos, chunk FROM ex
+      QUALIFY row_number()
+        OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+    ),
+    r AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_chunks,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.dedup_text, '') AS dedup_text
+    FROM c LEFT JOIN r ON r.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def curation_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup (Wenzek et al. 2019): every
+    10-token chunk keeps only its first corpus-wide occurrence and each
+    document is rebuilt from its surviving chunks — catches shared
+    boilerplate that whole-document dedup misses. See
+    operators/dedup.py chunk_dedup for the plan-shape notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", _CHUNK).orderBy("doc_id")
+
+
+# Synthetic PII augmentation: the fixture corpus is PII-free, so both
+# engines append an identical deterministic contact line (pure string
+# concat of existing columns) and the redaction is graded on that.
+_EMAIL_PAT, _PHONE_PAT, _IP_PAT = (p for _, p, _ in PII_PATTERNS)
+
+_AUG_SQL = (
+    "text || ' contact ' || source || '.' || lang"
+    " || CAST(doc_id AS VARCHAR) || '@example.com or 202-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+)
+
+@_register(
+    "curation-pii-redact",
+    f"""
+    WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_EMAIL_PAT}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PHONE_PAT}'))
+                AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(aug, '{_IP_PAT}'))
+                AS INTEGER) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+             '{_PHONE_PAT}', '<PHONE>', 'g'),
+             '{_IP_PAT}', '<IP>', 'g') AS redacted
+    FROM a ORDER BY doc_id
+    """,
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phone numbers / IPv4) with per-rule
+    match counts — the audit-then-redact pass every training corpus
+    gets. Patterns are the Java-regex/RE2 common subset so the oracle
+    runs the identical strings.
+
+    Scale: pure per-row regexp map work over one scan — no shuffle,
+    whole-stage codegen; counts are computed on the raw text so the
+    audit is independent of redaction order."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"), F.lit("."),
+        F.col("lang"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+    a = docs.select("doc_id", aug.alias("__aug"))
+    counts = pii_counts(F.col("__aug"))
+    return a.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        redact_pii(F.col("__aug")).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "curation-mixture",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+               GROUP BY lang),
+    p AS (SELECT lang, n_docs,
+                 (min(n_docs) OVER ()) * 1000000 // n_docs AS keep_ppm
+          FROM c),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN p USING (lang)
+      WHERE ((d.doc_id * 69069 + 1) % 4294967296) % 1000000 < p.keep_ppm
+      GROUP BY d.lang
+    )
+    SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.keep_ppm AS BIGINT) AS keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM p LEFT JOIN k ON k.lang = p.lang
+    ORDER BY p.lang
+    """,
+)
+def curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalance report: downsample every language to
+    the smallest one via the deterministic per-million hash filter
+    (operators/sampling.py mixture_rebalance), reporting per-language
+    input size, keep rate (ppm), and surviving count.
+
+    Scale: the corpus is filtered in place with NO shuffle — only the
+    |strata|-row count tables shuffle/broadcast; see the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("__min_n"))
+    ppm = counts.join(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.expr("__min_n * 1000000 DIV n_docs").alias("keep_ppm"),
+    )
+    kept = (
+        mixture_rebalance(docs, "lang", F.col("doc_id"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_kept"))
+    )
+    return (
+        ppm.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_ppm",
+            F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BUDGET = 256
+
+@_register(
+    "curation-pack",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY doc_id) AS rn
+          FROM t),
+    p AS (
+      SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id,
+             n_tokens AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN p.fill + s.n_tokens <= {_BUDGET}
+                  THEN p.pack_id ELSE p.pack_id + 1 END,
+             CASE WHEN p.fill + s.n_tokens <= {_BUDGET}
+                  THEN p.fill + s.n_tokens ELSE s.n_tokens END
+      FROM s JOIN p ON s.rn = p.rn + 1
+    )
+    SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY pack_id ORDER BY pack_id
+    """,
+)
+def curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents in doc_id order are greedily packed
+    into <= 256-token training sequences (no doc splitting; a pack
+    closes when the next doc would overflow), reported as a per-pack
+    manifest. The greedy recurrence is inherently sequential, so Spark
+    runs it as Arrow-batched applyInPandas over doc-id buckets
+    (operators/packing.py — the graded config is one bucket == the
+    exact global pack, mirrored by the oracle's recursive CTE; the
+    scale path packs buckets independently at the cost of one
+    underfilled pack per bucket boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_report(pack_greedy(weighted, _BUDGET))

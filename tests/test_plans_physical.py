@@ -90,7 +90,42 @@ INTENDED_NESTED_LOOP = {
     "q22-idle-customers",
     "q11-important-stock",  # grand-total: 1-row broadcast onto groups
     "text-bm25",
+    "curation-mixture",  # smallest-stratum size: 1-row broadcast
 }
+
+
+def test_pii_redact_no_shuffle(spark, sf_smoke):
+    """Redaction is pure per-row regexp map work — the only exchange is
+    the presentation orderBy."""
+    df = QUERIES["curation-pii-redact"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_mixture_corpus_not_shuffled(spark, sf_smoke):
+    """The corpus side of the rebalance must be filtered via broadcast
+    join — only the tiny per-stratum count tables may shuffle. The
+    5-row report join is AQE-broadcast at runtime, so assert on the
+    finalized adaptive plan."""
+    df = QUERIES["curation-mixture"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    current = plan.split("== Initial Plan ==")[0]  # AQE dump keeps both
+    assert "BroadcastHashJoin" in current
+    assert "SortMergeJoin" not in current
+    assert "ShuffledHashJoin" not in current
+
+
+def test_pack_single_arrow_stage(spark, sf_smoke):
+    """Greedy packing runs as ONE FlatMapGroupsInPandas stage over the
+    bucket grouping — the sequential recurrence never round-trips to
+    the driver or chains multiple Python stages."""
+    import re
+
+    plan = _plan(spark, sf_smoke, "curation-pack")
+    # formatted explain lists each node once in the tree and once as a
+    # numbered detail header — count the headers
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
 
 
 def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
