@@ -140,3 +140,49 @@ def enrich_with_dimension(
     refreshed dimension table is picked up without restarting the
     query."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: attribute each purchase to the clicks
+    by the same user within the preceding `horizon_minutes` — the
+    ad-attribution shape, and the canonical watermarked interval join.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    ts to [click ts, click ts + horizon], so Spark can evict click
+    state once the purchase-side watermark passes click ts + horizon
+    and purchase state once the click-side watermark passes purchase
+    ts — without the time bound, stream-stream state grows forever.
+    At scale the join keys hash-partition both streams; state is
+    per-key rows within the horizon, independent of stream length."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "amount",
+    )

@@ -90,3 +90,36 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_equals_batch(spark, sf_smoke, events_dir):
+    """Watermarked stream-stream interval join == the same join run in
+    batch over the same files (all events fall inside the lateness
+    budget, so nothing is dropped)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.sources import load_table
+    from data_engineering_pipeline_spark.streaming.events import (
+        click_purchase_attribution,
+    )
+
+    ev = read_events_stream(spark, events_dir)
+    joined = click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    run_to_memory(joined, "attribution_out", output_mode="append")
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM attribution_out").collect()
+    )
+
+    batch = load_table(spark, sf_smoke, "events")
+    expected = sorted(
+        tuple(r)
+        for r in click_purchase_attribution(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
