@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "curation-pii-redact",
     "curation-mixture",
     "curation-pack",
+    "dedup-keep-best",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

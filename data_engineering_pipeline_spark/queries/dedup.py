@@ -280,3 +280,111 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_contamination(
         train, eval_df, "doc_id", "text", n=3
     ).orderBy("doc_id")
+
+
+_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.7
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v
+    ), comp AS (
+      SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v
+    ), q AS (
+      SELECT doc_id, text, toks,
+        greatest(least(
+          0.4 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+          + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+          + 0.2 * least((CAST(len(list_filter(toks, x -> x IN
+              ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+              / len(toks)) * 2.0, 1.0)
+          - 0.2 * least((CAST(length(text) - length(regexp_replace(text,
+              '[.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text)) * 4.0,
+              1.0), 1.0), 0.0) AS quality
+      FROM t JOIN documents USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+             AS n_members,
+           doc_id AS keep_doc, quality AS keep_quality
+    FROM comp JOIN q USING (doc_id)
+    QUALIFY row_number()
+      OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1
+    ORDER BY component
+"""
+
+
+@_register("dedup-keep-best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: for every near-duplicate
+    component (connected components over the exact-Jaccard pair graph,
+    as dedup-components) keep the HIGHEST-QUALITY member (composite
+    quality score, as text-quality; ties to the lowest doc_id) — the
+    'keep best, not first' policy real curation pipelines prefer over
+    min-id dedup, because near-dup groups often mix a clean original
+    with truncated or boilerplate-padded copies.
+
+    Scale: component labels come from the iterative min-label
+    propagation (shuffles bounded by the pair graph, not the corpus);
+    quality is per-row map work; the final argmax is one window over
+    components. At 100 TB swap the exact pair graph for
+    minhash_lsh_pairs — identical downstream."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from data_engineering_pipeline_spark.operators.text import (
+        quality_score,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    q = toked.select(
+        "doc_id",
+        quality_score("text", toks=F.col("__toks")).alias("quality"),
+    )
+    w = Window.partitionBy("component")
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "component",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+            F.col("doc_id").alias("keep_doc"),
+            F.col("quality").alias("keep_quality"),
+            F.row_number()
+            .over(w.orderBy(F.desc("quality"), "doc_id"))
+            .alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("component")
+    )

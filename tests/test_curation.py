@@ -119,3 +119,40 @@ def test_pack_bucketed_path_respects_budget(spark, sf_smoke):
         pack_greedy(docs.repartition(17), 256, bucket_width=100)
     ).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, again))
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _pack_model(weights, budget):
+    """Reference greedy packer: list of (pack_id, pack_pos) in doc order."""
+    out, cur, fill, pos = [], 0, 0, 0
+    for w in weights:
+        if fill > 0 and fill + w > budget:
+            cur, fill, pos = cur + 1, 0, 0
+        out.append((cur, pos))
+        fill += w
+        pos += 1
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=12),
+)
+def test_pack_greedy_matches_model(spark, weights, budget):
+    rows = [(i, w) for i, w in enumerate(weights)]
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_greedy(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"), budget
+        ).collect()
+    }
+    model = _pack_model(weights, budget)
+    assert got == {i: pp for i, pp in enumerate(model)}
