@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "curation-mixture",
     "curation-pack",
     "dedup-keep-best",
+    "text-crossentropy",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

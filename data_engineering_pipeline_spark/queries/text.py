@@ -581,3 +581,85 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(100)
     )
+
+
+@_register(
+    "text-crossentropy",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+    lq AS (
+      SELECT token,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000 + 0.5)
+                  AS BIGINT) AS lq
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000000 + 0.5)
+                  AS BIGINT) AS lnt_q
+      FROM c
+    ),
+    d AS (
+      SELECT doc_id, count(*) AS n, CAST(sum(lq) AS BIGINT) AS s
+      FROM ex JOIN lq USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n * lnt_q - s AS DOUBLE) / n / 1000000000.0
+             AS cross_entropy
+    FROM d, tot ORDER BY doc_id
+    """,
+)
+def text_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2019
+    use a KenLM; the shape is identical with the corpus's own unigram
+    LM): per-doc cross-entropy -1/n * sum ln p(token), p = corpus
+    frequency. Low = head-heavy/common text, high = rare-token noise —
+    the ranking signal for perplexity-bucketed corpus filtering.
+
+    Cross-engine exactness: a per-doc SUM of doubles is order-sensitive
+    (shuffle order would flip low bits), so each token's ln(count) is
+    quantized to an exact 1e-9-scaled BIGINT once per VOCAB entry; doc
+    sums are then exact integer arithmetic in any order, and the final
+    (double) division sequence is identical in both engines. A 1-ulp
+    libm disagreement only matters if ln lands within 1 ulp of a
+    quantum boundary (~1e-7 per distinct token).
+
+    Scale: one explode + one token-count shuffle (partial-aggregated),
+    the vocabulary joins back as a broadcast dim, one doc_id shuffle
+    for the sums; the 1-row corpus total broadcasts. At 100 TB swap
+    the broadcast for a shuffle join when the vocab outgrows memory —
+    nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    ex = toked.select("doc_id", F.explode("__toks").alias("token"))
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    lq = counts.select(
+        "token",
+        F.floor(
+            F.log(F.col("c").cast("double")) * 1_000_000_000 + F.lit(0.5)
+        ).alias("lq"),
+    )
+    tot = counts.agg(
+        F.floor(
+            F.log(F.sum("c").cast("double")) * 1_000_000_000 + F.lit(0.5)
+        ).alias("lnt_q")
+    )
+    d = (
+        ex.join(F.broadcast(lq), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lq").alias("s"))
+    )
+    return (
+        d.join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (
+                (F.col("n") * F.col("lnt_q") - F.col("s")).cast("double")
+                / F.col("n")
+                / F.lit(1_000_000_000.0)
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
