@@ -212,7 +212,7 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "op-date-trunc-trend",
     """
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n_orders,
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
              AS DOUBLE) AS revenue
@@ -223,14 +223,18 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op_date_trunc_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-bucketed trend: monthly order counts and revenue."""
+    """Calendar-bucketed trend: monthly order counts and revenue. The
+    month is emitted as a 'yyyy-MM' STRING, not a DATE — temporal
+    types round-trip differently through the two engines' pandas
+    bridges (date objects vs datetime64), which breaks the driver's
+    value hash even when the values agree."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
         )
-        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
