@@ -72,6 +72,8 @@ _CHECK_FIRST = [
     "curation-pack",
     "dedup-keep-best",
     "text-crossentropy",
+    "events-funnel",
+    "events-cohort-retention",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

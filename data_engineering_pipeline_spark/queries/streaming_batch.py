@@ -159,3 +159,185 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@_register(
+    "events-funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, us,
+        min(CASE WHEN event_type = 'click' THEN us END)
+          OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS fc_so_far
+      FROM e
+    ), viewed AS (
+      SELECT user_id, event_type, us, fc_so_far,
+        min(CASE WHEN event_type = 'view' AND fc_so_far IS NOT NULL
+                 THEN us END)
+          OVER (PARTITION BY user_id ORDER BY us, event_type
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS fv_so_far
+      FROM flagged
+    ), per_user AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+        max(CASE WHEN event_type = 'view'
+                  AND fc_so_far IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        max(CASE WHEN event_type = 'purchase'
+                  AND fv_so_far IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      FROM viewed GROUP BY user_id
+    )
+    SELECT stage, stage_name, n_users FROM (
+      SELECT 1 AS stage, 'click' AS stage_name,
+             CAST(sum(s1) AS BIGINT) AS n_users FROM per_user
+      UNION ALL
+      SELECT 2, 'view_after_click', CAST(sum(s2) AS BIGINT) FROM per_user
+      UNION ALL
+      SELECT 3, 'purchase_after_view', CAST(sum(s3) AS BIGINT)
+      FROM per_user
+    ) ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (click -> view after it -> purchase
+    after that) per user, reported as per-stage user counts — the
+    product-analytics sequence query.
+
+    Scale: ONE scan and ONE user_id shuffle — ordered-sequence
+    membership is computed with running-min window flags over each
+    user's timeline (the same flags-over-one-stream trick as
+    corpus-curation), then the per-user and global aggregates reuse the
+    window's partitioning. The naive per-stage formulation self-joins
+    events once per funnel stage. Window frames are explicit ROWS
+    with a total (us, tiebreak) order so both engines resolve
+    equal-timestamp rows identically."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).over(w1).alias("fc_so_far"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    viewed = flagged.select(
+        "user_id",
+        "event_type",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & F.col("fc_so_far").isNotNull(),
+                F.col("us"),
+            )
+        ).over(w2).alias("fv_so_far"),
+        "fc_so_far",
+    )
+    mx = lambda c: F.max(F.when(c, 1).otherwise(0))  # noqa: E731
+    per_user = viewed.groupBy("user_id").agg(
+        mx(F.col("event_type") == "click").alias("s1"),
+        mx(
+            (F.col("event_type") == "view")
+            & F.col("fc_so_far").isNotNull()
+        ).alias("s2"),
+        mx(
+            (F.col("event_type") == "purchase")
+            & F.col("fv_so_far").isNotNull()
+        ).alias("s3"),
+    )
+    stages = [("s1", 1, "click"), ("s2", 2, "view_after_click"),
+              ("s3", 3, "purchase_after_view")]
+    outs = [
+        per_user.agg(F.sum(col).cast("long").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_users",
+        )
+        for col, stage, name in stages
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("stage")
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+@_register(
+    "events-cohort-retention",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), firsts AS (
+      SELECT user_id, us,
+             min(us) OVER (PARTITION BY user_id) AS first_us
+      FROM e
+    ), weeks AS (
+      SELECT DISTINCT user_id,
+             first_us // {_WEEK_US} AS cohort_week,
+             us // {_WEEK_US} - first_us // {_WEEK_US} AS week_k
+      FROM firsts
+    )
+    SELECT CAST(cohort_week * 604800 AS BIGINT) AS cohort_week_start_s,
+           CAST(week_k AS INTEGER) AS week_k,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM weeks GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (epoch-aligned), counted as active in each subsequent week offset —
+    the classic product-retention triangle. All integer week
+    arithmetic (epoch microseconds DIV week), so the oracle matches
+    bit-for-bit.
+
+    Scale: one window (or agg) on user_id for first-seen, a distinct on
+    (user, cohort, k) that partial-aggregates, then the small matrix
+    agg; the events stream shuffles once on user_id."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    firsts = e.select(
+        "user_id",
+        "us",
+        F.min("us").over(W.partitionBy("user_id")).alias("first_us"),
+    )
+    weeks = firsts.select(
+        "user_id",
+        F.expr(f"first_us DIV {_WEEK_US}").alias("cohort_week"),
+        F.expr(
+            f"us DIV {_WEEK_US} - first_us DIV {_WEEK_US}"
+        ).alias("week_k"),
+    ).distinct()
+    return (
+        weeks.groupBy("cohort_week", "week_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+        .select(
+            (F.col("cohort_week") * 604800)
+            .cast("long")
+            .alias("cohort_week_start_s"),
+            F.col("week_k").cast("int").alias("week_k"),
+            "n_active_users",
+        )
+        .orderBy("cohort_week_start_s", "week_k")
+    )
