@@ -1,0 +1,71 @@
+"""Corpus export layout: hive partition dirs, bounded file sizes,
+in-file sort order, and a manifest that matches what was written."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.sources import load_table
+from data_engineering_pipeline_spark.sources.corpus_sink import write_corpus
+
+
+def test_write_corpus_layout_and_manifest(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, ("lang",), "doc_id", max_records_per_file=50)
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(f"{out}/lang=*")
+    }
+    assert dirs == langs
+
+    # every data file respects the record cap and is sorted by doc_id
+    for f in glob.glob(f"{out}/lang=*/*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])
+        assert t.num_rows <= 50
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)
+
+    # round trip: partitioned read equals input
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # manifest agrees with the data actually written
+    mf = {
+        r["lang"]: (r["n_rows"], r["min_key"], r["max_key"])
+        for r in spark.read.parquet(f"{out}/_manifest").collect()
+    }
+    actual = {
+        r["lang"]: (r["n"], r["mn"], r["mx"])
+        for r in back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .collect()
+    }
+    assert mf == actual
+
+
+def test_write_corpus_partition_pruning(spark, sf_smoke, tmp_path):
+    """A lang-filtered read of the export must scan only that
+    partition directory (PartitionFilters, not a post-scan filter)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "corpus2")
+    write_corpus(docs, out, ("lang",), "doc_id")
+    df = spark.read.parquet(out).filter(F.col("lang") == "de")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    n_de = df.count()
+    assert n_de == docs.filter(F.col("lang") == "de").count() > 0
