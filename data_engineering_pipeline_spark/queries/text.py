@@ -663,3 +663,57 @@ def text_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the Java-regex/RE2 COMMON
+# SUBSET (no lookahead, no unicode property classes): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PRETOKEN_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+_BPE_PAT_SQL = BPE_PRETOKEN_PAT.replace("'", "''")
+
+@_register(
+    "text-tokenize-bpe",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_ws_tokens,
+             len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))
+               AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_ws_tokens AS INTEGER) AS n_ws_tokens,
+           CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+           CASE WHEN n_ws_tokens > 0 THEN
+             CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens
+           END AS bpe_per_ws
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-style pre-tokenizer (the GPT-2
+    pattern family: contractions / space-prefixed word / number /
+    punctuation runs) next to the whitespace count — the
+    tokens-per-word ratio is the standard proxy for how expensive a
+    document is to train on before a real BPE vocab exists.
+
+    Scale: pure per-row regexp map work, no shuffle; the pattern avoids
+    lookahead so the oracle runs the identical string."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PAT), 0)
+        ).alias("n_bpe_tokens"),
+    )
+    return t.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
+        ).alias("bpe_per_ws"),
+    ).orderBy("doc_id")
