@@ -46,3 +46,26 @@ def test_approx_count_distinct_within_bound(spark, sf_correct):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_approx_quantiles_within_bound(spark, sf_correct):
+    """Quantile sketch (Greenwald-Khanna approxQuantile): like the HLL
+    check above, no oracle (approximate by design) — assert the sketch
+    at relativeError=0.01 brackets the exact percentile ranks. The
+    one-pass mergeable sketch is what replaces a full sort for
+    percentile reporting at 100 TB."""
+    from data_engineering_pipeline_spark.sources import load_table
+
+    li = load_table(spark, sf_correct, "lineitem").select(
+        "l_extendedprice"
+    )
+    qs = [0.25, 0.5, 0.9, 0.99]
+    approx = li.approxQuantile("l_extendedprice", qs, 0.01)
+    n = li.count()
+    vals = [r[0] for r in li.collect()]
+    vals.sort()
+    for q, a in zip(qs, approx):
+        # value at rank within +-1% of n around the target rank
+        lo = vals[max(0, int((q - 0.011) * n))]
+        hi = vals[min(n - 1, int((q + 0.011) * n))]
+        assert lo <= a <= hi
