@@ -35,9 +35,13 @@ def write_corpus(
     tasks, not sprayed across all of them), sortWithinPartitions orders
     rows without a global sort, and maxRecordsPerFile caps file size.
     The manifest is one partial-aggregated pass over the same frame."""
+    # sort by (partition cols, key): the file writer REQUIRES ordering
+    # by the partition columns and inserts its own (non-stable) sort if
+    # the stream lacks it, which would scramble the key order; sorting
+    # on both satisfies the writer and keeps files key-sorted
     (
         df.repartition(*[F.col(c) for c in partition_cols])
-        .sortWithinPartitions(sort_col)
+        .sortWithinPartitions(*partition_cols, sort_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
@@ -50,3 +54,50 @@ def write_corpus(
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
+
+
+def compact_corpus(
+    spark,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    sort_col: str = "doc_id",
+    target_records_per_file: int = 100_000,
+) -> int:
+    """Small-file compaction — the maintenance job every long-lived
+    corpus needs once incremental appends accumulate: rewrite each hive
+    partition's many small files into few sorted ones, atomically
+    (write to `<path>.__compact__`, swap dirs, drop the old copy so a
+    crash at any point leaves a complete corpus on disk). Returns the
+    number of data files after compaction.
+
+    Scale: one shuffle keyed by the partition columns (the same layout
+    write as write_corpus); each partition rewrites independently, so
+    compaction parallelizes across partitions and never holds more
+    than one partition's rows per task."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__compact__"
+    old = f"{path}.__old__"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, sort_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    # the read skips _-prefixed dirs, so carry the manifest forward
+    # explicitly (row counts are unchanged by compaction)
+    if os.path.isdir(f"{path}/_manifest"):
+        shutil.copytree(f"{path}/_manifest", f"{tmp}/_manifest")
+    # recoverable swap (same discipline as operators/upsert.py): the
+    # live path is missing only between the two renames, and both the
+    # old and new complete copies exist on disk until the final delete
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(f"{path}/*/*.parquet"))

@@ -69,3 +69,40 @@ def test_write_corpus_partition_pruning(spark, sf_smoke, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan
     n_de = df.count()
     assert n_de == docs.filter(F.col("lang") == "de").count() > 0
+
+
+def test_compact_corpus_reduces_files_preserves_data(spark, sf_smoke, tmp_path):
+    from data_engineering_pipeline_spark.sources.corpus_sink import (
+        compact_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "corpus3")
+    # fragment on purpose: tiny files
+    write_corpus(docs, out, ("lang",), "doc_id", max_records_per_file=10)
+    n_before = len(glob.glob(f"{out}/lang=*/*.parquet"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("doc_id", "lang").collect()
+    )
+
+    n_after = compact_corpus(spark, out, ("lang",), "doc_id")
+    assert n_after < n_before
+    assert not os.path.exists(f"{out}.__compact__")
+    assert not os.path.exists(f"{out}.__old__")
+
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("doc_id", "lang").collect()
+    )
+    assert after == before
+    # manifest survives the swap and still matches
+    mf_rows = sum(
+        r["n_rows"]
+        for r in spark.read.parquet(f"{out}/_manifest").collect()
+    )
+    assert mf_rows == len(after)
+    # still sorted within files
+    for f in glob.glob(f"{out}/lang=*/*.parquet"):
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids)
