@@ -75,6 +75,14 @@ def featurize(
         stopword_ratio(toks=t, stopwords=STOPWORDS_EN).alias(
             "stopword_ratio"
         ),
+        F.size(
+            F.filter(
+                t,
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
+                ),
+            )
+        ).alias("__n_stopwords"),
         punct_ratio(text_col).alias("punct_ratio"),
         (top_freq.cast("double") / token_count(toks=t)).alias(
             "top_token_ratio"
@@ -84,15 +92,18 @@ def featurize(
         F.abs(F.col("n_tokens") - 57.5).alias("len_band_dev"),
         F.abs(F.col("mean_token_len") - 4.5).alias("mtl_band_dev"),
     )
+    # the stopword rule compares the INTEGER count (as text-filter
+    # does) — reconstructing it as ratio*n_tokens re-rounds through a
+    # float and disagrees at boundary docs (e.g. 2/49*49 < 2)
     keep = (
         F.col("n_tokens").between(25, 90)
         & (F.col("mean_token_len") >= 4.0)
         & (F.col("mean_token_len") <= 5.0)
-        & (F.col("stopword_ratio") * F.col("n_tokens") >= 2)
+        & (F.col("__n_stopwords") >= 2)
         & (F.col("diversity") >= 0.4)
         & (F.col("top_token_ratio") <= 0.1)
     )
-    return m.withColumn("label", keep.cast("double"))
+    return m.withColumn("label", keep.cast("double")).drop("__n_stopwords")
 
 
 def train_quality_model(feat: DataFrame):

@@ -55,13 +55,15 @@ def pack_greedy(
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(weight_col).cast("long").alias("n_tokens"),
-        (
-            F.lit(0).cast("long")
-            if bucket_width is None
-            else (F.col(id_col).cast("long") / F.lit(bucket_width)).cast(
-                "long"
-            )
-        ).alias("bucket"),
+    ).withColumn(
+        "bucket",
+        # integer DIV, not `/`: long/long is IEEE double division and
+        # an exact-integer quotient can land at N - ulp (see
+        # sampling.py mixture_rebalance) — a doc must never straddle
+        # the bucket boundary
+        F.lit(0).cast("long")
+        if bucket_width is None
+        else F.expr(f"doc_id DIV {int(bucket_width)}"),
     )
 
     # NOTE: the closure must only touch locals + pandas (cloudpickle
@@ -84,6 +86,12 @@ def pack_greedy(
             pack_pos.append(pos)
             fill += w
             pos += 1
+        if cur >= packs_per_bucket:
+            raise ValueError(
+                f"bucket produced {cur + 1} packs > {packs_per_bucket}; "
+                "shrink bucket_width so globalized pack ids cannot "
+                "collide across buckets"
+            )
         pdf["pack_id"] = pack_ids
         pdf["pack_pos"] = pack_pos
         return pdf[["doc_id", "n_tokens", "bucket", "pack_id", "pack_pos"]]

@@ -9,9 +9,11 @@ without re-scanning it. This module writes exactly that:
 - hive-partitioned parquet by the given columns,
 - `maxRecordsPerFile` bounding every file (Spark splits task output),
 - rows sorted within files by the sort key (locality for range reads),
-- a `_manifest/` parquet beside the data with per-partition row and
-  token counts, computed in the SAME job's lineage as the write — at
-  100 TB a separate audit scan would double the cost.
+- a `_manifest/` parquet beside the data with per-partition row counts
+  and key spans, computed by reading back the WRITTEN bytes — that
+  audits what actually landed on disk, and costs one scan of the
+  compact output rather than re-executing the (possibly enormous)
+  upstream curation lineage a second time.
 """
 
 from __future__ import annotations
@@ -47,10 +49,16 @@ def write_corpus(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    manifest = df.groupBy(*partition_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(sort_col).alias("min_key"),
-        F.max(sort_col).alias("max_key"),
+    # manifest from the WRITTEN data, not the input lineage: audits the
+    # bytes on disk and avoids re-running the upstream curation plan
+    manifest = (
+        df.sparkSession.read.parquet(path)
+        .groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(sort_col).alias("min_key"),
+            F.max(sort_col).alias("max_key"),
+        )
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
