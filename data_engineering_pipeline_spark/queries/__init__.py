@@ -74,6 +74,9 @@ _CHECK_FIRST = [
     "text-crossentropy",
     "events-funnel",
     "events-cohort-retention",
+    # new this session — queue behind the round-2 head; they enter the
+    # driver's checked window as earlier entries earn green rows
+    "dedup-semantic",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

@@ -227,3 +227,38 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid.alias("centroid_v"),
         "n_members",
     ).orderBy("label", "pos")
+
+
+@_register(
+    "dedup-semantic",
+    f"""
+    WITH {_VECS},
+    dups AS (
+      SELECT b.vec_id AS id, CAST(count(*) AS BIGINT) AS n_lower_dups
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+            >= {NEARDUP_THRESHOLD}
+      GROUP BY 1)
+    SELECT n.vec_id, d.id IS NULL AS kept,
+           coalesce(d.n_lower_dups, CAST(0 AS BIGINT)) AS n_lower_dups
+    FROM n LEFT JOIN dups d ON n.vec_id = d.id
+    ORDER BY n.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py semantic_dedup),
+    graded config n_cells=1: one cell makes the within-cell pair set
+    provably the all-pairs set, so (kept, n_lower_dups) equals the
+    plain-SQL any-lower-neighbor rule — an exact oracle while running
+    the full machinery (KMeans fit, centroid assignment, cell self-join,
+    precomputed-norm verify). Production: n_cells ~ N/1000, pairwise
+    work bounded by cell size; recall on a clustered corpus is measured
+    in tests/test_similarity.py."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", NEARDUP_THRESHOLD, n_cells=1
+    ).orderBy("vec_id")

@@ -283,3 +283,63 @@ def test_cosine_pairs_small_n_guard(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="all-pairs"):
         cosine_pairs(emb, "vec_id", "embedding", 0.4, max_rows=10).count()
+
+
+def test_semantic_dedup_single_cell_equals_exact(spark, sf_smoke):
+    """Graded config (n_cells=1): (kept, n_lower_dups) equals the exact
+    any-lower-neighbor rule derived from all-pairs cosine."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = {
+        r.vec_id: (r.kept, r.n_lower_dups)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", 0.4, n_cells=1
+        ).collect()
+    }
+    n_lower = {}
+    for r in cosine_pairs(emb, "vec_id", "embedding", 0.4).collect():
+        n_lower[r.id_b] = n_lower.get(r.id_b, 0) + 1
+    want = {
+        r.vec_id: (r.vec_id not in n_lower, n_lower.get(r.vec_id, 0))
+        for r in emb.select("vec_id").collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_clustered_recall_and_precision(spark):
+    """Production config on a clustered corpus: every drop is a true
+    near-dup (precision 1 — within-cell pairs are exact-verified), and
+    the cells recover enough of the true pair graph that recall of the
+    dropped set stays high (near-dups live inside semantic clusters —
+    the SemDeDup premise)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = _clustered_embeddings(spark)
+    threshold = 0.95
+    exact_dropped = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold, n_cells=1
+        ).collect()
+        if not r.kept
+    }
+    cell_dropped = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold, n_cells=16
+        ).collect()
+        if not r.kept
+    }
+    assert exact_dropped, "threshold too high: no dups in fixture"
+    # precision: a cell-based drop requires a verified within-cell pair,
+    # and every within-cell pair is a true pair
+    assert cell_dropped <= exact_dropped
+    recall = len(cell_dropped) / len(exact_dropped)
+    assert recall >= 0.9, f"semantic dedup recall {recall}"
