@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     # new this session — queue behind the round-2 head; they enter the
     # driver's checked window as earlier entries earn green rows
     "dedup-semantic",
+    "corpus-overlap",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

@@ -393,3 +393,91 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("component")
     )
+
+
+def _porthash_sql(expr: str) -> str:
+    """DuckDB mirror of operators/dedup.py portable_token_hash over an
+    arbitrary string expression (same char folds, same packing)."""
+    return f"""
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split({expr}, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007)
+        * 2147483648
+        + list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split({expr}, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 131 + c) % 999999937)
+    """
+
+
+_OVERLAP_K = 128
+
+_OVERLAP_ORACLE = f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT source,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (SELECT source, unnest(shingles) AS shingle FROM sh),
+    hs AS (
+      SELECT DISTINCT source, {_porthash_sql('shingle')} AS h FROM ex
+    ), sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hs) WHERE rk <= {_OVERLAP_K}
+    ), g AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM g a JOIN g b ON a.source < b.source
+    ), u AS (
+      SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN sk s ON s.source = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN sk s ON s.source = p.gb
+      ) GROUP BY 1, 2, 3
+    ), samp AS (
+      SELECT * FROM (
+        SELECT ga, gb, h, ia, ib,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM u) WHERE rk <= {_OVERLAP_K}
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(sum(ia * ib) AS BIGINT) AS n_both,
+           CAST(sum(ia * ib) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS j_est
+    FROM samp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@_register("corpus-overlap", _OVERLAP_ORACLE)
+def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap (Jaccard) estimates between sources from
+    bottom-k shingle-hash sketches (operators/sketch.py): one corpus
+    pass builds k=128-row sketches, every source pair is then compared
+    sketch-to-sketch without re-reading the corpus. Graded over the
+    portable token hash so the oracle rebuilds identical sketches;
+    xxhash64 is the operator default at scale. The estimator itself is
+    deterministic given the hash, so the oracle is exact even though
+    the estimate is approximate vs true Jaccard (accuracy ~1/sqrt(k),
+    measured in tests/test_sketch.py)."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        corpus_overlap_bottomk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_overlap_bottomk(
+        docs,
+        "source",
+        "text",
+        k=_OVERLAP_K,
+        shingle_hash=portable_token_hash,
+    ).orderBy("group_a", "group_b")

@@ -1,0 +1,91 @@
+"""Bottom-k corpus-overlap sketch: the estimator is deterministic given
+the hash, so these tests pin (1) accuracy against a KNOWN ground-truth
+overlap, and (2) accuracy against the exact per-pair Jaccard on the
+driver corpus — the oracle equality itself is covered by the registry
+sweep in test_oracle_queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.sketch import (
+    bottomk_sketch,
+    corpus_overlap_bottomk,
+)
+from data_engineering_pipeline_spark.sources import load_table
+
+
+def _numbered_doc(lo: int, hi: int) -> str:
+    return " ".join(f"w{i}" for i in range(lo, hi))
+
+
+def test_overlap_estimate_matches_planted_overlap(spark):
+    """Two groups sharing 5 of 15 distinct docs (disjoint vocabularies)
+    have true shingle Jaccard 1/3; the k=128 estimate must land within
+    a few standard errors (sigma = sqrt(J(1-J)/k) ~ 0.042)."""
+    rows = []
+    for d in range(10):  # group A: docs 0..9
+        rows.append((d, "A", _numbered_doc(d * 40, d * 40 + 40)))
+    for d in range(5, 15):  # group B: docs 5..14 (5 shared)
+        rows.append((100 + d, "B", _numbered_doc(d * 40, d * 40 + 40)))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    est = corpus_overlap_bottomk(df, "grp", "text", k=128).collect()[0]
+    assert est.group_a == "A" and est.group_b == "B"
+    assert est.n_sample == 128
+    true_j = 1.0 / 3.0
+    assert abs(est.j_est - true_j) < 0.15, est.j_est
+
+
+def test_overlap_estimate_tracks_exact_jaccard(spark, sf_smoke):
+    """On the driver corpus: every pair's estimate within ~3 standard
+    errors of the exact hash-set Jaccard, and zero-overlap pairs
+    estimate exactly zero (the sample can't contain shared members
+    that don't exist)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    k = 128
+    est = {
+        (r.group_a, r.group_b): r.j_est
+        for r in corpus_overlap_bottomk(docs, "source", "text", k=k).collect()
+    }
+    from data_engineering_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    hs = _exploded_shingles(docs, "source", "text", 3).select(
+        F.col("source"), F.xxhash64("shingle").alias("h")
+    ).distinct()
+    sets: dict[str, set] = {}
+    for r in hs.collect():
+        sets.setdefault(r.source, set()).add(r.h)
+    for (a, b), e in est.items():
+        inter = len(sets[a] & sets[b])
+        exact = inter / len(sets[a] | sets[b])
+        assert abs(e - exact) <= 0.27, (a, b, e, exact)
+        if inter == 0:
+            assert e == 0.0
+
+
+def test_sketch_is_mergeable(spark, sf_smoke):
+    """bottom-k of a union == bottom-k of concatenated sketches — the
+    property that makes incremental per-batch maintenance valid."""
+    docs = load_table(spark, sf_smoke, "documents")
+    k = 64
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    merged_rows = (
+        bottomk_sketch(half1, "source", "text", k=k)
+        .unionByName(bottomk_sketch(half2, "source", "text", k=k))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group").orderBy("h")
+    remerged = (
+        merged_rows.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    full = bottomk_sketch(docs, "source", "text", k=k)
+    got = {(r.group, r.h) for r in remerged.collect()}
+    want = {(r.group, r.h) for r in full.collect()}
+    assert got == want
