@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     # driver's checked window as earlier entries earn green rows
     "dedup-semantic",
     "corpus-overlap",
+    "op-zorder-key",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

@@ -788,3 +788,38 @@ def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def _zorder_sql_terms(a_expr: str, b_expr: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b_expr} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@_register(
+    "op-zorder-key",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_zorder_sql_terms('(l_orderkey % 256)',
+                                   '(l_partkey % 256)', 8)} AS BIGINT)
+             AS zkey
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def op_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over two dimensions (operators/zorder.py) —
+    the layout key behind multi-dimensional data skipping. Pure bit
+    arithmetic, identical in any engine; the layout write + measured
+    file-skipping win are tested in tests/test_zorder.py."""
+    from data_engineering_pipeline_spark.operators.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            [F.col("l_orderkey") % 256, F.col("l_partkey") % 256], bits=8
+        ).alias("zkey"),
+    ).orderBy("l_orderkey", "l_linenumber")
