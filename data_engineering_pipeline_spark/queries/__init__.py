@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     "dedup-semantic",
     "corpus-overlap",
     "op-zorder-key",
+    "events-transitions",
     # round-1-green regression canaries (fills the checked window)
     "parity-pipeline",
     "op-scan-ordered",

@@ -341,3 +341,55 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week_start_s", "week_k")
     )
+
+
+@_register(
+    "events-transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_type
+      FROM e
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / CAST(sum(count(*))
+             OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov edges)
+    with empirical next-step probabilities — the path-analysis query
+    behind 'what do users do after X'.
+
+    Scale: one scan, one user_id shuffle for the lag window, then a
+    partial-aggregated count over at most |types|^2 = 25 groups; the
+    probability normalization is a window over that tiny aggregate, not
+    over the events. p_next is an exact IEEE division of two counts, so
+    it hashes identically cross-engine."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p_next"
+        ),
+    ).orderBy("prev_type", "next_type")
