@@ -455,6 +455,30 @@ def ann_topk_ivf(
     )
 
 
+def grid_cell(
+    vec: Column, bounds: list[tuple[float, float]], bits: int = 2
+) -> Column:
+    """Deterministic coarse quantizer: bin dimension j of `vec` (1-based
+    element j+1) onto [0, 2^bits) with known bounds via zorder.grid_coord,
+    and combine the digits into one cell id. A stateless per-row
+    expression — no model fit, no shuffle — and, unlike KMeans cells,
+    exactly mirrorable in plain SQL (floor/least/greatest on doubles), so
+    a multi-cell semantic-dedup config quantized this way can be graded
+    against a DuckDB oracle while running the production cell equi-join.
+    Quantizing only the first few dims is coarser than KMeans (more
+    cross-cell misses on adversarial data) but the pairing machinery
+    downstream is identical."""
+    from data_engineering_pipeline_spark.operators.zorder import grid_coord
+
+    cells = 1 << bits
+    cell = F.lit(0).cast("long")
+    for j, (lo, hi) in enumerate(bounds):
+        cell = cell * cells + grid_coord(
+            F.element_at(vec, j + 1), lo, hi, bits
+        )
+    return cell
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -463,6 +487,8 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 7,
     scale: int = 4,
+    cell_of=None,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the corpus into coarse cells,
@@ -488,11 +514,23 @@ def semantic_dedup(
     recursively split hot cells; AQE skew-join handles moderate skew.
     Cross-cell duplicates are the accepted approximation (the paper's
     tradeoff); recall vs the exact verifier is measured in
-    tests/test_similarity.py on a clustered corpus."""
-    if n_cells == 1:
+    tests/test_similarity.py on a clustered corpus.
+
+    `cell_of` swaps the KMeans quantizer for a caller-supplied
+    deterministic one (a Column function over the double-cast vector,
+    e.g. grid_cell) — same within-cell machinery, SQL-mirrorable
+    assignment. n_cells == 1 (one cell holds everything) degenerates to
+    the exact all-pairs rule: Catalyst constant-folds the cell
+    equi-predicate away and the join is O(n^2), so that path is gated to
+    max_rows like the other exact verifiers."""
+    if cell_of is not None:
+        best_cell = cell_of(F.col("__v"))
+    elif n_cells == 1:
         # degenerate quantizer: one cell holds everything and the
         # centroid never affects assignment (MLlib KMeans also rejects
-        # k=1) — this is the graded config's provably-exhaustive path
+        # k=1) — the provably-exhaustive verifier path, all-pairs by
+        # construction, hence gated
+        _guard_small_n(df, max_rows, "semantic_dedup(n_cells=1)")
         best_cell = F.lit(0)
     else:
         centroids = train_ivf_centroids(df, vec_col, n_cells, seed)

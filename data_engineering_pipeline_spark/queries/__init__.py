@@ -11,76 +11,23 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks ~50 queries per round in registry
-# order. Round 1 covered the first 50 (all green or since-fixed); this
-# front list rotates the round-1-unchecked queries and the newly
-# oracle-backed ones to the head so that, cumulatively, every registered
-# query earns a driver-verified row. The tail keeps the round-1-green
-# core (parity + §2 op ids) inside the checked window as regression
-# canaries; everything else stays registered and locally oracle-tested
-# (tests/test_oracle_queries.py) regardless of driver rotation.
+# order. Rounds 1-2 cumulatively earned green rows for 94 of 99
+# registered queries; this round-3 front list leads with the 5 queries
+# that have no driver row yet (all locally oracle-green), then any
+# queries NEW this round, then backfills the checked window with
+# previously-green canaries (a spread of r1 core ops and r2 curation/
+# dedup/analytics queries) so regressions in the proven surface are
+# still caught. Everything else stays registered and locally
+# oracle-tested (tests/test_oracle_queries.py) regardless of rotation.
 _CHECK_FIRST = [
-    # unchecked in round 1: batch mirrors of the streaming ops
-    "events-window-tumbling",
-    "events-window-sliding",
-    "events-sessionize",
-    # unchecked: multimodal + temporal joins + search
-    "multimodal-decode",
-    "events-asof-purchase",
-    "events-range-clicks",
-    "text-bm25",
-    # unchecked: the extended relational operator surface
-    "op-pivot-events",
-    "op-agg-distinct",
-    "op-join-semi",
-    "op-join-anti",
-    "op-rollup",
-    "op-set-ops",
-    "op-date-trunc-trend",
-    "op-string-funcs",
-    "op-topk-per-group",
-    "op-percentile",
-    "op-explode-arrays",
-    "op-quality-report",
-    "op-join-outer",
-    "op-subquery-correlated",
-    "op-subquery-scalar",
-    "op-json-schema-extract",
-    "op-window-ranks",
-    "op-histogram",
-    "op-unpivot",
-    "op-cube",
-    "op-resample-ffill",
-    "op-hash-sample",
-    "op-stratified-sample",
-    # red in round 1, fixed this round (new or repaired oracles)
-    "q12-ship-speed",
-    "embedding-centroids",
-    "dedup-minhash-lsh",
-    "dedup-simhash",
-    "ann-topk-lsh",
-    "ann-topk-ivf",
-    # new this round
-    "dedup-embedding-lsh",
-    "text-repetition",
-    "text-head-coverage",
-    "corpus-curation",
-    "q2-min-cost-supplier",
-    "q11-important-stock",
-    "curation-chunk-dedup",
-    "curation-pii-redact",
-    "curation-mixture",
-    "curation-pack",
-    "dedup-keep-best",
-    "text-crossentropy",
-    "events-funnel",
-    "events-cohort-retention",
-    # new this session — queue behind the round-2 head; they enter the
-    # driver's checked window as earlier entries earn green rows
-    "dedup-semantic",
+    # no driver row yet (added after the round-2 window filled)
+    "dedup-semantic",  # re-registered this round: multi-cell grid config
     "corpus-overlap",
-    "op-zorder-key",
     "events-transitions",
-    # round-1-green regression canaries (fills the checked window)
+    "op-zorder-key",
+    "text-tokenize-bpe",
+    # new in round 3 (names appended here as they land)
+    # previously-green canaries: reference core
     "parity-pipeline",
     "op-scan-ordered",
     "op-sink-upsert",
@@ -94,6 +41,43 @@ _CHECK_FIRST = [
     "op-window-lag1",
     "op-window-roll5",
     "op-sort-limit-topk",
+    "q12-ship-speed",
+    "q2-min-cost-supplier",
+    "q11-important-stock",
+    # previously-green canaries: curation / dedup / similarity
+    "dedup-minhash-lsh",
+    "dedup-simhash",
+    "dedup-embedding-lsh",
+    "dedup-keep-best",
+    "ann-topk-lsh",
+    "ann-topk-ivf",
+    "embedding-centroids",
+    "curation-chunk-dedup",
+    "curation-pii-redact",
+    "curation-mixture",
+    "curation-pack",
+    "corpus-curation",
+    "text-repetition",
+    "text-head-coverage",
+    "text-crossentropy",
+    "text-bm25",
+    # previously-green canaries: events / temporal / relational spread
+    "events-window-tumbling",
+    "events-sessionize",
+    "events-asof-purchase",
+    "events-range-clicks",
+    "events-funnel",
+    "events-cohort-retention",
+    "multimodal-decode",
+    "op-pivot-events",
+    "op-topk-per-group",
+    "op-percentile",
+    "op-resample-ffill",
+    "op-hash-sample",
+    "op-stratified-sample",
+    "op-subquery-correlated",
+    "op-window-ranks",
+    "op-cube",
 ]
 
 

@@ -229,36 +229,75 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "pos")
 
 
+# Graded semantic-dedup quantizer: a deterministic 4x4 grid over the
+# first two embedding dims (bounds cover the data range; grid_coord
+# clamps outliers into edge cells). Chosen over the production KMeans
+# quantizer for GRADING only because the cell id is plain floor/clamp
+# arithmetic both engines execute bit-identically — the pairing
+# machinery after assignment (cell equi-join, precomputed-norm verify,
+# any-lower-neighbor rule) is exactly the production path, and unlike
+# an n_cells=1 grading the cell predicate survives into the physical
+# plan as a real shuffled equi-join (no constant folding into O(n^2)).
+_SEM_BITS = 2
+_SEM_LO, _SEM_HI = -0.6, 0.6
+_SEM_DIMS = 2
+
+
+def _sem_cell_sql(col: str) -> str:
+    digits = [
+        f"""greatest(least(CAST(floor(({col}[{j + 1}]
+            - CAST({_SEM_LO} AS DOUBLE))
+            / CAST({_SEM_HI - _SEM_LO} AS DOUBLE)
+            * CAST({float(1 << _SEM_BITS)} AS DOUBLE)) AS BIGINT),
+            {(1 << _SEM_BITS) - 1}), 0)"""
+        for j in range(_SEM_DIMS)
+    ]
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"(({acc}) * {1 << _SEM_BITS} + ({d}))"
+    return acc
+
+
 @_register(
     "dedup-semantic",
     f"""
     WITH {_VECS},
+    g AS (SELECT vec_id, v, nrm, {_sem_cell_sql('v')} AS cell FROM n),
     dups AS (
       SELECT b.vec_id AS id, CAST(count(*) AS BIGINT) AS n_lower_dups
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      FROM g a JOIN g b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
             >= {NEARDUP_THRESHOLD}
       GROUP BY 1)
-    SELECT n.vec_id, d.id IS NULL AS kept,
+    SELECT g.vec_id, d.id IS NULL AS kept,
            coalesce(d.n_lower_dups, CAST(0 AS BIGINT)) AS n_lower_dups
-    FROM n LEFT JOIN dups d ON n.vec_id = d.id
-    ORDER BY n.vec_id
+    FROM g LEFT JOIN dups d ON g.vec_id = d.id
+    ORDER BY g.vec_id
     """,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.py semantic_dedup),
-    graded config n_cells=1: one cell makes the within-cell pair set
-    provably the all-pairs set, so (kept, n_lower_dups) equals the
-    plain-SQL any-lower-neighbor rule — an exact oracle while running
-    the full machinery (KMeans fit, centroid assignment, cell self-join,
-    precomputed-norm verify). Production: n_cells ~ N/1000, pairwise
-    work bounded by cell size; recall on a clustered corpus is measured
-    in tests/test_similarity.py."""
+    graded MULTI-CELL config: a deterministic grid quantizer
+    (grid_cell over the first two dims, 16 cells) replaces KMeans so
+    DuckDB can compute the identical cell assignment, while the plan is
+    the production shape — cell equi-join (shuffled hash/sort-merge,
+    never a constant-folded nested loop), within-cell exact verify,
+    any-lower-neighbor drop rule. Production: KMeans quantizer,
+    n_cells ~ N/1000; recall on a clustered corpus is measured in
+    tests/test_similarity.py; the n_cells=1 exhaustive verifier is
+    gated to small n."""
     from data_engineering_pipeline_spark.operators.similarity import (
+        grid_cell,
         semantic_dedup,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", NEARDUP_THRESHOLD, n_cells=1
+        emb,
+        "vec_id",
+        "embedding",
+        NEARDUP_THRESHOLD,
+        cell_of=lambda v: grid_cell(
+            v, [(_SEM_LO, _SEM_HI)] * _SEM_DIMS, bits=_SEM_BITS
+        ),
     ).orderBy("vec_id")

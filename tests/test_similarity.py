@@ -285,6 +285,59 @@ def test_cosine_pairs_small_n_guard(spark, sf_smoke):
         cosine_pairs(emb, "vec_id", "embedding", 0.4, max_rows=10).count()
 
 
+def test_semantic_dedup_single_cell_is_gated(spark, sf_smoke):
+    """The degenerate n_cells=1 config is all-pairs (the cell predicate
+    constant-folds away) and must refuse large inputs like the other
+    exact verifiers."""
+    import pytest
+
+    from data_engineering_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="all-pairs"):
+        semantic_dedup(
+            emb, "vec_id", "embedding", 0.4, n_cells=1, max_rows=10
+        ).count()
+
+
+def test_semantic_dedup_grid_config_matches_exact_within_cell(spark, sf_smoke):
+    """The graded grid-quantizer config: every drop must correspond to a
+    true near-dup pair sharing a grid cell (subset of the exact dropped
+    set), and rows the exact rule keeps are kept here too."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        grid_cell,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    grid = {
+        r.vec_id: (r.kept, r.n_lower_dups)
+        for r in semantic_dedup(
+            emb,
+            "vec_id",
+            "embedding",
+            0.4,
+            cell_of=lambda v: grid_cell(v, [(-0.6, 0.6)] * 2, bits=2),
+        ).collect()
+    }
+    exact = {
+        r.vec_id: (r.kept, r.n_lower_dups)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", 0.4, n_cells=1
+        ).collect()
+    }
+    assert set(grid) == set(exact)
+    for vid, (kept, n) in grid.items():
+        ek, en = exact[vid]
+        # grid cells see a subset of all pairs: never more dups than
+        # exact, and anything exact keeps must stay kept
+        assert n <= en
+        if ek:
+            assert kept
+
+
 def test_semantic_dedup_single_cell_equals_exact(spark, sf_smoke):
     """Graded config (n_cells=1): (kept, n_lower_dups) equals the exact
     any-lower-neighbor rule derived from all-pairs cosine."""
