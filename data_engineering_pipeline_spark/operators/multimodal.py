@@ -146,7 +146,7 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
                 w, h, maxval = (int(t) for t in toks)
             except ValueError:
                 return None
-            if maxval > 255:
+            if maxval > 255 or w <= 0 or h <= 0:
                 return None
             px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos + 1)
             return {
@@ -164,7 +164,7 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
             w, h = struct.unpack_from("<ii", buf, 18)
             (bpp,) = struct.unpack_from("<H", buf, 28)
             (compression,) = struct.unpack_from("<I", buf, 30)
-            if bpp != 24 or compression != 0:
+            if bpp != 24 or compression != 0 or w <= 0 or h == 0:
                 return None
             row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
             rows = np.frombuffer(
@@ -185,14 +185,22 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
             return {"width": w, "height": h, "decoder": "builtin-png-header"}
 
         def sniff(buf):
-            if buf[:4] == b"RIFF":
-                return wav(buf)
-            if buf[:2] == b"P6":
-                return ppm(buf)
-            if buf[:2] == b"BM":
-                return bmp(buf)
-            if buf[:8] == b"\x89PNG\r\n\x1a\n":
-                return png(buf)
+            # A valid magic does NOT imply a well-formed body: at corpus
+            # scale truncated/corrupt blobs are a certainty, and a
+            # struct.error / ValueError here would fail the task (and,
+            # after retries, the whole job). Any decode failure takes
+            # the documented deterministic-fake fallback instead.
+            try:
+                if buf[:4] == b"RIFF":
+                    return wav(buf)
+                if buf[:2] == b"P6":
+                    return ppm(buf)
+                if buf[:2] == b"BM":
+                    return bmp(buf)
+                if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                    return png(buf)
+            except Exception:
+                return None
             return None
 
         for pdf in batches:

@@ -122,6 +122,45 @@ def test_builtin_decoders_recover_ground_truth(spark):
     assert f[4].byte_len == len(b"not a media file at all")
 
 
+def test_malformed_blobs_fall_back_instead_of_crashing(spark):
+    """Valid magic + corrupt body must NOT fail the task: every decode
+    error falls through to the deterministic fake (the documented
+    contract — at corpus scale a truncated blob is a certainty and one
+    struct.error would kill the whole job after task retries)."""
+    import struct
+
+    wav, _ = _wav_bytes(channels=2, rate=8000)
+    ppm, _ = _ppm_bytes(w=7, h=5)
+    bmp, _ = _bmp_bytes(w=5, h=3)
+    # fmt chunk shorter than the 16 bytes struct.unpack_from needs
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 6) + b"\x01\x00\x02\x00\x40\x1f"
+    )
+    blobs = [
+        (0, wav[:30], "audio/wav"),            # truncated mid-header
+        (1, short_fmt, "audio/wav"),           # fmt chunk < 16 bytes
+        (2, ppm[: len(ppm) // 2], "image/x-portable-pixmap"),  # pixels cut
+        (3, b"P6\n9999999 9999999\n255\n\x00", "image/x-portable-pixmap"),
+        (4, bmp[:40], "image/bmp"),            # shorter than BITMAPINFOHEADER... no, <54 guard
+        (5, bmp[:60], "image/bmp"),            # header ok, pixel data cut
+        (6, b"BM" + b"\x00" * 60, "image/bmp"),  # zero dims/offset garbage
+        (7, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, "image/png"),  # no IHDR
+        (8, b"P6\n-3 5\n255\n" + b"\x00" * 64, "image/x-portable-pixmap"),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), t, None) for i, b, t in blobs],
+        "media_id long, content binary, media_type string, meta map<string,string>",
+    )
+    feats = {r.media_id: r for r in decode_media(media).collect()}
+    assert len(feats) == len(blobs)
+    for i, b, _t in blobs:
+        assert feats[i].decoder == "fake-deterministic", i
+        assert feats[i].byte_len == len(b)
+        # fake dims are the documented deterministic derivation
+        assert feats[i].width == 64 + (len(b) % 577)
+
+
 def test_frame_sampling_slices_and_strides(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 5)
     frames = sample_frames(
