@@ -32,7 +32,11 @@ HEADLINE = [
     "q21-waiting-supplier",
     "dedup-exact",
     "dedup-minhash-lsh",
+    "dedup-semantic",
+    "dedup-keep-best",
     "ann-topk-cosine",
+    "curation-chunk-dedup",
+    "curation-pack",
     "text-quality",
     "text-stats",
     "events-sessionize",
@@ -54,31 +58,41 @@ def main() -> None:
     from data_engineering_pipeline_spark.queries import collect_registry
 
     queries, _ = collect_registry()
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        fn(spark, sf_dir).collect()  # warm-up
-        runs = []
-        for _ in range(TIMED_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        # Failure-isolated: one broken query records an error entry and the
+        # rest of the bench still produces numbers (a crashed bench is a
+        # blind round).
+        try:
+            fn(spark, sf_dir).collect()  # warm-up
+            runs = []
+            for _ in range(TIMED_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001 - any query failure is data
+            msg = f"{type(exc).__name__}: {exc}"
+            timings[name] = {"err": msg[:500]}
+            errors[name] = msg[:500]
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(
+        sum(v for v in timings.values() if isinstance(v, (int, float))), 4
     )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

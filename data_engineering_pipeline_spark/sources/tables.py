@@ -30,11 +30,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as int64 nanos (nanosAsLong): convert to a
-        # microsecond timestamp JVM-side; truncation matches DuckDB's
-        # ns->us cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read as int64 nanos (nanosAsLong): convert
+            # to a microsecond timestamp JVM-side; truncation matches
+            # DuckDB's ns->us cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # timestamp[us] with no timezone reads as TIMESTAMP_NTZ, which
+            # unix_micros() rejects. Under the UTC session pinned above,
+            # cast("timestamp") reinterprets the same wall-clock instants
+            # and matches DuckDB's epoch_us(CAST(ts AS TIMESTAMP)) exactly.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,31 +19,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# File-source schema: ts arrives as int64 nanos (TIMESTAMP(NANOS) parquet,
-# session sets nanosAsLong) and is converted to a microsecond timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over landed event parquet files. New files in
     `path` become micro-batches; at scale this is the landing-zone
-    pattern (upstream writers drop files; Spark tails the directory)."""
+    pattern (upstream writers drop files; Spark tails the directory).
+
+    The stream schema is probed from the files already present (a batch
+    footer read — driver-side metadata only, no data scan), because the
+    `ts` physical encoding has shipped both as TIMESTAMP(NANOS) (reads as
+    int64 under nanosAsLong) and as timestamp[us] with no timezone (reads
+    as TIMESTAMP_NTZ). Both normalize to a session-TZ TIMESTAMP column so
+    every downstream watermark/window/unix_micros sees one type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

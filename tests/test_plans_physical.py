@@ -139,8 +139,18 @@ def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
     accident of a join key dropped in a refactor turning a hash join
     into an O(n^2) nested loop."""
     offenders = []
+    build_failures = []
     for name, fn in sorted(QUERIES.items()):
-        plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        # A query that fails to even build gets reported as its own
+        # failure list so the lint still lints all the others (one broken
+        # query must not blind the whole registry sweep).
+        try:
+            plan = (
+                fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            build_failures.append((name, f"{type(exc).__name__}: {exc}"[:200]))
+            continue
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if (
@@ -148,4 +158,5 @@ def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
             and name not in INTENDED_NESTED_LOOP
         ):
             offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert build_failures == []
     assert offenders == []
