@@ -78,9 +78,20 @@ def binarize_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    records_per_batch: int = 256,
+    label_decode_failures: bool = False,
+) -> DataFrame:
     """binary blobs -> per-item features via Arrow-batched mapInPandas.
     Pure per-partition map: no shuffle, scales with input splits.
+
+    `label_decode_failures=True` marks recognized-magic-but-corrupt blobs
+    with decoder='decode-failed' instead of 'fake-deterministic', so a
+    corpus-scale run can measure its decode-failure rate with a plain
+    groupBy. Off by default: the deterministic-fake output (and the
+    DuckDB oracle that replays it) treats corrupt and unknown blobs
+    identically.
 
     Dispatch by magic bytes: RIFF/WAVE PCM, PPM P6, 24-bit BMP, and PNG
     IHDR are decoded FOR REAL (stdlib struct + numpy — no external
@@ -182,14 +193,22 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
             if len(buf) < 24 or buf[12:16] != b"IHDR":
                 return None
             w, h = struct.unpack_from(">II", buf, 16)
+            # IHDR dims are unsigned 32-bit: a corrupt PNG can declare 0
+            # or >2^31-1, which would wrap silently in an IntegerType
+            # column (Arrow safe-conversion is off by default).
+            if w == 0 or h == 0 or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+                return None
             return {"width": w, "height": h, "decoder": "builtin-png-header"}
 
         def sniff(buf):
             # A valid magic does NOT imply a well-formed body: at corpus
             # scale truncated/corrupt blobs are a certainty, and a
             # struct.error / ValueError here would fail the task (and,
-            # after retries, the whole job). Any decode failure takes
-            # the documented deterministic-fake fallback instead.
+            # after retries, the whole job). Decode failures of
+            # recognized formats take the deterministic-fake fallback;
+            # only the parse-error types the decoders can raise on
+            # malformed bytes are caught, so genuine programming bugs
+            # still surface instead of being silently swallowed.
             try:
                 if buf[:4] == b"RIFF":
                     return wav(buf)
@@ -199,8 +218,8 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
                     return bmp(buf)
                 if buf[:8] == b"\x89PNG\r\n\x1a\n":
                     return png(buf)
-            except Exception:
-                return None
+            except (struct.error, ValueError, IndexError):
+                return "decode-failed"
             return None
 
         for pdf in batches:
@@ -224,13 +243,15 @@ def decode_media(media: DataFrame, records_per_batch: int = 256) -> DataFrame:
                     "decoder": "fake-deterministic",
                 }
                 real = sniff(buf) if n else None
-                if real is not None:
+                if isinstance(real, dict):
                     row.update(real)
                 else:
                     # DETERMINISTIC FAKE dims derived from the bytes —
                     # the fallback a PIL/ffmpeg call would replace
                     row["width"] = 64 + (n % 577)
                     row["height"] = 64 + ((n * 31 + (buf[0] if n else 0)) % 449)
+                    if real == "decode-failed" and label_decode_failures:
+                        row["decoder"] = "decode-failed"
                 out.append(row)
             yield pd.DataFrame(out, columns=feature_cols)
 

@@ -524,6 +524,13 @@ def semantic_dedup(
     equi-predicate away and the join is O(n^2), so that path is gated to
     max_rows like the other exact verifiers."""
     if cell_of is not None:
+        # A caller-supplied deterministic quantizer usually has a FIXED
+        # cell count (e.g. grid_cell's 2^(bits*dims)), so within-cell
+        # pair work grows quadratically with corpus size — gate it like
+        # the other bounded-cell paths. A production-scale deterministic
+        # quantizer (cells ~ N / target_cell_size) should pass a
+        # correspondingly larger max_rows.
+        _guard_small_n(df, max_rows, "semantic_dedup(cell_of=...)")
         best_cell = cell_of(F.col("__v"))
     elif n_cells == 1:
         # degenerate quantizer: one cell holds everything and the

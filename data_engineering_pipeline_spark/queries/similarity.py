@@ -243,9 +243,40 @@ _SEM_LO, _SEM_HI = -0.6, 0.6
 _SEM_DIMS = 2
 
 
+def _sem_finite_col(e):
+    """Non-finite (NaN/inf) or null embedding values sentinel to the
+    grid's lower bound BEFORE quantizing — otherwise Spark's
+    floor(NaN) cast yields a null cell (row silently exits the
+    equi-join) while DuckDB's CAST raises, and the engines diverge on
+    bad input. Clamping to _SEM_LO lands the row in edge cell 0 in
+    both engines."""
+    return F.when(
+        e.isNotNull() & ~F.isnan(e) & (F.abs(e) < F.lit(float("inf"))), e
+    ).otherwise(F.lit(float(_SEM_LO)))
+
+
+def _sem_cell_col(v):
+    from data_engineering_pipeline_spark.operators.similarity import grid_cell
+
+    sanitized = F.array(
+        *[_sem_finite_col(F.element_at(v, j + 1)) for j in range(_SEM_DIMS)]
+    )
+    return grid_cell(
+        sanitized, [(_SEM_LO, _SEM_HI)] * _SEM_DIMS, bits=_SEM_BITS
+    )
+
+
 def _sem_cell_sql(col: str) -> str:
+    def elem(j: int) -> str:
+        # same non-finite sentinel as _sem_finite_col (isfinite(NULL)
+        # is NULL -> ELSE branch, matching the Column side)
+        return (
+            f"CASE WHEN isfinite({col}[{j + 1}]) THEN {col}[{j + 1}]"
+            f" ELSE CAST({_SEM_LO} AS DOUBLE) END"
+        )
+
     digits = [
-        f"""greatest(least(CAST(floor(({col}[{j + 1}]
+        f"""greatest(least(CAST(floor(({elem(j)}
             - CAST({_SEM_LO} AS DOUBLE))
             / CAST({_SEM_HI - _SEM_LO} AS DOUBLE)
             * CAST({float(1 << _SEM_BITS)} AS DOUBLE)) AS BIGINT),
@@ -287,7 +318,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py; the n_cells=1 exhaustive verifier is
     gated to small n."""
     from data_engineering_pipeline_spark.operators.similarity import (
-        grid_cell,
         semantic_dedup,
     )
 
@@ -297,7 +327,5 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         NEARDUP_THRESHOLD,
-        cell_of=lambda v: grid_cell(
-            v, [(_SEM_LO, _SEM_HI)] * _SEM_DIMS, bits=_SEM_BITS
-        ),
+        cell_of=_sem_cell_col,
     ).orderBy("vec_id")

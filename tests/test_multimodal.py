@@ -137,16 +137,38 @@ def test_malformed_blobs_fall_back_instead_of_crashing(spark):
         b"RIFF" + struct.pack("<I", 20) + b"WAVE"
         + b"fmt " + struct.pack("<I", 6) + b"\x01\x00\x02\x00\x40\x1f"
     )
+    # >=44 bytes total (past wav()'s early length guard) but the fmt body
+    # is cut to 4 bytes by the buffer end: struct.unpack_from("<HHIIHH")
+    # raises struct.error, exercising sniff()'s exception path for WAV.
+    trunc_fmt = (
+        b"RIFF" + struct.pack("<I", 38) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 14) + b"\x00" * 14
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00"
+    )
+    assert len(trunc_fmt) >= 44
+    # IHDR present but declares hostile dims: zero and >2^31-1 (would
+    # wrap in an int32 column without the png() guard)
+    png_zero = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0, 5)
+    )
+    png_huge = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0x80000000, 5)
+    )
     blobs = [
         (0, wav[:30], "audio/wav"),            # truncated mid-header
         (1, short_fmt, "audio/wav"),           # fmt chunk < 16 bytes
         (2, ppm[: len(ppm) // 2], "image/x-portable-pixmap"),  # pixels cut
         (3, b"P6\n9999999 9999999\n255\n\x00", "image/x-portable-pixmap"),
-        (4, bmp[:40], "image/bmp"),            # shorter than BITMAPINFOHEADER... no, <54 guard
+        (4, bmp[:40], "image/bmp"),            # 40 bytes: below the 54-byte header guard
         (5, bmp[:60], "image/bmp"),            # header ok, pixel data cut
         (6, b"BM" + b"\x00" * 60, "image/bmp"),  # zero dims/offset garbage
         (7, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, "image/png"),  # no IHDR
         (8, b"P6\n-3 5\n255\n" + b"\x00" * 64, "image/x-portable-pixmap"),
+        (9, trunc_fmt, "audio/wav"),           # raises inside fmt unpack
+        (10, png_zero, "image/png"),           # IHDR width == 0
+        (11, png_huge, "image/png"),           # IHDR width > 2^31-1
     ]
     media = spark.createDataFrame(
         [(i, bytearray(b), t, None) for i, b, t in blobs],
@@ -159,6 +181,40 @@ def test_malformed_blobs_fall_back_instead_of_crashing(spark):
         assert feats[i].byte_len == len(b)
         # fake dims are the documented deterministic derivation
         assert feats[i].width == 64 + (len(b) % 577)
+
+
+def test_decode_failure_labeling_is_opt_in(spark):
+    """With label_decode_failures=True, a recognized-magic blob whose
+    decoder RAISED is labeled 'decode-failed' (so a corpus run can
+    measure its decode-failure rate), while unknown formats and blobs
+    rejected by plain validity guards stay 'fake-deterministic'. The
+    fake dims are produced either way."""
+    import struct
+
+    trunc_fmt = (
+        b"RIFF" + struct.pack("<I", 38) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 14) + b"\x00" * 14
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00"
+    )
+    blobs = [
+        (0, trunc_fmt, "audio/wav"),                  # raises -> labeled
+        (1, b"not a media file at all", "text/plain"),  # unknown -> fake
+        (2, b"BM" + b"\x00" * 60, "image/bmp"),       # guard-rejected -> fake
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), t, None) for i, b, t in blobs],
+        "media_id long, content binary, media_type string, meta map<string,string>",
+    )
+    on = {
+        r.media_id: r
+        for r in decode_media(media, label_decode_failures=True).collect()
+    }
+    assert on[0].decoder == "decode-failed"
+    assert on[1].decoder == "fake-deterministic"
+    assert on[2].decoder == "fake-deterministic"
+    assert on[0].width == 64 + (len(trunc_fmt) % 577)
+    off = {r.media_id: r for r in decode_media(media).collect()}
+    assert off[0].decoder == "fake-deterministic"
 
 
 def test_frame_sampling_slices_and_strides(spark, sf_smoke):

@@ -307,8 +307,11 @@ def test_semantic_dedup_grid_config_matches_exact_within_cell(spark, sf_smoke):
     true near-dup pair sharing a grid cell (subset of the exact dropped
     set), and rows the exact rule keeps are kept here too."""
     from data_engineering_pipeline_spark.operators.similarity import (
-        grid_cell,
         semantic_dedup,
+    )
+    # the graded quantizer spec, not a re-typed copy of its constants
+    from data_engineering_pipeline_spark.queries.similarity import (
+        _sem_cell_col,
     )
 
     emb = load_table(spark, sf_smoke, "embeddings")
@@ -319,7 +322,7 @@ def test_semantic_dedup_grid_config_matches_exact_within_cell(spark, sf_smoke):
             "vec_id",
             "embedding",
             0.4,
-            cell_of=lambda v: grid_cell(v, [(-0.6, 0.6)] * 2, bits=2),
+            cell_of=_sem_cell_col,
         ).collect()
     }
     exact = {
@@ -396,3 +399,50 @@ def test_semantic_dedup_clustered_recall_and_precision(spark):
     assert cell_dropped <= exact_dropped
     recall = len(cell_dropped) / len(exact_dropped)
     assert recall >= 0.9, f"semantic dedup recall {recall}"
+
+
+def test_sem_grid_cell_sentinels_nonfinite_both_engines(spark):
+    """NaN/inf/null embedding values must land in the same grid cell in
+    Spark and DuckDB (sentinel to the grid lower bound -> edge cell 0 on
+    that dim), instead of Spark emitting a null cell while the oracle's
+    CAST errors."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from data_engineering_pipeline_spark.queries.similarity import (
+        _sem_cell_col,
+        _sem_cell_sql,
+    )
+
+    vecs = [
+        (0, [0.1, -0.2]),
+        (1, [float("nan"), 0.5]),
+        (2, [float("inf"), -0.5]),
+        (3, [-math.inf, float("nan")]),
+        (4, [None, 0.0]),
+        (5, [0.59, 0.59]),
+        (6, [-0.61, 0.0]),  # below lo: clamps into edge cell
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _sem_cell_col(F.col("v")).alias("cell")
+        ).collect()
+    }
+    assert None not in got.values()
+    pdf = pd.DataFrame(
+        {"vec_id": [i for i, _ in vecs], "v": [v for _, v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            "SELECT vec_id, "
+            + _sem_cell_sql("CAST(v AS DOUBLE[])")
+            + " AS cell FROM t"
+        ).fetchall()
+    )
+    assert got == want
