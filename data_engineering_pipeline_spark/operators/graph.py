@@ -7,12 +7,13 @@ bidirectional edge list); labels monotonically decrease to the
 component's minimum vertex id, converging in O(component diameter)
 iterations — near-dup clusters are shallow (stars/chains of a few
 docs), so a handful of iterations suffices at any corpus size. The
-driver loop only inspects a changed-row COUNT per iteration (no data
-collected)."""
+driver loop only inspects a changed-row count per iteration, observed
+as a metric on the materialization job itself (no data collected, no
+extra job)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -41,7 +42,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             both.join(labels, both.a == labels.v)
             .groupBy(F.col("b").alias("v2"))
@@ -61,9 +62,16 @@ def connected_components(
         # the plan doubles per round and analysis time, not compute,
         # becomes the bottleneck. On a cluster with a checkpoint dir,
         # checkpoint() gives the fault-tolerant variant.
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__chg")).count()
+        #
+        # The convergence check rides the SAME materialization job via
+        # observe() — one job per iteration, not a checkpoint job plus a
+        # count job (CollectMetricsExec accumulates map-side during the
+        # checkpoint's action; no extra pass, no data to the driver).
+        obs = Observation(f"cc_changed_{i}")
+        updated = updated.observe(
+            obs, F.sum(F.col("__chg").cast("long")).alias("n_changed")
+        ).localCheckpoint(eager=True)
         labels = updated.drop("__chg")
-        if changed == 0:
+        if not obs.get["n_changed"]:  # None (all-null) or 0 -> converged
             break
     return labels.select(F.col("v").alias(id_col), "component")
