@@ -22,7 +22,7 @@ deterministic under repartitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.text import (
@@ -65,14 +65,25 @@ def featurize(
             lambda d: F.size(F.filter(t, lambda x: x == d)),
         )
     )
+    # Zero-token (or empty-text) docs would otherwise emit NaN ratios
+    # (0.0/0 is IEEE NaN even under ANSI) and a null top_token_ratio
+    # (array_max over an empty array) — NaN silently poisons the LR fit
+    # and null makes VectorAssembler(handleInvalid='error') throw. Such
+    # docs carry no signal in the x/0 features, so they get 0.0 and the
+    # n_tokens band (and teacher rule) does the rejecting.
+    nt = token_count(toks=t)
+
+    def _safe(ratio: Column) -> Column:
+        return F.when(nt > 0, ratio).otherwise(F.lit(0.0))
+
     m = toked.select(
         F.col(id_col),
-        token_count(toks=t).cast("double").alias("n_tokens"),
-        mean_token_length(toks=t).alias("mean_token_len"),
-        (
+        nt.cast("double").alias("n_tokens"),
+        _safe(mean_token_length(toks=t)).alias("mean_token_len"),
+        _safe(
             distinct_token_count(toks=t).cast("double") / token_count(toks=t)
         ).alias("diversity"),
-        stopword_ratio(toks=t, stopwords=STOPWORDS_EN).alias(
+        _safe(stopword_ratio(toks=t, stopwords=STOPWORDS_EN)).alias(
             "stopword_ratio"
         ),
         F.size(
@@ -83,8 +94,10 @@ def featurize(
                 ),
             )
         ).alias("__n_stopwords"),
-        punct_ratio(text_col).alias("punct_ratio"),
-        (top_freq.cast("double") / token_count(toks=t)).alias(
+        F.when(F.length(text_col) > 0, punct_ratio(text_col))
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        _safe(top_freq.cast("double") / token_count(toks=t)).alias(
             "top_token_ratio"
         ),
     ).select(

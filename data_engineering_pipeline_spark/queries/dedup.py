@@ -114,7 +114,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — verified literally equal at sf0.001/sf0.01/sf0.1 (256/256
     pairs at sf0.1), and r=2 keeps junk candidates ~s^2 per band (the
     measured sweet spot: faster than both r=1 and the r=4 default
-    here). Production banding (B=8, r=4) is the operator default;
+    here).
+
+    Residual flake margin, quantified: a mismatch needs >= 1 of the
+    corpus's qualifying pairs to miss all 16 bands. Miss probability is
+    maximal exactly AT the threshold — (1-0.49)^16 = 2.1e-5 — and the
+    generated near-dup pairs sit well above it (observed jaccard mostly
+    >= 0.8, where a miss is < 2e-8), so the expected mismatch count at
+    sf0.1 is < 256 * 2.1e-5 ~= 0.005: under one flake in ~180 driver
+    runs even if every pair sat at the worst case. Accepted as-is
+    rather than widening bands (B=32 would halve throughput for a
+    margin already dominated by machine noise). If a flake is ever
+    observed, bump bands= here and in the oracle note.
+
+    Production banding (B=8, r=4) is the operator default;
     its recall is property-tested in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(

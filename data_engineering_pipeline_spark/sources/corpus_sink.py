@@ -41,9 +41,15 @@ def write_corpus(
     # by the partition columns and inserts its own (non-stable) sort if
     # the stream lacks it, which would scramble the key order; sorting
     # on both satisfies the writer and keeps files key-sorted
-    (
+    # (an unpartitioned export skips the co-locating shuffle — there is
+    # no layout to co-locate)
+    shuffled = (
         df.repartition(*[F.col(c) for c in partition_cols])
-        .sortWithinPartitions(*partition_cols, sort_col)
+        if partition_cols
+        else df
+    )
+    (
+        shuffled.sortWithinPartitions(*partition_cols, sort_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
@@ -89,9 +95,13 @@ def compact_corpus(
     df = spark.read.parquet(path)
     tmp = f"{path}.__compact__"
     old = f"{path}.__old__"
-    (
+    shuffled = (
         df.repartition(*[F.col(c) for c in partition_cols])
-        .sortWithinPartitions(*partition_cols, sort_col)
+        if partition_cols
+        else df.coalesce(max(df.rdd.getNumPartitions() // 8, 1))
+    )
+    (
+        shuffled.sortWithinPartitions(*partition_cols, sort_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_records_per_file)
         .partitionBy(*partition_cols)
@@ -108,4 +118,8 @@ def compact_corpus(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return len(glob.glob(f"{path}/*/*.parquet"))
+    # data files live exactly len(partition_cols) hive dirs deep (one
+    # `col=value/` level per partition column; zero -> files at the
+    # root) — a fixed one-level glob under- or over-counts otherwise
+    depth = "/".join(["*"] * len(partition_cols) + ["*.parquet"])
+    return len(glob.glob(f"{path}/{depth}"))

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.classify import (
+    FEATURES,
     featurize,
     score_quality,
     train_quality_model,
@@ -65,3 +66,30 @@ def test_scoring_is_probability(spark, sf_smoke):
         .collect()
     )
     assert sum(r["label"] for r in top) >= 18
+
+
+def test_zero_token_docs_featurize_and_score(spark, sf_smoke):
+    """Empty / whitespace-only / punctuation-only docs must produce
+    finite features (no NaN into the LR fit, no null into
+    VectorAssembler) and train+score end-to-end alongside real docs."""
+    import math
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    weird = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, "?!?!...")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(weird)
+    feat = featurize(both)
+    rows = {r.doc_id: r for r in feat.collect()}
+    for did in (100001, 100002, 100003):
+        r = rows[did]
+        for f in FEATURES:
+            v = r[f]
+            assert v is not None and math.isfinite(v), (did, f, v)
+        assert r.label == 0.0  # teacher rule rejects empties
+    model = train_quality_model(feat)
+    scored = {r.doc_id: r for r in score_quality(model, feat).collect()}
+    assert len(scored) == both.count()
+    for did in (100001, 100002, 100003):
+        assert 0.0 <= scored[did].quality_prob <= 1.0

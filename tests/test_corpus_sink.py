@@ -106,3 +106,33 @@ def test_compact_corpus_reduces_files_preserves_data(spark, sf_smoke, tmp_path):
     for f in glob.glob(f"{out}/lang=*/*.parquet"):
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compact_corpus_two_level_and_unpartitioned_globs(spark, sf_smoke, tmp_path):
+    """The post-compaction file count must be globbed at exactly
+    len(partition_cols) hive levels — two partition columns nest two
+    dirs deep, zero leaves files at the root."""
+    from data_engineering_pipeline_spark.sources.corpus_sink import (
+        compact_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+
+    out2 = str(tmp_path / "two_level")
+    write_corpus(docs, out2, ("lang", "source"), "doc_id",
+                 max_records_per_file=10)
+    true_before = len(glob.glob(f"{out2}/lang=*/source=*/*.parquet"))
+    assert true_before > 0
+    n_after = compact_corpus(spark, out2, ("lang", "source"), "doc_id")
+    assert 0 < n_after < true_before
+    assert n_after == len(glob.glob(f"{out2}/lang=*/source=*/*.parquet"))
+    assert spark.read.parquet(out2).count() == docs.count()
+
+    out0 = str(tmp_path / "flat")
+    write_corpus(docs, out0, (), "doc_id", max_records_per_file=10)
+    flat_before = len(glob.glob(f"{out0}/*.parquet"))
+    assert flat_before > 0
+    n_flat = compact_corpus(spark, out0, (), "doc_id")
+    assert 0 < n_flat < flat_before
+    assert n_flat == len(glob.glob(f"{out0}/*.parquet"))
+    assert spark.read.parquet(out0).count() == docs.count()
