@@ -257,6 +257,7 @@ def cosine_pairs_lsh(
     n_tables: int = 6,
     probe_radius: int = 0,
     scale: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH bucket the corpus
     (n_tables independent signatures), pair rows only within a shared
@@ -268,7 +269,13 @@ def cosine_pairs_lsh(
     signatures are within 2*probe_radius — 2*probe_radius >= bits is
     therefore provably exhaustive (== cosine_pairs), which is the
     oracle-graded configuration; production keeps bits large and
-    radius small. Output: (id_a, id_b, cos_sim), same as cosine_pairs."""
+    radius small. Output: (id_a, id_b, cos_sim), same as cosine_pairs.
+
+    `max_bucket_size` (off by default) drops hyperplane buckets larger
+    than the cap before pairing — see dedup.cap_hot_buckets: a
+    degenerate embedding region (zero vectors, template docs embedded
+    identically) floods one bucket per table and costs size^2 pairs
+    that neither salting nor AQE can reduce."""
     masks = _probe_masks(bits, probe_radius)
     tables = F.array(
         *[
@@ -290,6 +297,12 @@ def cosine_pairs_lsh(
         F.col("b.tbl").alias("tbl"),
         F.col("b.sig").alias("sig"),
     )
+    if max_bucket_size is not None:
+        from data_engineering_pipeline_spark.operators.dedup import (
+            cap_hot_buckets,
+        )
+
+        banded = cap_hot_buckets(banded, ["tbl", "sig"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -149,3 +149,59 @@ def test_portable_token_hash_matches_duckdb_fuzz(spark):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_minhash_hot_bucket_cap_drops_only_flooded_buckets(spark):
+    """cap_hot_buckets composed into minhash_lsh_pairs: a planted
+    boilerplate cluster floods its band buckets and is dropped under
+    the cap, while an ordinary near-dup pair elsewhere survives; with
+    no cap the quadratic cluster pairs are all enumerated."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = "lorem ipsum dolor sit amet " * 8
+    distinct_a = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, boiler) for i in range(40)]           # hot template cluster
+    rows += [(100, distinct_a + "one"), (101, distinct_a + "one more")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", 0.7)
+    got_ids = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got_ids
+    assert sum(a < 40 and b < 40 for a, b in got_ids) == 40 * 39 // 2
+
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", 0.7, max_bucket_size=10
+    )
+    capped_ids = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in capped_ids          # small pair unaffected
+    assert not any(a < 40 for a, _ in capped_ids)  # cluster pairs gone
+
+
+def test_embedding_hot_bucket_cap(spark):
+    """Same composition on the hyperplane-LSH pair path: a degenerate
+    identical-embedding cluster is dropped under the cap; a normal
+    near-dup pair survives."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    base = [1.0, 0.5, -0.25, 2.0]
+    near = [1.0, 0.5, -0.2, 2.0]
+    far = [-1.0, 2.0, 0.5, -0.75]
+    rows = [(i, base) for i in range(30)]
+    rows += [(100, near), (101, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cfg = dict(threshold=0.9, dim=4, bits=4, n_tables=1, probe_radius=4)
+
+    uncapped = cosine_pairs_lsh(emb, "vec_id", "embedding", **cfg)
+    got = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert all((a < 30 and b < 30) or b == 100 for a, b in got)
+    assert any(b == 100 for a, b in got)  # base~near pairs exist
+
+    capped = cosine_pairs_lsh(
+        emb, "vec_id", "embedding", max_bucket_size=5, **cfg
+    )
+    got_c = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a < 30 and b < 30 for a, b in got_c)
