@@ -143,6 +143,9 @@ def ann_topk_lsh(
     exhaustive scan, used by the oracle-graded query config). Output
     schema matches ann_topk_brute (rank over the candidate set)."""
     def banded(df: DataFrame, id_col: str, masks: list[int]) -> DataFrame:
+        # keys-only banding: the bucket join and candidate distinct
+        # shuffle (id, tbl, sig) rows; vectors are fetched back by id
+        # for the candidate-set scoring only
         tables = F.array(
             *[
                 F.struct(
@@ -158,41 +161,35 @@ def ann_topk_lsh(
             ]
         )
         return df.select(
-            F.col(id_col), F.col(vec_col), F.explode(tables).alias("b")
+            F.col(id_col), F.explode(tables).alias("b")
         ).select(
-            id_col, vec_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+            id_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
         )
 
     # multiprobe perturbs only the query side; the corpus is indexed once
-    qb = banded(
-        queries, query_id, _probe_masks(bits, probe_radius)
-    ).withColumnRenamed(vec_col, "__qv")
-    cb = banded(corpus, corpus_id, [0]).withColumnRenamed(vec_col, "__cv")
+    qb = banded(queries, query_id, _probe_masks(bits, probe_radius))
+    cb = banded(corpus, corpus_id, [0])
     cand = (
         qb.join(cb, ["tbl", "sig"])
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id, "__qv", "__cv")
+        .select(query_id, corpus_id)
         .distinct()
-        .select(
-            query_id,
-            corpus_id,
-            _as_double(F.col("__qv")).alias("__qvd"),
-            _as_double(F.col("__cv")).alias("__cvd"),
-        )
-        .select(
-            query_id,
-            corpus_id,
-            "__qvd",
-            "__cvd",
-            norm(F.col("__qvd")).alias("__qn"),
-            norm(F.col("__cvd")).alias("__cn"),
-        )
     )
+    qv = queries.select(
+        F.col(query_id), _as_double(F.col(vec_col)).alias("__qvd")
+    ).select(query_id, "__qvd", norm(F.col("__qvd")).alias("__qn"))
+    cv = corpus.select(
+        F.col(corpus_id), _as_double(F.col(vec_col)).alias("__cvd")
+    ).select(corpus_id, "__cvd", norm(F.col("__cvd")).alias("__cn"))
     sim = F.round(
         dot(F.col("__qvd"), F.col("__cvd")) / (F.col("__qn") * F.col("__cn")),
         scale,
     )
-    scored = cand.select(query_id, corpus_id, sim.alias("cos_sim"))
+    scored = (
+        cand.join(F.broadcast(qv), query_id)
+        .join(cv, corpus_id)
+        .select(query_id, corpus_id, sim.alias("cos_sim"))
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id)
     )
@@ -289,11 +286,15 @@ def cosine_pairs_lsh(
             for m in masks
         ]
     )
-    banded = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(tables).alias("b")
-    ).select(
+    # Banded rows carry ONLY (id, tbl, sig): the bucket self-join and
+    # the candidate distinct shuffle 24-byte rows, never the vectors.
+    # Carrying both 64-dim arrays through the distinct was measured as
+    # a multi-GB shuffle at the graded (exhaustive) config on sf0.1 —
+    # the candidate set is pair-count-sized, so keys-only + two hash
+    # joins back to the (small per candidate set) vector base is the
+    # minhash_lsh_pairs discipline applied here.
+    banded = df.select(F.col(id_col), F.explode(tables).alias("b")).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
         F.col("b.tbl").alias("tbl"),
         F.col("b.sig").alias("sig"),
     )
@@ -315,31 +316,31 @@ def cosine_pairs_lsh(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
         )
         .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            _as_double(F.col("__va")).alias("__vad"),
-            _as_double(F.col("__vb")).alias("__vbd"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "__vad",
-            "__vbd",
-            norm(F.col("__vad")).alias("__na"),
-            norm(F.col("__vbd")).alias("__nb"),
-        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).select("__id", "__v", norm(F.col("__v")).alias("__n"))
+    va = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__vad"),
+        F.col("__n").alias("__na"),
+    )
+    vb = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vbd"),
+        F.col("__n").alias("__nb"),
     )
     sim = F.round(
         dot(F.col("__vad"), F.col("__vbd")) / (F.col("__na") * F.col("__nb")),
         scale,
     )
-    return cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -420,16 +421,15 @@ def incremental_embedding_dedup(
     )
     masks = _probe_masks(bits, probe_radius)
     probed = new_idx.select(
-        "__id", "__v", "__n", "tbl",
+        "__id", "tbl",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
         F.col("sig").alias("__sig0"),
     ).select(
-        "__id", "__v", "__n", "tbl",
+        "__id", "tbl",
         F.col("__sig0").bitwiseXOR(F.col("__m")).alias("sig"),
     )
     a = probed.alias("a")
     b = all_idx.alias("b")
-    lt = F.col("a.__id") < F.col("b.__id")
     cand = (
         a.join(
             b,
@@ -439,23 +439,36 @@ def incremental_embedding_dedup(
         )
         # orient every candidate (id_a < id_b) so the same pair found in
         # several tables/probes — or in both orders within the new
-        # batch — collapses in one distinct, BEFORE the dot product
+        # batch — collapses in one keys-only distinct; vectors are
+        # fetched back by id for the verify (never shuffled with pairs)
         .select(
             F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
             F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
-            F.when(lt, F.col("a.__v")).otherwise(F.col("b.__v")).alias("__va"),
-            F.when(lt, F.col("b.__v")).otherwise(F.col("a.__v")).alias("__vb"),
-            F.when(lt, F.col("a.__n")).otherwise(F.col("b.__n")).alias("__na"),
-            F.when(lt, F.col("b.__n")).otherwise(F.col("a.__n")).alias("__nb"),
         )
         .distinct()
+    )
+    # one (vector, norm) row per id: every id appears once per table in
+    # the index, and table 0 always exists
+    base = all_idx.filter(F.col("tbl") == 0).select("__id", "__v", "__n")
+    va = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     sim = F.round(
         dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         scale,
     )
-    pairs = cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
     return all_idx, pairs
 
@@ -685,16 +698,26 @@ def semantic_dedup(
         dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
         scale,
     )
-    # pairs (a < b) within a cell at/above threshold; b is the dropped side
+    # pairs (a < b) within a cell at/above threshold; b is the dropped
+    # side. The threshold lives INSIDE the aggregate (sum of a CASE),
+    # not in a filter: a filter here is pushed into the join condition,
+    # and higher-order-function expressions evaluated as a join
+    # predicate fall out of codegen — measured 5.5 s -> 3.2 s at sf0.1
+    # (476k within-cell pairs) just by moving the sim evaluation to the
+    # aggregate input. Same rows reach the dot product either way.
     n_lower = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .filter(sim >= F.lit(threshold))
         .groupBy(F.col("b.__id").alias("__dup_id"))
-        .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+        .agg(
+            F.sum(F.when(sim >= F.lit(threshold), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lower_dups")
+        )
+        .filter(F.col("n_lower_dups") > 0)
     )
     return assigned.join(
         n_lower, assigned.__id == F.col("__dup_id"), "left"
