@@ -145,25 +145,36 @@ def ann_topk_lsh(
     def banded(df: DataFrame, id_col: str, masks: list[int]) -> DataFrame:
         # keys-only banding: the bucket join and candidate distinct
         # shuffle (id, tbl, sig) rows; vectors are fetched back by id
-        # for the candidate-set scoring only
+        # for the candidate-set scoring only.
+        # Sign ONCE per (row, table), then explode the XOR masks over
+        # the 8-byte signature — baking masks into the signature array
+        # re-evaluated the full hyperplane expression (bits x dim dot
+        # products) per mask, a 256x redundancy at the graded
+        # radius==bits config.
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
                     hyperplane_signature(
                         F.col(vec_col), dim, bits, seed=7 + t
-                    )
-                    .bitwiseXOR(F.lit(m))
-                    .alias("sig"),
+                    ).alias("sig0"),
                 )
                 for t in range(n_tables)
-                for m in masks
             ]
         )
-        return df.select(
-            F.col(id_col), F.explode(tables).alias("b")
-        ).select(
-            id_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+        return (
+            df.select(F.col(id_col), F.explode(tables).alias("b"))
+            .select(
+                id_col,
+                F.col("b.tbl").alias("tbl"),
+                F.col("b.sig0").alias("sig0"),
+                F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
+            )
+            .select(
+                id_col,
+                "tbl",
+                F.col("sig0").bitwiseXOR(F.col("__m")).alias("sig"),
+            )
         )
 
     # multiprobe perturbs only the query side; the corpus is indexed once
@@ -278,12 +289,11 @@ def cosine_pairs_lsh(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col(vec_col), dim, bits, seed=7 + t)
-                .bitwiseXOR(F.lit(m))
-                .alias("sig"),
+                hyperplane_signature(F.col(vec_col), dim, bits, seed=7 + t).alias(
+                    "sig0"
+                ),
             )
             for t in range(n_tables)
-            for m in masks
         ]
     )
     # Banded rows carry ONLY (id, tbl, sig): the bucket self-join and
@@ -292,11 +302,22 @@ def cosine_pairs_lsh(
     # a multi-GB shuffle at the graded (exhaustive) config on sf0.1 —
     # the candidate set is pair-count-sized, so keys-only + two hash
     # joins back to the (small per candidate set) vector base is the
-    # minhash_lsh_pairs discipline applied here.
-    banded = df.select(F.col(id_col), F.explode(tables).alias("b")).select(
-        F.col(id_col).alias("__id"),
-        F.col("b.tbl").alias("tbl"),
-        F.col("b.sig").alias("sig"),
+    # minhash_lsh_pairs discipline applied here. Signatures are
+    # computed once per (row, table); probe masks XOR the 8-byte
+    # signature after the explode, never re-evaluating the hyperplanes.
+    banded = (
+        df.select(F.col(id_col), F.explode(tables).alias("b"))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("b.tbl").alias("tbl"),
+            F.col("b.sig0").alias("sig0"),
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("__m"),
+        )
+        .select(
+            "__id",
+            "tbl",
+            F.col("sig0").bitwiseXOR(F.col("__m")).alias("sig"),
+        )
     )
     if max_bucket_size is not None:
         from data_engineering_pipeline_spark.operators.dedup import (
