@@ -11,22 +11,30 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks ~50 queries per round in registry
-# order. Rounds 1-2 cumulatively earned green rows for 94 of 99
-# registered queries; this round-3 front list leads with the 5 queries
-# that have no driver row yet (all locally oracle-green), then any
-# queries NEW this round, then backfills the checked window with
-# previously-green canaries (a spread of r1 core ops and r2 curation/
-# dedup/analytics queries) so regressions in the proven surface are
-# still caught. Everything else stays registered and locally
+# order. Every one of the 99 registered queries has earned a green
+# driver row in some round; the front list leads with whatever changed
+# this round (fixes first, then perf-restructured queries), then
+# backfills the window with previously-green canaries (a spread of core
+# ops, curation/dedup/analytics) so regressions in the proven surface
+# are still caught. Everything else stays registered and locally
 # oracle-tested (tests/test_oracle_queries.py) regardless of rotation.
 _CHECK_FIRST = [
-    # no driver row yet (added after the round-2 window filled)
-    "dedup-semantic",  # re-registered this round: multi-cell grid config
-    "corpus-overlap",
+    # round 5: the six event-analytics queries were RED in r4 (the
+    # events.ts TIMESTAMP_NTZ regression, fixed in sources/tables.py)
+    # — lead with them so the heal lands in the checked window
+    "events-sessionize",
     "events-transitions",
+    "events-funnel",
+    "events-cohort-retention",
+    "events-asof-purchase",
+    "events-range-clicks",
+    # round 5 perf-restructured queries (oracles re-verified locally)
+    "dedup-semantic",
+    "dedup-embedding-lsh",
+    "ann-topk-lsh",
+    "corpus-overlap",
     "op-zorder-key",
     "text-tokenize-bpe",
-    # new in round 3 (names appended here as they land)
     # previously-green canaries: reference core
     "parity-pipeline",
     "op-scan-ordered",
@@ -47,9 +55,7 @@ _CHECK_FIRST = [
     # previously-green canaries: curation / dedup / similarity
     "dedup-minhash-lsh",
     "dedup-simhash",
-    "dedup-embedding-lsh",
     "dedup-keep-best",
-    "ann-topk-lsh",
     "ann-topk-ivf",
     "embedding-centroids",
     "curation-chunk-dedup",
@@ -63,11 +69,6 @@ _CHECK_FIRST = [
     "text-bm25",
     # previously-green canaries: events / temporal / relational spread
     "events-window-tumbling",
-    "events-sessionize",
-    "events-asof-purchase",
-    "events-range-clicks",
-    "events-funnel",
-    "events-cohort-retention",
     "multimodal-decode",
     "op-pivot-events",
     "op-topk-per-group",
