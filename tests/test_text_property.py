@@ -1,0 +1,105 @@
+"""Property tests for the portable text primitives: each has a plain
+Python model executed on hypothesis-generated inputs, pinning the Spark
+expression semantics independently of the DuckDB oracles (which pin the
+same functions relationally). Batch style: each example set becomes one
+small DataFrame, so a property costs a handful of Spark jobs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.dedup import normalize_text
+from data_engineering_pipeline_spark.operators.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    PII_PATTERNS,
+    fingerprint,
+    redact_pii,
+)
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=80,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _fingerprint_model(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+    return acc
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_ASCII, min_size=1, max_size=20))
+def test_fingerprint_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.fp
+        for r in df.select("id", fingerprint("text").alias("fp")).collect()
+    }
+    assert got == {i: _fingerprint_model(t) for i, t in enumerate(texts)}
+
+
+def _normalize_model(s: str) -> str:
+    s = s.lower()
+    s = re.sub(r"[.,!?;:\'\"()]", "", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_ASCII, min_size=1, max_size=20))
+def test_normalize_text_matches_model_and_is_idempotent(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    out = df.select(
+        "id",
+        normalize_text("text").alias("once"),
+        normalize_text(normalize_text("text")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once == _normalize_model(texts[r.id])
+        assert r.twice == r.once  # idempotent: already-canonical input
+
+
+_PII_PIECES = st.sampled_from(
+    [
+        "contact bob.smith+x@example.co.uk now",
+        "call 555-123-4567 or",
+        "from 192.168.001.12 at",
+        "plain words only",
+        "a@b.io",
+        "1.2.3.4",
+        "ext 555-000-1111",
+    ]
+)
+
+
+@settings(**_SETTINGS)
+@given(parts=st.lists(_PII_PIECES, min_size=1, max_size=6))
+def test_redact_pii_leaves_no_matches(spark, parts):
+    """After redaction, none of the PII patterns (the same RE2/Java
+    common-subset strings, here executed by Python re) match anywhere,
+    and rows with no PII pass through unchanged."""
+    text = " ".join(parts)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    red = df.select(redact_pii("text").alias("t")).collect()[0].t
+    for _, pat, _ in PII_PATTERNS:
+        assert re.search(pat, red) is None, (pat, red)
+    clean = "no pii here at all"
+    df2 = spark.createDataFrame([(0, clean)], "id long, text string")
+    assert df2.select(redact_pii("text").alias("t")).collect()[0].t == clean
