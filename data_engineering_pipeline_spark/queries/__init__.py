@@ -28,6 +28,8 @@ _CHECK_FIRST = [
     "events-cohort-retention",
     "events-asof-purchase",
     "events-range-clicks",
+    # new in round 5
+    "events-attribution",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",
