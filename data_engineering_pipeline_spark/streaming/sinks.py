@@ -28,38 +28,28 @@ def dedup_stream(
     )
 
 
-def near_dedup_sink(
-    stream_docs: DataFrame,
+def _incremental_dedup_sink(
+    stream_df: DataFrame,
     out_path: str,
-    sig_path: str,
+    state_path: str,
     checkpoint: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.7,
+    id_col: str,
+    pair_fn,
 ) -> StreamingQuery:
-    """Streaming near-duplicate filter over document micro-batches: each
-    batch is MinHash-signed and probed against the persisted signature
-    store of everything seen so far (operators/dedup.py
-    incremental_minhash_dedup) — the corpus itself is never re-scanned.
-    Surviving docs are merged into out_path (upsert by id, so replayed
-    batches converge instead of duplicating); the signature store is
-    swapped atomically after each batch.
+    """Shared core of the streaming near-dup sinks: per micro-batch,
+    `pair_fn(batch_df, existing_state_or_None) -> (new_state, pairs)`
+    produces duplicate pairs against everything seen so far; the drop
+    rule, survivor upsert, and atomic state swap are identical for any
+    incremental pair producer (MinHash text, hyperplane embeddings...).
 
     Drop rule per new doc: it loses to ANY earlier-seen near-duplicate,
     and to a same-batch near-duplicate with a lower id — the streaming
-    form of exact_dedup's deterministic keep-lowest-id.
-
-    Scale: state is one row of K minhashes per document ever seen —
-    tiny next to the corpus — and each batch shuffles only itself plus
-    bucket-colliding candidates. Single-writer, like the reference."""
+    form of exact_dedup's deterministic keep-lowest-id."""
     import os
     import uuid
 
     from pyspark.sql import functions as F
 
-    from data_engineering_pipeline_spark.operators.dedup import (
-        incremental_minhash_dedup,
-    )
     from data_engineering_pipeline_spark.operators.upsert import (
         upsert_parquet,
     )
@@ -69,11 +59,11 @@ def near_dedup_sink(
             return
         spark = batch_df.sparkSession
         existing = (
-            spark.read.parquet(sig_path) if os.path.exists(sig_path) else None
+            spark.read.parquet(state_path)
+            if os.path.exists(state_path)
+            else None
         )
-        sigs, pairs = incremental_minhash_dedup(
-            batch_df, existing, id_col, text_col, threshold
-        )
+        sigs, pairs = pair_fn(batch_df, existing)
         new_ids = batch_df.select(F.col(id_col).alias("__o")).distinct()
         edges = pairs.select(
             F.col("id_a").alias("__d"), F.col("id_b").alias("__o")
@@ -96,23 +86,98 @@ def near_dedup_sink(
         upsert_parquet(spark, out_path, survivors, [id_col], id_col)
         # materialize the updated store to a temp dir BEFORE touching the
         # live one (the plan lazily reads the live store), then swap
-        tmp = f"{sig_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        tmp = f"{state_path}.__tmp__{uuid.uuid4().hex[:8]}"
         sigs.write.mode("overwrite").parquet(tmp)
-        old = f"{sig_path}.__old__{uuid.uuid4().hex[:8]}"
-        had = os.path.exists(sig_path)
+        old = f"{state_path}.__old__{uuid.uuid4().hex[:8]}"
+        had = os.path.exists(state_path)
         if had:
-            os.rename(sig_path, old)
-        os.rename(tmp, sig_path)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
         if had:
             import shutil
 
             shutil.rmtree(old)
 
     return (
-        stream_docs.writeStream.foreachBatch(_process)
+        stream_df.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def near_dedup_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    sig_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> StreamingQuery:
+    """Streaming near-duplicate filter over document micro-batches: each
+    batch is MinHash-signed and probed against the persisted signature
+    store of everything seen so far (operators/dedup.py
+    incremental_minhash_dedup) — the corpus itself is never re-scanned.
+    Surviving docs are merged into out_path (upsert by id, so replayed
+    batches converge instead of duplicating); the signature store is
+    swapped atomically after each batch.
+
+    Scale: state is one row of K minhashes per document ever seen —
+    tiny next to the corpus — and each batch shuffles only itself plus
+    bucket-colliding candidates. Single-writer, like the reference."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    def _pairs(batch_df, existing):
+        return incremental_minhash_dedup(
+            batch_df, existing, id_col, text_col, threshold
+        )
+
+    return _incremental_dedup_sink(
+        stream_docs, out_path, sig_path, checkpoint, id_col, _pairs
+    )
+
+
+def embedding_near_dedup_sink(
+    stream_vecs: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int = 64,
+    bits: int = 12,
+    n_tables: int = 6,
+    probe_radius: int = 0,
+) -> StreamingQuery:
+    """Streaming embedding near-duplicate filter — the semantic twin of
+    near_dedup_sink: each micro-batch is hyperplane-signed and probed
+    against the persisted LSH index of everything seen so far
+    (operators/similarity.py incremental_embedding_dedup), candidates
+    exact-cosine-verified, survivors upserted, index swapped atomically.
+    Same drop rule and state discipline; only the signer differs."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    def _pairs(batch_df, existing):
+        return incremental_embedding_dedup(
+            batch_df,
+            existing,
+            id_col,
+            vec_col,
+            threshold,
+            dim,
+            bits,
+            n_tables,
+            probe_radius,
+        )
+
+    return _incremental_dedup_sink(
+        stream_vecs, out_path, index_path, checkpoint, id_col, _pairs
     )
 
 

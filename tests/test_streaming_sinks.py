@@ -129,3 +129,67 @@ def test_dedup_stream_drops_same_key(spark, tmp_path, sf_smoke):
     got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_out").collect()[0]
     expected = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
     assert got.c == got.d == expected
+
+
+def test_embedding_near_dedup_sink_cross_batch(spark, tmp_path):
+    """Two micro-batches through the streaming embedding near-dup
+    filter (exhaustive graded LSH config): batch 2 holds an exact copy
+    and a near copy of batch-1 vectors plus one genuinely different
+    vector — only the different one survives from batch 2."""
+    import os
+    import random
+    import time
+
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        embedding_near_dedup_sink,
+    )
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.gauss(0.0, 1.0) for _ in range(16)] for i in range(12)
+    }
+    near = list(vecs[4])
+    near[0] += 0.01  # tiny perturbation: cosine ~ 1
+    novel = [(-1.0) ** j * (j + 1.0) for j in range(16)]
+    b1 = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [(1000, vecs[7]), (1001, near), (1002, novel)],
+        "vec_id long, embedding array<double>",
+    )
+
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "e1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "e2"))
+    for i, d in enumerate(["e1", "e2"]):
+        part = next(
+            p for p in os.listdir(tmp_path / d) if p.endswith(".parquet")
+        )
+        dst = src / f"{d}.parquet"
+        os.rename(tmp_path / d / part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "emb_out")
+    idx = str(tmp_path / "emb_idx")
+    q = embedding_near_dedup_sink(
+        stream, out, idx, str(tmp_path / "emb_ck"),
+        threshold=0.95, dim=16, bits=4, n_tables=1, probe_radius=4,
+    )
+    q.awaitTermination()
+
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert set(range(12)) <= kept         # batch 1 all kept
+    assert 1002 in kept                   # novel vector survives
+    assert 1000 not in kept               # exact cross-batch copy dropped
+    assert 1001 not in kept               # near cross-batch copy dropped
+    # index covers every vector ever seen (one row per table)
+    idx_ids = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    assert set(range(12)) | {1000, 1001, 1002} <= idx_ids
