@@ -30,6 +30,7 @@ _CHECK_FIRST = [
     "events-range-clicks",
     # new in round 5
     "events-attribution",
+    "op-scd2-history",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

@@ -823,3 +823,47 @@ def op_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("l_orderkey") % 256, F.col("l_partkey") % 256], bits=8
         ).alias("zkey"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "op-scd2-history",
+    """
+    WITH u AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts,
+             o_orderkey AS tb
+      FROM orders
+    ), s AS (
+      SELECT custkey, priority, ts, tb,
+             row_number() OVER w AS rn,
+             lag(priority) OVER w AS prev_priority
+      FROM u WINDOW w AS (PARTITION BY custkey ORDER BY ts, tb)
+    ), c AS (
+      SELECT custkey, priority, ts, tb FROM s
+      WHERE rn = 1 OR priority IS DISTINCT FROM prev_priority
+    )
+    SELECT custkey, priority, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY custkey ORDER BY ts, tb)
+             AS valid_to
+    FROM c ORDER BY custkey, valid_from, tb
+    """,
+)
+def op_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 rebuild (operators/scd.py scd2_history): the version history
+    of each customer's order priority, derived from the orders log —
+    one open interval per customer, closed intervals ending where the
+    priority actually changed (no-op updates dropped). ts as epoch
+    micros so both engines hash identical integers; deterministic
+    o_orderkey tie-break for same-date orders."""
+    from data_engineering_pipeline_spark.operators.scd import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    return scd2_history(
+        updates, ["custkey"], ["priority"], "ts", "tb"
+    ).orderBy("custkey", "valid_from")

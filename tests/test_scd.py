@@ -1,0 +1,79 @@
+"""SCD2 operator tests: the incremental merge must equal the full
+rebuild on a time-split update log, and the change-detection must be
+null-safe and tie-deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.scd import (
+    scd2_history,
+    scd2_merge,
+)
+from data_engineering_pipeline_spark.sources import load_table
+
+
+def _updates(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (
+            (r.custkey, r.priority, r.valid_from, r.valid_to)
+            for r in df.collect()
+        ),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_scd2_merge_equals_full_rebuild(spark, sf_smoke):
+    u = _updates(spark, sf_smoke)
+    pivot = u.approxQuantile("ts", [0.5], 0.0)[0]
+    b1 = u.filter(F.col("ts") < pivot)
+    b2 = u.filter(F.col("ts") >= pivot)
+    cur = scd2_history(b1, ["custkey"], ["priority"], "ts", "tb")
+    merged = scd2_merge(cur, b2, ["custkey"], ["priority"], "ts", "tb")
+    full = scd2_history(u, ["custkey"], ["priority"], "ts", "tb")
+    assert _rows(merged) == _rows(full)
+    # exactly one open version per key present in the log
+    open_rows = [r for r in _rows(full) if r[3] is None]
+    assert len(open_rows) == u.select("custkey").distinct().count()
+
+
+def test_scd2_change_detection_null_safe_and_tied(spark):
+    rows = [
+        # key 1: null -> 'a' -> 'a' (no-op) -> null (change back)
+        (1, None, 10, 100),
+        (1, "a", 20, 101),
+        (1, "a", 30, 102),
+        (1, None, 40, 103),
+        # key 2: two updates at the SAME ts, sequenced by tiebreak
+        (2, "x", 10, 200),
+        (2, "y", 10, 201),
+    ]
+    df = spark.createDataFrame(
+        rows, "custkey long, priority string, ts long, tb long"
+    )
+    hist = _rows(scd2_history(df, ["custkey"], ["priority"], "ts", "tb"))
+    # None-aware sort order: non-null priorities first within a key
+    assert hist == [
+        (1, "a", 20, 40),   # the no-op update at ts=30 left no version
+        (1, None, 10, 20),
+        (1, None, 40, None),
+        (2, "x", 10, 10),   # zero-length version: closed by the tied update
+        (2, "y", 10, None),
+    ]
+    # merging an unchanged-attribute update is a no-op on the table
+    cur = scd2_history(df, ["custkey"], ["priority"], "ts", "tb")
+    noop = spark.createDataFrame(
+        [(1, None, 50, 300)], "custkey long, priority string, ts long, tb long"
+    )
+    merged = _rows(scd2_merge(cur, noop, ["custkey"], ["priority"], "ts", "tb"))
+    assert merged == hist
