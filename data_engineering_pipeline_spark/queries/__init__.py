@@ -31,6 +31,7 @@ _CHECK_FIRST = [
     # new in round 5
     "events-attribution",
     "op-scd2-history",
+    "events-hourly-anomaly",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

@@ -393,3 +393,70 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     ).orderBy("prev_type", "next_type")
+
+
+@_register(
+    "events-hourly-anomaly",
+    """
+    WITH hc AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS hour_no,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, hour_no, n_events,
+             count(*) OVER w AS n_hours,
+             sum(n_events) OVER w AS total
+      FROM hc WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, hour_no, n_events,
+           CAST(n_events * n_hours AS DOUBLE) / total AS load_ratio
+    FROM st
+    WHERE n_events * n_hours * 2 >= total * 3
+    ORDER BY event_type, hour_no
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-hour detection: hours whose event count is >= 1.5x that
+    type's average hourly count. The threshold compares INTEGERS
+    (n * n_hours * 2 >= total * 3) so the cut is bit-exact in both
+    engines, and load_ratio is a single int/int IEEE division — no
+    stddev (engines disagree on summation algorithms), no rounding.
+
+    Scale: one partial-aggregated groupBy on (type, hour), then a
+    window over event_type whose partitions are hour-count-sized
+    (thousands of rows), never event-sized."""
+    e = load_table(spark, sf_dir, "events")
+    # integer `div`, not float division + cast: a double quotient can
+    # round up across an hour boundary before truncation
+    hc = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_no"),
+        )
+        .groupBy("event_type", "hour_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wp = Window.partitionBy("event_type")
+    st = hc.select(
+        "event_type",
+        "hour_no",
+        "n_events",
+        F.count(F.lit(1)).over(wp).alias("n_hours"),
+        F.sum("n_events").over(wp).alias("total"),
+    )
+    return (
+        st.filter(
+            F.col("n_events") * F.col("n_hours") * 2 >= F.col("total") * 3
+        )
+        .select(
+            "event_type",
+            "hour_no",
+            "n_events",
+            (
+                (F.col("n_events") * F.col("n_hours")).cast("double")
+                / F.col("total")
+            ).alias("load_ratio"),
+        )
+        .orderBy("event_type", "hour_no")
+    )
