@@ -93,3 +93,43 @@ def upsert_parquet(
     if had_old:
         shutil.rmtree(old_aside)
     return n
+
+
+def recover_table(path: str) -> str:
+    """Restore `path` to a consistent state after a crash anywhere in
+    upsert_parquet's write-swap sequence (single-writer, like the
+    reference's transaction, database.py:60-71). Returns one of
+    'clean' | 'finished_swap' | 'restored_old' | 'dropped_tmp'
+    describing what was found.
+
+    Decision table (remnants are `<path>.__tmp__*` / `<path>.__old__*`):
+    - live table present: the swap either never started or fully
+      completed before the cleanup step — keep live, drop remnants.
+    - live missing, a COMPLETE tmp exists (Spark's _SUCCESS marker):
+      the crash hit between the two renames — finish the swap.
+    - live missing, only an old-aside exists (or the tmp is partial):
+      the merge never committed — restore the old table; the batch
+      re-runs and idempotently converges.
+    """
+    import glob as _glob
+
+    tmps = sorted(_glob.glob(f"{path}.__tmp__*"), key=os.path.getmtime)
+    olds = sorted(_glob.glob(f"{path}.__old__*"), key=os.path.getmtime)
+    if os.path.exists(path):
+        for d in tmps + olds:
+            shutil.rmtree(d)
+        return "finished_swap" if (tmps or olds) else "clean"
+    complete = [t for t in tmps if os.path.exists(os.path.join(t, "_SUCCESS"))]
+    if complete:
+        os.rename(complete[-1], path)  # newest committed merge wins
+        for d in [t for t in tmps if t != complete[-1]] + olds:
+            shutil.rmtree(d)
+        return "finished_swap"
+    if olds:
+        os.rename(olds[-1], path)
+        for d in tmps + olds[:-1]:
+            shutil.rmtree(d)
+        return "restored_old"
+    for d in tmps:
+        shutil.rmtree(d)
+    return "dropped_tmp"

@@ -86,3 +86,60 @@ def test_partitioned_upsert_prunes_and_stays_idempotent(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert scan.count() == 2
+
+
+def test_recover_table_every_crash_state(spark, tmp_path):
+    """Simulate a crash at each point of the upsert write-swap sequence
+    and assert recover_table restores a consistent, findable table."""
+    import os
+    import shutil
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        recover_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ver long"
+    )
+    upsert_parquet(spark, path, base, ["k"], "ver")
+    assert recover_table(path) == "clean"
+
+    def rows():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+    committed = rows()
+    merged = spark.createDataFrame(
+        [(1, "a2", 2), (3, "c", 1)], "k long, v string, ver long"
+    )
+
+    # crash AFTER writing tmp, BEFORE any rename: live + complete tmp
+    merged.write.mode("overwrite").parquet(f"{path}.__tmp__dead1")
+    assert recover_table(path) == "finished_swap"  # remnants dropped
+    assert rows() == committed and not os.path.exists(f"{path}.__tmp__dead1")
+
+    # crash BETWEEN the renames: live missing, complete tmp + old aside
+    merged.write.mode("overwrite").parquet(f"{path}.__tmp__dead2")
+    os.rename(path, f"{path}.__old__dead2")
+    assert recover_table(path) == "finished_swap"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == \
+        sorted(tuple(r) for r in merged.collect())
+    assert not os.path.exists(f"{path}.__old__dead2")
+
+    # crash mid-tmp-write (no _SUCCESS): restore the old table
+    upsert_parquet(spark, path, base, ["k"], "ver")
+    good = rows()
+    os.makedirs(f"{path}.__tmp__dead3")  # partial: no _SUCCESS marker
+    os.rename(path, f"{path}.__old__dead3")
+    assert recover_table(path) == "restored_old"
+    assert rows() == good
+    assert not os.path.exists(f"{path}.__tmp__dead3")
+
+    # nothing but a partial tmp: nothing to restore, drop the garbage
+    shutil.rmtree(path)
+    os.makedirs(f"{path}.__tmp__dead4")
+    assert recover_table(path) == "dropped_tmp"
+    assert not os.path.exists(path)
