@@ -32,6 +32,7 @@ _CHECK_FIRST = [
     "events-attribution",
     "op-scd2-history",
     "events-hourly-anomaly",
+    "classify-quality",  # rows-only (no SQL oracle for LR weights)
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

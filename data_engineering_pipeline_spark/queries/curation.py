@@ -252,3 +252,38 @@ def curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
     return pack_report(pack_greedy(weighted, _BUDGET))
+
+
+@_register("classify-quality")  # rows-only: model weights aren't SQL
+def classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier end to end (operators/classify.py):
+    featurize the documents, fit the LR on the rule-based teacher
+    labels, score the whole corpus. No DuckDB oracle ON PURPOSE — LR
+    coefficients are not SQL-expressible — so the driver records the
+    weaker rows-only check; the model's agreement with the teacher and
+    training determinism are pinned by tests/test_classify.py. Output
+    is one row per document with a schema stable across runs:
+    (doc_id, teacher_label, model_keep, agrees)."""
+    from data_engineering_pipeline_spark.operators.classify import (
+        featurize,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = featurize(docs)
+    model = train_quality_model(feat)
+    scored = score_quality(model, feat)
+    return (
+        feat.select("doc_id", F.col("label").alias("teacher_label"))
+        .join(scored.select("doc_id", "model_keep"), "doc_id")
+        .select(
+            "doc_id",
+            "teacher_label",
+            "model_keep",
+            (F.col("model_keep") == (F.col("teacher_label") == 1.0)).alias(
+                "agrees"
+            ),
+        )
+        .orderBy("doc_id")
+    )

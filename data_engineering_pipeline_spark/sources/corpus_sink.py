@@ -123,3 +123,37 @@ def compact_corpus(
     # root) — a fixed one-level glob under- or over-counts otherwise
     depth = "/".join(["*"] * len(partition_cols) + ["*.parquet"])
     return len(glob.glob(f"{path}/{depth}"))
+
+
+def recover_corpus(path: str) -> str:
+    """Restore a corpus export to a consistent state after a crash in
+    compact_corpus's swap (single-writer). Returns
+    'clean' | 'finished_swap' | 'restored_old' | 'dropped_tmp'.
+    Mirrors operators/upsert.py recover_table: live present -> drop
+    remnants; live missing with a complete compacted copy (_SUCCESS)
+    -> finish the swap; else restore the old copy (re-run compaction)."""
+    import os
+    import shutil
+
+    tmp = f"{path}.__compact__"
+    old = f"{path}.__old__"
+    if os.path.isdir(path):
+        found = False
+        for d in (tmp, old):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                found = True
+        return "finished_swap" if found else "clean"
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return "finished_swap"
+    if os.path.isdir(old):
+        os.rename(old, path)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        return "restored_old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    return "dropped_tmp"
