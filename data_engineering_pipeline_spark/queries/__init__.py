@@ -33,6 +33,7 @@ _CHECK_FIRST = [
     "op-scd2-history",
     "events-hourly-anomaly",
     "classify-quality",  # rows-only (no SQL oracle for LR weights)
+    "multimodal-frames",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

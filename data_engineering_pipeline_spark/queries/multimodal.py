@@ -7,6 +7,7 @@ mapInPandas path end-to-end, batch shape included."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.multimodal import (
     binarize_documents,
@@ -47,4 +48,44 @@ ORACLES["multimodal-decode"] = """
            CAST(NULL AS DOUBLE) AS mean_val,
            'fake-deterministic' AS decoder
     FROM b ORDER BY media_id
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end to end (operators/multimodal.py
+    sample_frames): every 4th 64-byte frame of each blob. Frames are
+    binary, so the hashable surface is their MD5 — the documents are
+    ASCII, so DuckDB reproduces the exact frame bytes with substr on
+    the text and hashes the same 64 bytes."""
+    from data_engineering_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(binarize_documents(docs), frame_size=64, every_n=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.md5("frame_bytes").alias("frame_md5"),
+    ).orderBy("media_id", "frame_no")
+
+
+QUERIES["multimodal-frames"] = multimodal_frames
+
+ORACLES["multimodal-frames"] = """
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) // 64 AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4))
+                AS INTEGER) AS frame_no,
+           md5(substr(text,
+                      CAST(unnest(generate_series(0,
+                           CAST(n_frames - 1 AS BIGINT), 4)) * 64 + 1
+                           AS BIGINT),
+                      64)) AS frame_md5
+    FROM b WHERE n_frames >= 1
+    ORDER BY media_id, frame_no
 """
