@@ -133,3 +133,53 @@ def recover_table(path: str) -> str:
     for d in tmps:
         shutil.rmtree(d)
     return "dropped_tmp"
+
+
+def upsert_parquet_scoped(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_cols: list[str],
+) -> int:
+    """Partition-scoped upsert: merge `new` into a hive-partitioned
+    Parquet table rewriting ONLY the partitions the batch touches —
+    the form that survives 100 TB, where `upsert_parquet`'s whole-table
+    read-merge-overwrite is a non-starter. Keys must not move between
+    partitions (partition_cols ⊆ the key's functional dependencies),
+    the standard constraint for partition-scoped MERGE.
+
+    Plan shape: the touched partition VALUES are collected (tiny — one
+    row per partition, not per record), the old side is read with a
+    partition-pruned filter (only touched directories are scanned), and
+    the merged result is written under dynamic partition overwrite so
+    Spark replaces exactly the partitions present in it. Untouched
+    partitions are never read, shuffled, or rewritten. Returns the
+    merged row count of the touched partitions."""
+    if not os.path.exists(path):
+        new_only = merge_last_write_wins(None, new, keys, order_col)
+        writer = new_only.write.mode("overwrite").partitionBy(*partition_cols)
+        writer.parquet(path)
+        return spark.read.parquet(path).count()
+    touched = new.select(*partition_cols).distinct().collect()
+    pred = None
+    for r in touched:
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c).eqNullSafe(F.lit(r[c]))
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    old_touched = spark.read.parquet(path).filter(pred)
+    merged = merge_last_write_wins(old_touched, new, keys, order_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path).filter(pred).count()

@@ -143,3 +143,54 @@ def test_recover_table_every_crash_state(spark, tmp_path):
     os.makedirs(f"{path}.__tmp__dead4")
     assert recover_table(path) == "dropped_tmp"
     assert not os.path.exists(path)
+
+
+def test_scoped_upsert_touches_only_batch_partitions(spark, tmp_path):
+    """Partition-scoped upsert rewrites only the partitions present in
+    the batch: untouched partitions keep their exact files on disk, the
+    merge is idempotent, and the pruned read shows PartitionFilters."""
+    import glob
+    import os
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_scoped,
+    )
+
+    path = str(tmp_path / "scoped")
+    base = spark.createDataFrame(
+        [(1, "de", "a", 1), (2, "de", "b", 1), (3, "en", "c", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    upsert_parquet_scoped(spark, path, base, ["k"], "ver", ["lang"])
+    en_files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/lang=en/*.parquet")
+    }
+    assert en_files_before
+
+    batch = spark.createDataFrame(
+        [(1, "de", "a2", 2), (4, "de", "d", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    upsert_parquet_scoped(spark, path, batch, ["k"], "ver", ["lang"])
+    # untouched partition: identical files, untouched mtimes
+    en_files_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/lang=en/*.parquet")
+    }
+    assert en_files_after == en_files_before
+
+    rows = {
+        r.k: (r.lang, r.v, r.ver)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        1: ("de", "a2", 2),
+        2: ("de", "b", 1),
+        3: ("en", "c", 1),
+        4: ("de", "d", 1),
+    }
+    # idempotent: replaying the batch changes nothing
+    upsert_parquet_scoped(spark, path, batch, ["k"], "ver", ["lang"])
+    assert {
+        r.k: (r.lang, r.v, r.ver)
+        for r in spark.read.parquet(path).collect()
+    } == rows
