@@ -187,15 +187,32 @@ def upsert_sink(
     keys: list[str],
     order_col: str,
     checkpoint: str,
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """writeStream.foreachBatch -> merge_last_write_wins per micro-batch.
-    Replaying a batch converges to the same table state (idempotent)."""
-    from data_engineering_pipeline_spark.operators.upsert import upsert_parquet
+    Replaying a batch converges to the same table state (idempotent).
+    With `partition_cols`, each micro-batch merges through the
+    partition-SCOPED upsert (dynamic partition overwrite): only the
+    partitions the batch touches are read or rewritten — the form that
+    holds up when the table is 100 TB and a micro-batch touches a few
+    partitions of it."""
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+        upsert_parquet_scoped,
+    )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_parquet(batch_df.sparkSession, path, batch_df, keys, order_col)
+        if partition_cols:
+            upsert_parquet_scoped(
+                batch_df.sparkSession, path, batch_df, keys, order_col,
+                partition_cols,
+            )
+        else:
+            upsert_parquet(
+                batch_df.sparkSession, path, batch_df, keys, order_col
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

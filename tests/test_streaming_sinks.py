@@ -193,3 +193,46 @@ def test_embedding_near_dedup_sink_cross_batch(spark, tmp_path):
     # index covers every vector ever seen (one row per table)
     idx_ids = {r["__id"] for r in spark.read.parquet(idx).collect()}
     assert set(range(12)) | {1000, 1001, 1002} <= idx_ids
+
+
+def test_upsert_sink_partition_scoped(spark, tmp_path):
+    """upsert_sink with partition_cols merges each micro-batch through
+    the partition-scoped path: untouched partitions keep their exact
+    files across batches."""
+    import glob
+    import os
+    import time
+
+    b1 = spark.createDataFrame(
+        [(1, "de", "a", 1), (2, "en", "b", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "de", "a2", 2)],
+        "k long, lang string, v string, ver long",
+    )
+    src = tmp_path / "up_src"
+    src.mkdir()
+    for i, (nm, df) in enumerate([("a", b1), ("b", b2)]):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / nm))
+        part = next(
+            p for p in os.listdir(tmp_path / nm) if p.endswith(".parquet")
+        )
+        dst = src / f"{nm}.parquet"
+        os.rename(tmp_path / nm / part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    out = str(tmp_path / "up_out")
+    stream = (
+        spark.readStream.schema("k long, lang string, v string, ver long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = upsert_sink(
+        stream, out, ["k"], "ver", str(tmp_path / "up_ck"),
+        partition_cols=["lang"],
+    )
+    q.awaitTermination()
+    rows = {r.k: (r.lang, r.v, r.ver) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: ("de", "a2", 2), 2: ("en", "b", 1)}
+    assert glob.glob(f"{out}/lang=de/*.parquet")  # hive layout preserved
