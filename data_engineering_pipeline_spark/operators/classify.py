@@ -121,8 +121,19 @@ def featurize(
 
 def train_quality_model(feat: DataFrame):
     """Fit the distilled LR on a featurize() frame. Returns the fitted
-    PipelineModel (assembler + scaler + LR)."""
-    from pyspark.ml import Pipeline
+    PipelineModel (assembler + scaler + LR).
+
+    The freshly-fit LogisticRegressionModel carries a trainingSummary
+    that holds the SparkSession; when the scoring closure is java-
+    serialized (e.g. the scored frame lands on a broadcast build side)
+    that drags the session's non-serializable ObservationManager along
+    and the job dies with NotSerializableException. A save/load
+    round-trip returns the same model minus the summary — the standard
+    way to make a fitted model closure-safe."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
@@ -138,7 +149,13 @@ def train_quality_model(feat: DataFrame):
             ),
         ]
     )
-    return pipe.fit(feat)
+    model = pipe.fit(feat)
+    d = tempfile.mkdtemp(prefix="quality_model_")
+    try:
+        model.write().overwrite().save(d)
+        return PipelineModel.load(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def score_quality(model, feat: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -266,24 +266,25 @@ def classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, teacher_label, model_keep, agrees)."""
     from data_engineering_pipeline_spark.operators.classify import (
         featurize,
-        score_quality,
         train_quality_model,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     feat = featurize(docs)
     model = train_quality_model(feat)
-    scored = score_quality(model, feat)
-    return (
-        feat.select("doc_id", F.col("label").alias("teacher_label"))
-        .join(scored.select("doc_id", "model_keep"), "doc_id")
-        .select(
-            "doc_id",
-            "teacher_label",
-            "model_keep",
-            (F.col("model_keep") == (F.col("teacher_label") == 1.0)).alias(
-                "agrees"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    # single transform, NO join back to feat: model.transform already
+    # carries every input column, and joining the UDF-bearing side
+    # would let Spark pick it as a broadcast build side — serializing
+    # the scoring closure on the broadcast thread drags the fitted
+    # model's trainingSummary (which holds the SparkSession) into
+    # java serialization and fails once the session has observation
+    # state registered.
+    scored = model.transform(feat)
+    return scored.select(
+        "doc_id",
+        F.col("label").alias("teacher_label"),
+        (F.col("prediction") == 1.0).alias("model_keep"),
+        ((F.col("prediction") == 1.0) == (F.col("label") == 1.0)).alias(
+            "agrees"
+        ),
+    ).orderBy("doc_id")
