@@ -283,7 +283,13 @@ def cosine_pairs_lsh(
     than the cap before pairing — see dedup.cap_hot_buckets: a
     degenerate embedding region (zero vectors, template docs embedded
     identically) floods one bucket per table and costs size^2 pairs
-    that neither salting nor AQE can reduce."""
+    that neither salting nor AQE can reduce.
+
+    Constant-cost note (measured, BASELINE.md round-5 scale probe): the
+    hyperplane literals compile n_tables x bits x dim doubles into the
+    plan, so plan build + codegen is a data-independent ~seconds at
+    bits=12/t=6 — invisible at cluster scale, dominant on tiny local
+    inputs. Don't misread a flat small-scale timing as runtime cost."""
     masks = _probe_masks(bits, probe_radius)
     tables = F.array(
         *[
