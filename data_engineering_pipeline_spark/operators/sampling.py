@@ -102,3 +102,24 @@ def mixture_rebalance(
         .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
         .drop("__keep_ppm")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    *keys: Column,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Keep each row with probability equal to its weight in [0, 1] —
+    quality-weighted corpus subsampling (the GPT-3-style trick: sample
+    the crawl with probability proportional to the quality classifier's
+    score, so low-quality text is down-weighted without a hard cut).
+
+    Deterministic and partitioning-independent: the per-row uniform is
+    key_hash(keys) % resolution / resolution, and the row survives iff
+    u < weight. Same exact-int64 hash as hash_sample, so the keep set
+    is reproducible in any engine; a narrow filter, no shuffle."""
+    u = (key_hash(*keys) % resolution).cast("double") / F.lit(
+        float(resolution)
+    )
+    return df.filter(u < F.col(weight_col))

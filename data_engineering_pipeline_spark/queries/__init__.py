@@ -34,6 +34,7 @@ _CHECK_FIRST = [
     "events-hourly-anomaly",
     "classify-quality",  # rows-only (no SQL oracle for LR weights)
     "multimodal-frames",
+    "curation-weighted-sample",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

@@ -24,7 +24,7 @@ from data_engineering_pipeline_spark.operators.text import (
     redact_pii,
     tokens,
 )
-from data_engineering_pipeline_spark.queries.text import _TOKS
+from data_engineering_pipeline_spark.queries.text import _STOP_SQL, _TOKS
 from data_engineering_pipeline_spark.sources import load_table
 
 QUERIES = {}
@@ -287,4 +287,63 @@ def classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("prediction") == 1.0) == (F.col("label") == 1.0)).alias(
             "agrees"
         ),
+    ).orderBy("doc_id")
+
+
+_WS_RES = 1_000_000
+# single-key portable hash (operators/sampling.py key_hash: h=0 then
+# ((h + k) * 69069 + 1) % 2^32 per key), mirrored for doc_id
+_WS_HASH_SQL = "(((doc_id) * 69069 + 1) % 4294967296)"
+
+
+@_register(
+    "curation-weighted-sample",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+          / len(toks) AS stopword_ratio,
+        CAST(length(text) - length(regexp_replace(text,
+             '[.,!?;:''"()]', '', 'g')) AS DOUBLE) / length(text)
+          AS punct_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+      FROM t
+    ), q AS (
+      SELECT doc_id,
+        greatest(least(
+          0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+          + 0.4 * diversity
+          + 0.2 * least(stopword_ratio * 2.0, 1.0)
+          - 0.2 * least(punct_ratio * 4.0, 1.0), 1.0), 0.0) AS quality
+      FROM m
+    )
+    SELECT doc_id, quality
+    FROM q
+    WHERE CAST({_WS_HASH_SQL} % {_WS_RES} AS DOUBLE) / {_WS_RES}.0 < quality
+    ORDER BY doc_id
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample (operators/sampling.py
+    weighted_sample): each document survives with probability equal to
+    its deterministic quality score — soft quality filtering instead of
+    a hard threshold. The per-row uniform comes from the portable
+    exact-int64 key hash, so Spark and DuckDB keep the identical set."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from data_engineering_pipeline_spark.operators.text import (
+        quality_score,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score("text", toks=tokens("text")).alias("quality"),
+    )
+    return weighted_sample(scored, "quality", F.col("doc_id")).select(
+        "doc_id", "quality"
     ).orderBy("doc_id")

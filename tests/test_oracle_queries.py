@@ -69,3 +69,21 @@ def test_approx_quantiles_within_bound(spark, sf_correct):
         lo = vals[max(0, int((q - 0.011) * n))]
         hi = vals[min(n - 1, int((q + 0.011) * n))]
         assert lo <= a <= hi
+
+
+def test_registry_loads_every_module_loudly():
+    """collect_registry warns-and-continues when a query module fails
+    to import, which silently shrinks the graded surface (the
+    parameterized tests above simply vanish for the lost module). Fail
+    loudly instead: no load warnings, and the registry holds the full
+    complement."""
+    import warnings
+
+    from data_engineering_pipeline_spark.queries import collect_registry
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        qs, oracles = collect_registry()
+    assert len(qs) >= 105
+    assert len(oracles) >= 104
+    assert set(oracles) <= set(qs)
