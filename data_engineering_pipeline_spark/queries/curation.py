@@ -347,3 +347,63 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(scored, "quality", F.col("doc_id")).select(
         "doc_id", "quality"
     ).orderBy("doc_id")
+
+
+@_register(
+    "curation-temperature",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+               GROUP BY lang),
+    p AS (SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(min(n_docs) OVER () AS DOUBLE)
+                                 / n_docs) * 1000000.0) AS BIGINT)
+                   AS keep_ppm
+          FROM c),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN p USING (lang)
+      WHERE ((d.doc_id * 69069 + 1) % 4294967296) % 1000000 < p.keep_ppm
+      GROUP BY d.lang
+    )
+    SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs, p.keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM p LEFT JOIN k ON k.lang = p.lang
+    ORDER BY p.lang
+    """,
+)
+def curation_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling report at alpha=0.5 (operators/sampling.py
+    temperature_rebalance): per-language input size, sqrt-law keep rate
+    (ppm), surviving count. The sqrt is IEEE correctly-rounded so both
+    engines floor the identical ppm; between curation-mixture
+    (equalize, alpha=0) and no-op (alpha=1)."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("__min_n"))
+    ppm = counts.join(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("__min_n").cast("double") / F.col("n_docs"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("keep_ppm"),
+    )
+    kept = (
+        temperature_rebalance(docs, "lang", 0.5, F.col("doc_id"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_kept"))
+    )
+    return (
+        ppm.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "keep_ppm",
+            F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
