@@ -91,6 +91,7 @@ INTENDED_NESTED_LOOP = {
     "q11-important-stock",  # grand-total: 1-row broadcast onto groups
     "text-bm25",
     "curation-mixture",  # smallest-stratum size: 1-row broadcast
+    "curation-temperature",  # same smallest-stratum 1-row broadcast
     "text-crossentropy",  # corpus-total ln: 1-row broadcast
     # pair enumeration over GROUPS (sources/crawls — hundreds, never
     # rows); the corpus itself is touched once, sketch-side only
