@@ -87,3 +87,23 @@ def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     )[1].split("]")[0]
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert scan.count() == expected
+
+
+def test_dynamic_partition_pruning_on_partitioned_corpus(spark, sf_smoke, tmp_path):
+    """Joining a hive-partitioned fact against a selectively-filtered
+    dimension must plan a dynamicpruning subquery on the partition
+    column: at 100 TB the fact scan then reads only the partitions the
+    dim filter selects, discovered at RUNTIME — no hand-written
+    partition predicate needed."""
+    path = str(tmp_path / "dpp_corpus")
+    docs = load_table(spark, sf_smoke, "documents")
+    write_partitioned(docs, path, ["lang"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("de", 1.0), ("fr", 0.5), ("en", 0.1)], "lang string, w double"
+    ).filter(F.col("w") > 0.7)
+    j = fact.join(dim, "lang").select("doc_id", "lang")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    expected = docs.filter(F.col("lang") == "de").count()
+    assert j.count() == expected > 0
