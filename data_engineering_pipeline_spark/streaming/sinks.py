@@ -51,8 +51,14 @@ def _incremental_dedup_sink(
     from pyspark.sql import functions as F
 
     from data_engineering_pipeline_spark.operators.upsert import (
+        recover_table,
         upsert_parquet,
     )
+
+    # self-heal before the first batch: a crash in a previous run's
+    # upsert swap or state swap leaves recoverable remnants
+    recover_table(out_path)
+    recover_table(state_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -197,9 +203,12 @@ def upsert_sink(
     holds up when the table is 100 TB and a micro-batch touches a few
     partitions of it."""
     from data_engineering_pipeline_spark.operators.upsert import (
+        recover_table,
         upsert_parquet,
         upsert_parquet_scoped,
     )
+
+    recover_table(path)  # self-heal a previous run's interrupted swap
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -236,3 +236,45 @@ def test_upsert_sink_partition_scoped(spark, tmp_path):
     rows = {r.k: (r.lang, r.v, r.ver) for r in spark.read.parquet(out).collect()}
     assert rows == {1: ("de", "a2", 2), 2: ("en", "b", 1)}
     assert glob.glob(f"{out}/lang=de/*.parquet")  # hive layout preserved
+
+
+def test_upsert_sink_self_heals_interrupted_swap(spark, tmp_path):
+    """A previous run crashed between the upsert renames (live table
+    missing, old-aside on disk): starting the sink recovers the table
+    first, then merges the stream on top of it."""
+    import os
+    import time
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    out = str(tmp_path / "heal_out")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ver long"
+    )
+    upsert_parquet(spark, out, base, ["k"], "ver")
+    os.rename(out, f"{out}.__old__deadbeef")  # simulate mid-swap crash
+
+    batch = spark.createDataFrame(
+        [(1, "a2", 2)], "k long, v string, ver long"
+    )
+    src = tmp_path / "heal_src"
+    src.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "hb"))
+    part = next(
+        p for p in os.listdir(tmp_path / "hb") if p.endswith(".parquet")
+    )
+    os.rename(tmp_path / "hb" / part, src / "b.parquet")
+    os.utime(src / "b.parquet", (time.time(), time.time()))
+
+    stream = (
+        spark.readStream.schema("k long, v string, ver long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = upsert_sink(stream, out, ["k"], "ver", str(tmp_path / "heal_ck"))
+    q.awaitTermination()
+    rows = {r.k: (r.v, r.ver) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: ("a2", 2), 2: ("b", 1)}  # recovered + merged
+    assert not os.path.exists(f"{out}.__old__deadbeef")
