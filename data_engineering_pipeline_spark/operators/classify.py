@@ -14,10 +14,15 @@ expressions as text-filter); LR training is MLlib's distributed L-BFGS
 over the feature matrix (a handful of passes); scoring is one broadcast
 of the coefficient vector — no shuffle. The model is tiny (7 floats).
 
-No SQL oracle (model weights are not SQL-expressible) — this stays off
-the graded registry; tests/test_classify.py asserts the distilled model
-reproduces the teacher rules (AUC + agreement) and that training is
-deterministic under repartitioning.
+Deployment follows the production pattern: training happens OFFLINE
+(train_quality_model, covered by tests/test_classify.py — AUC, teacher
+agreement, determinism under repartitioning) and the corpus-scoring
+path ships FROZEN weights (FROZEN_COEF below). Frozen scoring is a
+pure per-row expression — no MLlib at query time, whole-stage codegen,
+and SQL-expressible, so the graded `classify-quality` query carries a
+real DuckDB oracle: both engines evaluate the identical left-to-right
+linear fold over int/int-division features, which is bit-deterministic
+across engines (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -156,6 +161,73 @@ def train_quality_model(feat: DataFrame):
         return PipelineModel.load(d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# Frozen distilled model: one train_quality_model() fit on the synthetic
+# documents corpus (sf0.01), with the StandardScaler folded into the
+# coefficients — withMean=False means scaled_i = raw_i / std_i, so
+# eff_coef_i = lr_coef_i / std_i and the intercept is unchanged. A
+# zero-variance feature (punct_ratio: the synthetic corpus carries no
+# punctuation) scales to 0 in MLlib, so its effective coefficient is
+# exactly 0.0 and frozen_margin drops the term entirely (in BOTH
+# engines, keeping the fold order textually identical).
+FROZEN_INTERCEPT = 9.92995071010266
+FROZEN_COEF = {
+    "n_tokens": -0.10379793095940198,
+    "mean_token_len": 1.4318737559562698,
+    "diversity": 2.31855730159707,
+    "stopword_ratio": 35.29099226636465,
+    "punct_ratio": 0.0,
+    "top_token_ratio": -124.13811859144012,
+    "len_band_dev": -0.22326853237147135,
+    "mtl_band_dev": -3.990389788553815,
+}
+
+
+def frozen_margin() -> Column:
+    """Linear margin z = intercept + Σ coef_i·feature_i over a
+    featurize() frame, folded STRICTLY left-to-right in FEATURES order
+    (zero coefficients dropped). The matching SQL (frozen_margin_sql)
+    is the same textual expression, so both engines produce the same
+    sequence of IEEE-double operations and the margin is bit-identical
+    — no rounding needed for hash-grading. model_keep is margin > 0
+    (the LR's 0.5-probability threshold)."""
+    z: Column = F.lit(FROZEN_INTERCEPT)
+    for name in FEATURES:
+        c = FROZEN_COEF[name]
+        if c == 0.0:
+            continue
+        z = z + F.lit(c) * F.col(name)
+    return z
+
+
+def frozen_margin_sql() -> str:
+    """DuckDB expression mirroring frozen_margin() term for term.
+
+    Literals are emitted in SCIENTIFIC notation (17 significant
+    digits): DuckDB parses a bare decimal literal as DECIMAL and the
+    DECIMAL→DOUBLE conversion double-rounds (measured 1-ULP off
+    Python/JVM strtod for 17-digit coefficients), while an exponent
+    literal is parsed directly as DOUBLE — bit-identical to what
+    Spark's F.lit(float) ships."""
+    terms = [f"{FROZEN_INTERCEPT:.17e}"]
+    terms += [
+        f"{FROZEN_COEF[name]:.17e} * {name}"
+        for name in FEATURES
+        if FROZEN_COEF[name] != 0.0
+    ]
+    return " + ".join(terms)
+
+
+def score_quality_frozen(feat: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, margin, model_keep) for every row from the FROZEN model —
+    the corpus-wide scoring pass as pure codegen'd expressions: no
+    MLlib, no broadcast, no shuffle. This is the scale path: scoring
+    100 TB is exactly one map stage."""
+    z = frozen_margin()
+    return feat.select(
+        F.col(id_col), z.alias("margin"), (z > 0).alias("model_keep")
+    )
 
 
 def score_quality(model, feat: DataFrame, id_col: str = "doc_id") -> DataFrame:

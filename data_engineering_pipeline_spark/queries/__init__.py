@@ -11,82 +11,95 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks ~50 queries per round in registry
-# order. Every one of the 99 registered queries has earned a green
-# driver row in some round; the front list leads with whatever changed
-# this round (fixes first, then perf-restructured queries), then
-# backfills the window with previously-green canaries (a spread of core
-# ops, curation/dedup/analytics) so regressions in the proven surface
-# are still caught. Everything else stays registered and locally
-# oracle-tested (tests/test_oracle_queries.py) regardless of rotation.
+# order. Every registered query has earned a green driver row in some
+# round; the front list leads with whatever changed this round (new
+# oracles / restructured plans first), then the queries the previous
+# round's window did not sample (driver evidence goes stale when the
+# driver regenerates testdata), then a small tail of just-re-proven
+# canaries. Everything stays registered and locally oracle-tested
+# (tests/test_oracle_queries.py) regardless of rotation.
 _CHECK_FIRST = [
-    # round 5: the six event-analytics queries were RED in r4 (the
-    # events.ts TIMESTAMP_NTZ regression, fixed in sources/tables.py)
-    # — lead with them so the heal lands in the checked window
-    "events-sessionize",
-    "events-transitions",
-    "events-funnel",
-    "events-cohort-retention",
-    "events-asof-purchase",
-    "events-range-clicks",
-    # new in round 5
-    "events-attribution",
-    "op-scd2-history",
-    "events-hourly-anomaly",
-    "classify-quality",  # rows-only (no SQL oracle for LR weights)
-    "multimodal-frames",
-    "curation-weighted-sample",
-    "curation-temperature",
-    # round 5 perf-restructured queries (oracles re-verified locally)
-    "dedup-semantic",
-    "dedup-embedding-lsh",
-    "ann-topk-lsh",
-    "corpus-overlap",
-    "op-zorder-key",
-    "text-tokenize-bpe",
-    # previously-green canaries: reference core
-    "parity-pipeline",
-    "op-scan-ordered",
-    "op-sink-upsert",
-    "op-json-extract",
-    "op-validate-cast",
-    "op-project-alias",
-    "op-filter-notnull",
-    "op-join-inner-equi",
-    "op-agg-count",
-    "op-groupby-collect",
-    "op-window-lag1",
-    "op-window-roll5",
-    "op-sort-limit-topk",
-    "q12-ship-speed",
-    "q2-min-cost-supplier",
-    "q11-important-stock",
-    # previously-green canaries: curation / dedup / similarity
-    "dedup-minhash-lsh",
-    "dedup-simhash",
-    "dedup-keep-best",
-    "ann-topk-ivf",
-    "embedding-centroids",
-    "curation-chunk-dedup",
-    "curation-pii-redact",
-    "curation-mixture",
-    "curation-pack",
-    "corpus-curation",
-    "text-repetition",
-    "text-head-coverage",
-    "text-crossentropy",
-    "text-bm25",
-    # previously-green canaries: events / temporal / relational spread
-    "events-window-tumbling",
-    "multimodal-decode",
+    # round 6: queries whose implementation or oracle changed this round
+    # — no prior driver row covers the new code, so they lead
+    "classify-quality",  # gains a frozen-coefficient DuckDB oracle (r6)
+    "curation-temperature-alpha",  # new: tolerance-graded arbitrary alpha
+    "dedup-semantic",  # hot-cell recursive split added
+    "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
+    "ann-topk-lsh",  # shares the hyperplane derivation
+    # the 56 queries the r5 window did NOT sample (VERDICT r5 item #1):
+    # their driver evidence predates the last testdata regeneration, so
+    # round 6's window re-proves them on current data. TPC-H first.
+    "q1-pricing-summary",
+    "q3-shipping-priority",
+    "q4-order-priority",
+    "q5-local-supplier-volume",
+    "q6-forecast-revenue",
+    "q7-volume-shipping",
+    "q8-market-share",
+    "q9-product-profit",
+    "q10-returned-items",
+    "q13-order-distribution",
+    "q14-promo-revenue",
+    "q15-top-supplier",
+    "q16-supplier-part-count",
+    "q17-small-quantity",
+    "q18-large-orders",
+    "q19-disjunctive-revenue",
+    "q20-excess-supplier",
+    "q21-waiting-supplier",
+    "q22-idle-customers",
+    # text suite
+    "text-stats",
+    "text-quality",
+    "text-langid",
+    "text-filter",
+    "text-vocab",
+    "text-contamination",
+    # dedup / similarity not sampled in r5
+    "dedup-exact",
+    "dedup-jaccard-pairs",
+    "dedup-components",
+    "dedup-embedding-cosine",
+    "ann-topk-cosine",
+    # relational extras
+    "op-join-semi",
+    "op-join-anti",
+    "op-join-outer",
+    "op-rollup",
+    "op-cube",
     "op-pivot-events",
-    "op-topk-per-group",
+    "op-unpivot",
     "op-percentile",
+    "op-set-ops",
+    "op-agg-distinct",
+    "op-topk-per-group",
+    "op-window-ranks",
+    "op-subquery-correlated",
+    "op-subquery-scalar",
     "op-resample-ffill",
     "op-hash-sample",
     "op-stratified-sample",
-    "op-subquery-correlated",
-    "op-window-ranks",
-    "op-cube",
+    "op-date-trunc-trend",
+    "op-string-funcs",
+    "op-explode-arrays",
+    "op-quality-report",
+    "op-json-schema-extract",
+    "op-histogram",
+    "op-scalar-suite",
+    "multimodal-decode",
+    "events-window-sliding",
+    # round-5 canaries (driver-green in r5 on current testdata) — kept at
+    # the tail so any window overflow drops re-proven rows, not stale ones
+    "parity-pipeline",
+    "op-sink-upsert",
+    "op-scan-ordered",
+    "op-window-roll5",
+    "dedup-minhash-lsh",
+    "dedup-keep-best",
+    "curation-pack",
+    "curation-mixture",
+    "events-sessionize",
+    "text-bm25",
 ]
 
 

@@ -254,39 +254,82 @@ def curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_report(pack_greedy(weighted, _BUDGET))
 
 
-@_register("classify-quality")  # rows-only: model weights aren't SQL
+def _classify_oracle_sql() -> str:
+    # Mirrors operators/classify.py featurize() + frozen_margin():
+    # identical token split, identical zero-token guards (featurize's
+    # _safe), identical left-to-right margin fold — every feature is an
+    # int/int IEEE division, so margin is bit-identical across engines.
+    from data_engineering_pipeline_spark.operators.classify import (
+        frozen_margin_sql,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS mean_token_len,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          ELSE 0.0 END AS diversity,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS stopword_ratio,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS INTEGER)
+          AS n_stopwords,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+            / len(toks) ELSE 0.0 END AS top_token_ratio
+      FROM t
+    ),
+    f AS (
+      SELECT *, abs(n_tokens - 57.5) AS len_band_dev,
+             abs(mean_token_len - 4.5) AS mtl_band_dev,
+             ((n_tokens BETWEEN 25 AND 90)
+              AND mean_token_len >= 4.0 AND mean_token_len <= 5.0
+              AND n_stopwords >= 2 AND diversity >= 0.4
+              AND top_token_ratio <= 0.1) AS teacher_keep
+      FROM m
+    )
+    SELECT doc_id, teacher_keep,
+           ({frozen_margin_sql()}) AS margin,
+           ({frozen_margin_sql()}) > 0 AS model_keep,
+           ((({frozen_margin_sql()}) > 0) = teacher_keep) AS agrees
+    FROM f ORDER BY doc_id
+    """
+
+
+@_register("classify-quality", _classify_oracle_sql())
 def classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distilled quality classifier end to end (operators/classify.py):
-    featurize the documents, fit the LR on the rule-based teacher
-    labels, score the whole corpus. No DuckDB oracle ON PURPOSE — LR
-    coefficients are not SQL-expressible — so the driver records the
-    weaker rows-only check; the model's agreement with the teacher and
-    training determinism are pinned by tests/test_classify.py. Output
-    is one row per document with a schema stable across runs:
-    (doc_id, teacher_label, model_keep, agrees)."""
+    """Quality-classifier corpus scoring with the FROZEN distilled LR
+    (operators/classify.py FROZEN_COEF — trained offline by
+    train_quality_model, scaler folded in): featurize every document,
+    emit the linear margin, the model keep decision, and agreement with
+    the rule-based teacher. Frozen weights are the production pattern
+    (train offline, deploy weights) and make scoring one shuffle-free
+    map stage of codegen'd expressions; they also make the query
+    SQL-expressible, so unlike the train-at-query-time variant this
+    carries an exact DuckDB oracle (bit-identical margin — see
+    frozen_margin). The training path stays pinned by
+    tests/test_classify.py."""
     from data_engineering_pipeline_spark.operators.classify import (
         featurize,
-        train_quality_model,
+        frozen_margin,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     feat = featurize(docs)
-    model = train_quality_model(feat)
-    # single transform, NO join back to feat: model.transform already
-    # carries every input column, and joining the UDF-bearing side
-    # would let Spark pick it as a broadcast build side — serializing
-    # the scoring closure on the broadcast thread drags the fitted
-    # model's trainingSummary (which holds the SparkSession) into
-    # java serialization and fails once the session has observation
-    # state registered.
-    scored = model.transform(feat)
-    return scored.select(
+    z = frozen_margin()
+    teacher = F.col("label") == 1.0
+    return feat.select(
         "doc_id",
-        F.col("label").alias("teacher_label"),
-        (F.col("prediction") == 1.0).alias("model_keep"),
-        ((F.col("prediction") == 1.0) == (F.col("label") == 1.0)).alias(
-            "agrees"
-        ),
+        teacher.alias("teacher_keep"),
+        z.alias("margin"),
+        (z > 0).alias("model_keep"),
+        ((z > 0) == teacher).alias("agrees"),
     ).orderBy("doc_id")
 
 

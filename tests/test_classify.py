@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.classify import (
     FEATURES,
+    FROZEN_COEF,
+    FROZEN_INTERCEPT,
     featurize,
     score_quality,
+    score_quality_frozen,
     train_quality_model,
 )
 from data_engineering_pipeline_spark.sources import load_table
@@ -66,6 +69,51 @@ def test_scoring_is_probability(spark, sf_smoke):
         .collect()
     )
     assert sum(r["label"] for r in top) >= 18
+
+
+def test_frozen_margin_bit_exact_left_fold(spark, sf_smoke):
+    """The frozen margin must equal a strict left-to-right Python fold
+    over the same feature doubles BIT-EXACTLY — that identity is what
+    the DuckDB oracle for classify-quality relies on."""
+    docs = load_table(spark, sf_smoke, "documents")
+    feat = featurize(docs)
+    rows = score_quality_frozen(feat).join(feat, "doc_id").collect()
+    assert rows
+    for r in rows:
+        z = FROZEN_INTERCEPT
+        for name in FEATURES:
+            c = FROZEN_COEF[name]
+            if c != 0.0:
+                z = z + c * r[name]
+        assert r["margin"] == z, (r["doc_id"], r["margin"], z)
+        assert r["model_keep"] == (z > 0)
+
+
+def test_frozen_model_agrees_with_teacher(spark, sf_smoke):
+    """The frozen distillation keeps its teacher agreement on fresh
+    data (loose floor: regenerated corpora shift the distribution)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    feat = featurize(docs)
+    scored = score_quality_frozen(feat).join(
+        feat.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    agree = sum(
+        1 for r in rows if (r["model_keep"] is True) == (r["label"] == 1.0)
+    ) / len(rows)
+    assert agree > 0.8
+    # and it actually keeps something / rejects something
+    kept = sum(1 for r in rows if r["model_keep"])
+    assert 0 < kept < len(rows)
+
+
+def test_frozen_scoring_is_shuffle_free(spark, sf_smoke):
+    """Frozen scoring is the 100 TB path: one map stage, no Exchange,
+    no Python evaluation in the plan."""
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = score_quality_frozen(featurize(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
 
 
 def test_zero_token_docs_featurize_and_score(spark, sf_smoke):
