@@ -402,7 +402,11 @@ def incremental_minhash_dedup(
 
     Returns (updated_signatures, dup_pairs):
     - updated_signatures: existing + this batch's signatures — persist
-      this for the next batch;
+      this for the next batch. Ids already present in the store are
+      NOT re-appended (keys-only anti-join): a replayed micro-batch
+      (at-least-once restart after the state store committed) must
+      converge to the same state, not duplicate its signature rows and
+      fan out every future candidate join.
     - dup_pairs: (id_a, id_b, est_jaccard) where est_jaccard is the
       fraction of matching minhashes (the unbiased Jaccard estimator) —
       at threshold 0.7 with K=32 the estimator's std error is ~0.08, so
@@ -414,10 +418,13 @@ def incremental_minhash_dedup(
     )
     sig = minhash_signature(ex, id_col, num_hashes)
 
-    all_sigs = (
-        sig if existing_signatures is None
-        else existing_signatures.unionByName(sig)
-    )
+    if existing_signatures is None:
+        all_sigs = sig
+    else:
+        fresh_sig = sig.join(
+            existing_signatures.select(id_col), id_col, "left_anti"
+        )
+        all_sigs = existing_signatures.unionByName(fresh_sig)
 
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
     band_cols = [

@@ -441,19 +441,29 @@ def incremental_embedding_dedup(
     O(batch * tables * probes) + colliding candidates. Candidates get
     the exact cosine verify, so LSH only affects WHICH pairs are
     examined, never a reported score. probe_radius covers signature
-    hamming <= radius against the index and <= 2*radius within the new
-    batch; radius >= bits is provably exhaustive (the graded config in
-    tests).
+    hamming <= radius for BOTH new-vs-index and new-vs-new pairs (only
+    the probe side is XOR-masked; the new batch's own rows sit unprobed
+    in the index side of the join, so within-batch coverage is the same
+    radius, not 2x); radius >= bits is provably exhaustive (the graded
+    config in tests).
 
     Returns (updated_index, dup_pairs): updated_index = existing + this
     batch's index rows (embedding_index schema); dup_pairs = (id_a,
     id_b, cos_sim) with id_a < id_b, cosine >= threshold, covering
-    new-vs-old and new-vs-new."""
+    new-vs-old and new-vs-new. Ids already present in the existing
+    index are NOT re-appended (keys-only anti-join), so a replayed
+    micro-batch — an at-least-once restart that re-delivers rows after
+    the state store committed — converges to the same state instead of
+    duplicating index rows and fanning out every future candidate
+    join."""
     new_idx = embedding_index(new_vecs, id_col, vec_col, dim, bits, n_tables)
-    all_idx = (
-        new_idx if existing_index is None
-        else existing_index.unionByName(new_idx)
-    )
+    if existing_index is None:
+        all_idx = new_idx
+    else:
+        fresh_idx = new_idx.join(
+            existing_index.select("__id"), "__id", "left_anti"
+        )
+        all_idx = existing_index.unionByName(fresh_idx)
     masks = _probe_masks(bits, probe_radius)
     probed = new_idx.select(
         "__id", "tbl",

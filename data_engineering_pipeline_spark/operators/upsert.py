@@ -152,11 +152,12 @@ def upsert_parquet_scoped(
 
     Plan shape: the touched partition VALUES are collected (tiny — one
     row per partition, not per record), the old side is read with a
-    partition-pruned filter (only touched directories are scanned), and
-    the merged result is written under dynamic partition overwrite so
-    Spark replaces exactly the partitions present in it. Untouched
-    partitions are never read, shuffled, or rewritten. Returns the
-    merged row count of the touched partitions."""
+    partition-pruned filter (only touched directories are scanned), the
+    merged result is staged to a side directory, and the touched
+    partition dirs are swapped in one rename apiece (pre-batch copies
+    renamed aside first — recover_partitions heals any crash point).
+    Untouched partitions are never read, shuffled, or rewritten.
+    Returns the merged row count of the touched partitions."""
     if not os.path.exists(path):
         new_only = merge_last_write_wins(None, new, keys, order_col)
         writer = new_only.write.mode("overwrite").partitionBy(*partition_cols)
@@ -172,14 +173,96 @@ def upsert_parquet_scoped(
         pred = clause if pred is None else (pred | clause)
     old_touched = spark.read.parquet(path).filter(pred)
     merged = merge_last_write_wins(old_touched, new, keys, order_col)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Stage-then-swap, partition-scoped: the merged touched partitions
+    # are fully materialized to a staging dir FIRST (so the lazy read of
+    # the live path completes before anything live is touched), then
+    # each touched partition directory is renamed aside and replaced.
+    # This keeps upsert_parquet's crash contract at partition scope —
+    # every intermediate state leaves either the pre-batch or the merged
+    # copy of each partition under a findable name (__ptmp__/__pold__,
+    # healed by recover_partitions) — where a direct dynamic-overwrite
+    # of the live path would lose a partition's pre-batch rows if the
+    # commit crashed between clearing and re-populating it.
+    token = uuid.uuid4().hex[:8]
+    stage = f"{path}.__ptmp__{token}"
+    aside = f"{path}.__pold__{token}"
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+    for rel in _leaf_partitions(stage):
+        live_dir = os.path.join(path, rel)
+        if os.path.exists(live_dir):
+            aside_dir = os.path.join(aside, rel)
+            os.makedirs(os.path.dirname(aside_dir), exist_ok=True)
+            os.rename(live_dir, aside_dir)
+        os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+        os.rename(os.path.join(stage, rel), live_dir)
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(stage)
     return spark.read.parquet(path).filter(pred).count()
+
+
+def _leaf_partitions(root: str) -> list[str]:
+    """Relative paths of the hive leaf-partition directories under
+    `root` (the dirs that hold data files; markers like _SUCCESS at the
+    table root don't count)."""
+    leaves = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if dirpath == root:
+            continue
+        if any(not f.startswith(("_", ".")) for f in filenames):
+            leaves.append(os.path.relpath(dirpath, root))
+    return sorted(leaves)
+
+
+def recover_partitions(path: str) -> str:
+    """Heal `path` after a crash anywhere in upsert_parquet_scoped's
+    stage-then-swap (remnants `<path>.__ptmp__<t>` / `<path>.__pold__<t>`,
+    paired by token). Returns 'clean' | 'finished_partition_swap' |
+    'rolled_back_partition_swap'.
+
+    - COMPLETE stage (_SUCCESS present): the merge committed before the
+      crash — roll FORWARD: finish swapping every leaf still in the
+      stage (aside the live copy first, same as the writer), then drop
+      remnants. Leaves already swapped are no longer in the stage, so
+      the roll-forward is idempotent under repeated crashes.
+    - Incomplete stage: the merge never committed — roll BACK: restore
+      any leaf that was asided but whose swap didn't land, drop the
+      stage; the batch re-runs and idempotently converges.
+    - Orphan aside (its stage already cleaned up): the swap finished —
+      restore only leaves missing live (none, normally), then drop.
+    """
+    import glob as _glob
+
+    status = "clean"
+    for stage in sorted(_glob.glob(f"{path}.__ptmp__*")):
+        token = stage.rsplit("__ptmp__", 1)[1]
+        aside = f"{path}.__pold__{token}"
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            for rel in _leaf_partitions(stage):
+                live_dir = os.path.join(path, rel)
+                if os.path.exists(live_dir):
+                    aside_dir = os.path.join(aside, rel)
+                    os.makedirs(os.path.dirname(aside_dir), exist_ok=True)
+                    os.rename(live_dir, aside_dir)
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(os.path.join(stage, rel), live_dir)
+            status = "finished_partition_swap"
+        else:
+            if os.path.exists(aside):
+                for rel in _leaf_partitions(aside):
+                    live_dir = os.path.join(path, rel)
+                    if not os.path.exists(live_dir):
+                        os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                        os.rename(os.path.join(aside, rel), live_dir)
+            status = "rolled_back_partition_swap"
+        shutil.rmtree(aside, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    for aside in sorted(_glob.glob(f"{path}.__pold__*")):
+        for rel in _leaf_partitions(aside):
+            live_dir = os.path.join(path, rel)
+            if not os.path.exists(live_dir):
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(os.path.join(aside, rel), live_dir)
+        shutil.rmtree(aside, ignore_errors=True)
+        if status == "clean":
+            status = "finished_partition_swap"
+    return status

@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Static fallback schema for an EMPTY landing directory (the stream is
+# allowed to start before the first upstream file lands). ts is NTZ —
+# the driver's current parquet encoding; the nanos-as-long encoding can
+# only be detected from real footers, at which point the probe below
+# sees it anyway on restart.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over landed event parquet files. New files in
     `path` become micro-batches; at scale this is the landing-zone
@@ -29,10 +46,16 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     `ts` physical encoding has shipped both as TIMESTAMP(NANOS) (reads as
     int64 under nanosAsLong) and as timestamp[us] with no timezone (reads
     as TIMESTAMP_NTZ). Both normalize to a session-TZ TIMESTAMP column so
-    every downstream watermark/window/unix_micros sees one type."""
+    every downstream watermark/window/unix_micros sees one type. An
+    EMPTY directory (no parquet footers to probe) falls back to the
+    static EVENTS_RAW_SCHEMA instead of failing — the landing-zone
+    pattern starts the stream before the first file lands."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: unable to infer schema
+        schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)

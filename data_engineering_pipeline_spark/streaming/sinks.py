@@ -203,12 +203,16 @@ def upsert_sink(
     holds up when the table is 100 TB and a micro-batch touches a few
     partitions of it."""
     from data_engineering_pipeline_spark.operators.upsert import (
+        recover_partitions,
         recover_table,
         upsert_parquet,
         upsert_parquet_scoped,
     )
 
-    recover_table(path)  # self-heal a previous run's interrupted swap
+    # self-heal a previous run's interrupted swap — whole-table remnants
+    # (upsert_parquet) and partition-scoped remnants (upsert_parquet_scoped)
+    recover_table(path)
+    recover_partitions(path)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -72,3 +72,28 @@ def test_incremental_batches_converge_to_batch_dedup(spark, sf_smoke, tmp_path):
         == len(ids_inc)
         == spark.read.parquet(str(tmp_path / "out")).count()
     )
+
+
+def test_replayed_batch_does_not_duplicate_signature_state(spark, sf_smoke):
+    """At-least-once replay: re-running a batch whose signatures already
+    landed in the store must leave the store unchanged (same rows, same
+    count) — otherwise every replay permanently fans out future
+    candidate joins."""
+    docs = load_table(spark, sf_smoke, "documents").limit(100)
+    sigs1, _ = incremental_minhash_dedup(docs, None)
+    sigs1 = sigs1.localCheckpoint(eager=True)
+    n1 = sigs1.count()
+    ids1 = sorted(r["doc_id"] for r in sigs1.select("doc_id").collect())
+
+    # replay the SAME batch against the committed state
+    sigs2, _ = incremental_minhash_dedup(docs, sigs1)
+    assert sigs2.count() == n1
+    assert sorted(r["doc_id"] for r in sigs2.select("doc_id").collect()) == ids1
+
+    # and a mixed batch (half replayed, half new) appends only the new
+    more = load_table(spark, sf_smoke, "documents").filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 150)
+    )
+    sigs3, _ = incremental_minhash_dedup(more, sigs1)
+    assert sigs3.count() == n1 + 50
+    assert sigs3.select("doc_id").distinct().count() == 150

@@ -491,3 +491,29 @@ def test_incremental_embedding_dedup_converges_and_probes_only_new(spark, sf_smo
                    {(r.id_a, r.id_b, 0) for r in p2.collect()})
     # index state: one row per (vector, table)
     assert idx2.count() == full.count()
+
+
+def test_incremental_embedding_dedup_replay_keeps_index_stable(spark, sf_smoke):
+    """At-least-once replay: re-feeding a batch whose rows are already
+    in the committed index must not append duplicate index rows (which
+    would fan out every future candidate join)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    b1 = emb.filter(F.col("vec_id") < 200)
+    cfg = dict(threshold=0.4, dim=64, bits=4, n_tables=2, probe_radius=0)
+    idx, _ = incremental_embedding_dedup(b1, None, **cfg)
+    idx = idx.localCheckpoint(eager=True)
+    n1 = idx.count()
+
+    idx2, _ = incremental_embedding_dedup(b1, idx, **cfg)  # full replay
+    assert idx2.count() == n1
+
+    mixed = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    idx3, _ = incremental_embedding_dedup(mixed, idx, **cfg)
+    assert idx3.count() == n1 + 100 * 2  # only the new half, x tables
+    assert idx3.select("__id").distinct().count() == 300

@@ -40,6 +40,31 @@ def test_upsert_sink_idempotent_across_restarts(spark, tmp_path, sf_smoke):
     assert n1 == n2 > 0
 
 
+def test_stream_starts_on_empty_landing_dir(spark, tmp_path, sf_smoke):
+    """The landing-zone pattern: the stream may start BEFORE the first
+    upstream file lands. An empty directory must fall back to the static
+    schema instead of failing the schema probe, and files that land
+    later must flow through the same normalized ts type."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    stream = read_events_stream(spark, str(d))  # must not raise
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # drain the empty dir: no batches, no output, no crash
+    upsert_sink(stream, out, ["event_id"], "ts", ck).awaitTermination()
+
+    # first file lands; the restarted stream picks it up from the same
+    # checkpoint and the sink sees normalized timestamps
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "a.parquet")
+    stream2 = read_events_stream(spark, str(d))
+    upsert_sink(stream2, out, ["event_id"], "ts", ck).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert dict(got.dtypes)["ts"] == "timestamp"
+
+
 def test_near_dedup_sink_cross_batch(spark, tmp_path, sf_smoke):
     """Two micro-batches through the streaming near-dup filter: batch 2
     contains an exact copy and a near-copy of batch-1 docs plus one

@@ -145,6 +145,104 @@ def test_recover_table_every_crash_state(spark, tmp_path):
     assert not os.path.exists(path)
 
 
+def test_recover_partitions_every_crash_state(spark, tmp_path):
+    """Simulate a crash at each point of the partition-scoped
+    stage-then-swap and assert recover_partitions leaves every touched
+    partition as either its pre-batch or its merged copy — never lost."""
+    import os
+    import shutil
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        recover_partitions,
+        upsert_parquet_scoped,
+    )
+
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [(1, "de", "a", 1), (2, "de", "b", 1), (3, "en", "c", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    upsert_parquet_scoped(spark, path, base, ["k"], "ver", ["lang"])
+    assert recover_partitions(path) == "clean"
+
+    def rows():
+        return {
+            r.k: (r.lang, r.v, r.ver)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    committed = rows()
+    merged_de = spark.createDataFrame(
+        [(1, "de", "a2", 2), (2, "de", "b", 1), (4, "de", "d", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    after_merge = {**committed, 1: ("de", "a2", 2), 4: ("de", "d", 1)}
+
+    # crash AFTER the stage write committed (_SUCCESS), BEFORE any swap:
+    # roll forward — the merged de partition lands, en untouched
+    merged_de.write.mode("overwrite").partitionBy("lang").parquet(
+        f"{path}.__ptmp__dead1"
+    )
+    assert recover_partitions(path) == "finished_partition_swap"
+    assert rows() == after_merge
+    assert not os.path.exists(f"{path}.__ptmp__dead1")
+
+    # reset, then crash MID-SWAP: live de already renamed aside, stage
+    # still holds the merged de — roll forward finishes the swap
+    shutil.rmtree(path)
+    upsert_parquet_scoped(spark, path, base, ["k"], "ver", ["lang"])
+    merged_de.write.mode("overwrite").partitionBy("lang").parquet(
+        f"{path}.__ptmp__dead2"
+    )
+    os.makedirs(f"{path}.__pold__dead2")
+    os.rename(f"{path}/lang=de", f"{path}.__pold__dead2/lang=de")
+    assert recover_partitions(path) == "finished_partition_swap"
+    assert rows() == after_merge
+    assert not os.path.exists(f"{path}.__pold__dead2")
+
+    # reset, then crash MID-STAGE-WRITE (no _SUCCESS) with de asided:
+    # the merge never committed — roll back to the pre-batch partition
+    shutil.rmtree(path)
+    upsert_parquet_scoped(spark, path, base, ["k"], "ver", ["lang"])
+    os.makedirs(f"{path}.__ptmp__dead3/lang=de")
+    with open(f"{path}.__ptmp__dead3/lang=de/part-0.parquet", "w") as fh:
+        fh.write("partial")
+    os.makedirs(f"{path}.__pold__dead3")
+    os.rename(f"{path}/lang=de", f"{path}.__pold__dead3/lang=de")
+    assert recover_partitions(path) == "rolled_back_partition_swap"
+    assert rows() == committed
+    assert not os.path.exists(f"{path}.__ptmp__dead3")
+
+    # orphan aside with live intact (crash during cleanup): dropped
+    os.makedirs(f"{path}.__pold__dead4/lang=de")
+    with open(f"{path}.__pold__dead4/lang=de/part-0.parquet", "w") as fh:
+        fh.write("stale")
+    assert recover_partitions(path) == "finished_partition_swap"
+    assert rows() == committed
+    assert not os.path.exists(f"{path}.__pold__dead4")
+
+
+def test_scoped_upsert_leaves_no_remnants(spark, tmp_path):
+    """A successful scoped upsert cleans up its staging and aside dirs."""
+    import glob
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_scoped,
+    )
+
+    path = str(tmp_path / "clean")
+    base = spark.createDataFrame(
+        [(1, "de", "a", 1), (3, "en", "c", 1)],
+        "k long, lang string, v string, ver long",
+    )
+    upsert_parquet_scoped(spark, path, base, ["k"], "ver", ["lang"])
+    batch = spark.createDataFrame(
+        [(1, "de", "a2", 2)], "k long, lang string, v string, ver long"
+    )
+    upsert_parquet_scoped(spark, path, batch, ["k"], "ver", ["lang"])
+    assert not glob.glob(f"{path}.__p*")
+
+
 def test_scoped_upsert_touches_only_batch_partitions(spark, tmp_path):
     """Partition-scoped upsert rewrites only the partitions present in
     the batch: untouched partitions keep their exact files on disk, the
