@@ -667,6 +667,70 @@ def grid_cell(
     return cell
 
 
+def _split_hot_cells(
+    assigned: DataFrame,
+    max_cell_rows: int,
+    seed: int,
+    max_levels: int = 3,
+) -> DataFrame:
+    """Recursively re-quantize OVERSIZED cells with a second-level
+    KMeans: any cell holding more than `max_cell_rows` rows is refit on
+    its own rows into ~2·ceil(size/cap) subclusters (factor 2 of slack
+    because KMeans cells are not balanced), until every cell fits or
+    `max_levels` is reached. This bounds the within-cell self-join's
+    sum(cell_size²) directly — the failure mode AQE skew-join can only
+    soften (it balances tasks, not the quadratic pair count).
+
+    Driver cost: one keys-only size aggregate per level plus one
+    distributed KMeans fit per hot cell — hot cells are by definition
+    the outlier tail, so the loop count stays small. Cell ids are
+    re-namespaced per level (cold: id·shift, hot: id·shift+1+sub) to
+    stay collision-free longs. The refined assignment is
+    localCheckpoint'd: it feeds both sides of the self-join and the
+    final keep-join, and carrying a per-level union lineage into those
+    would re-run every KMeans assignment."""
+    import math
+
+    for level in range(max_levels):
+        hot = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell_rows)
+            .collect()
+        )
+        if not hot:
+            break
+        ks = {
+            r["cell"]: min(256, max(2, 2 * math.ceil(r["n"] / max_cell_rows)))
+            for r in hot
+        }
+        shift = max(ks.values()) + 1
+        hot_ids = list(ks)
+        pieces = [
+            assigned.filter(~F.col("cell").isin(hot_ids)).withColumn(
+                "cell", F.col("cell") * shift
+            )
+        ]
+        for i, (c, k) in enumerate(sorted(ks.items())):
+            cell_df = assigned.filter(F.col("cell") == c)
+            cents = train_ivf_centroids(
+                cell_df, "__v", k, seed + 31 * (level + 1) + i
+            )
+            sub = F.element_at(
+                F.reverse(F.array_sort(_cell_scores(F.col("__v"), cents))), 1
+            )["idx"]
+            pieces.append(
+                cell_df.withColumn(
+                    "cell", F.col("cell") * shift + 1 + sub.cast("long")
+                )
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        assigned = out.localCheckpoint(eager=True)
+    return assigned
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -677,6 +741,7 @@ def semantic_dedup(
     scale: int = 4,
     cell_of=None,
     max_rows: int = 100_000,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the corpus into coarse cells,
@@ -698,11 +763,14 @@ def semantic_dedup(
     k x dim centroid matrix returns to the driver, cell assignment is
     one map-side argmax over broadcast centroid literals (no shuffle),
     and the self-join shuffles each side once on the cell id. Skewed
-    (oversized) cells are the known failure mode — raise n_cells or
-    recursively split hot cells; AQE skew-join handles moderate skew.
-    Cross-cell duplicates are the accepted approximation (the paper's
-    tradeoff); recall vs the exact verifier is measured in
-    tests/test_similarity.py on a clustered corpus.
+    (oversized) cells are the known failure mode: pass `max_cell_rows`
+    to recursively re-quantize hot cells with a second-level KMeans
+    (_split_hot_cells) until every cell's pair count is bounded — AQE
+    skew-join only balances tasks, it cannot shrink the quadratic pair
+    count inside a hot cell. Cross-cell duplicates are the accepted
+    approximation (the paper's tradeoff); recall vs the exact verifier
+    — and bounded pair counts on a planted hot cluster — are measured
+    in tests/test_similarity.py on clustered corpora.
 
     `cell_of` swaps the KMeans quantizer for a caller-supplied
     deterministic one (a Column function over the double-cast vector,
@@ -737,6 +805,11 @@ def semantic_dedup(
         .select("__id", "__v", norm(F.col("__v")).alias("__n"))
         .withColumn("cell", best_cell)
     )
+    if max_cell_rows is not None and cell_of is None and n_cells > 1:
+        # hot-cell bound applies to the production (KMeans) path; the
+        # deterministic-quantizer and exhaustive paths keep their exact
+        # SQL-mirrorable assignment (they are gated to max_rows anyway)
+        assigned = _split_hot_cells(assigned, max_cell_rows, seed)
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim = F.round(

@@ -401,6 +401,93 @@ def test_semantic_dedup_clustered_recall_and_precision(spark):
     assert recall >= 0.9, f"semantic dedup recall {recall}"
 
 
+def _hot_cluster_embeddings(spark, hot_n=600, bg_clusters=8, per_cluster=25,
+                            dim=16, n_exact_dups=40):
+    """One dominant tight cluster (the planted hot cell) over a clustered
+    background, plus exact duplicates of hot-cluster rows (dup id =
+    original + 100000) whose recovery the split must not lose."""
+    import random
+
+    rng = random.Random(23)
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(bg_clusters + 1)
+    ]
+    rows = []
+    vid = 0
+    for _ in range(hot_n):
+        rows.append(
+            (vid, [x + rng.gauss(0.0, 0.05) for x in centers[0]])
+        )
+        vid += 1
+    for c in centers[1:]:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0.0, 0.12) for x in c]))
+            vid += 1
+    dups = [(100000 + i, list(rows[i][1])) for i in range(n_exact_dups)]
+    return spark.createDataFrame(
+        rows + dups, "vec_id long, embedding array<double>"
+    )
+
+
+def test_hot_cell_split_bounds_cell_sizes(spark):
+    """_split_hot_cells must recursively break an oversized cell until
+    every cell fits the cap — bounding the self-join's sum(size^2) pair
+    count, which AQE cannot do."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.similarity import (
+        _as_double,
+        _split_hot_cells,
+        norm,
+    )
+
+    emb = _hot_cluster_embeddings(spark)
+    n = emb.count()
+    # worst case: ONE cell holds the whole corpus
+    assigned = emb.select(
+        F.col("vec_id").alias("__id"),
+        _as_double(F.col("embedding")).alias("__v"),
+    ).select("__id", "__v", norm(F.col("__v")).alias("__n")).withColumn(
+        "cell", F.lit(0).cast("long")
+    )
+    cap = 150
+    out = _split_hot_cells(assigned, cap, seed=7)
+    sizes = [r["n"] for r in out.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(sizes) == n  # no row lost or duplicated
+    assert max(sizes) <= cap
+    # pair work: bounded far below the unsplit quadratic
+    assert sum(s * s for s in sizes) < 0.2 * n * n
+
+
+def test_semantic_dedup_hot_cell_split_keeps_exact_dups(spark):
+    """semantic_dedup(max_cell_rows=...) on a corpus with a planted hot
+    cluster: the split changes WHICH pairs are examined, never a score
+    — every planted exact duplicate is still dropped (same-subcell by
+    construction: identical vectors assign identically) and precision
+    stays 1 vs the exhaustive verifier."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _hot_cluster_embeddings(spark)
+    res = semantic_dedup(
+        emb, "vec_id", "embedding", 0.999, n_cells=4, max_cell_rows=150
+    ).collect()
+    dropped = {r.vec_id for r in res if not r.kept}
+    planted = {100000 + i for i in range(40)}
+    assert planted <= dropped
+    exact_dropped = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", 0.999, n_cells=1
+        ).collect()
+        if not r.kept
+    }
+    assert dropped <= exact_dropped
+
+
 def test_sem_grid_cell_sentinels_nonfinite_both_engines(spark):
     """NaN/inf/null embedding values must land in the same grid cell in
     Spark and DuckDB (sentinel to the grid lower bound -> edge cell 0 on
