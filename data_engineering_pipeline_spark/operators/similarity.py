@@ -100,20 +100,44 @@ def hyperplane_signature(
     vec: Column, dim: int, bits: int = 8, seed: int = 7
 ) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v . r_i). Hyperplanes
-    are seeded literals compiled into the plan — no side data to ship."""
+    are seeded literals compiled into the plan — no side data to ship.
+
+    Expression shape matters here: the obvious form (one 64-literal
+    array + expanded dot product PER BIT, times tables, times both join
+    sides) builds a plan tree with tens of thousands of literal nodes,
+    and analysis+codegen of that tree cost a measured ~6-7 s of
+    data-independent wall time per query (BASELINE.md round-5 probe).
+    Instead all bits*dim components go into ONE flat array literal that
+    constant-folds to a single Literal node, referenced once, and both
+    the bit loop and the dim loop are higher-order aggregates — the
+    whole signature is ~100 tree nodes regardless of dim/bits. Per-row
+    arithmetic is unchanged (same left-to-right fold, identical IEEE
+    doubles, bit i still weights 2^i), so signatures — and therefore
+    buckets and pairs — are bit-identical to the unrolled form."""
     import random
 
     rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
-    ]
-    sig = F.lit(0)
+    # row-major: plane i occupies flat[i*dim:(i+1)*dim] — the same
+    # generation order as the per-plane form, so seeds stay compatible
+    flat = [rng.gauss(0.0, 1.0) for _ in range(bits * dim)]
+    planes = F.lit(flat)  # folds to one ArrayType literal
+    pow2 = F.lit([1 << i for i in range(bits)])
     v = _as_double(vec)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        d = dot(v, p)
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(dim)),
+                F.lit(0.0),
+                lambda a, j: a
+                + F.element_at(v, j) * F.element_at(planes, i * dim + j),
+            )
+            > 0,
+            F.element_at(pow2, i + 1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def _probe_masks(bits: int, radius: int) -> list[int]:
