@@ -10,6 +10,8 @@ external engine can reproduce the exact sample.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -137,19 +139,21 @@ def temperature_rebalance(
     per-million hash filter and no-corpus-shuffle plan as
     mixture_rebalance.
 
-    Cross-engine determinism: alpha=0.5 computes the rate with sqrt
-    (IEEE correctly-rounded, bit-identical in any engine) — the graded
-    config. Other alphas go through pow(), which is NOT guaranteed
-    correctly rounded across libm implementations; a 1-ulp difference
-    can flip floor(rate * 1e6) by one bucket, so don't hash-grade
-    those."""
+    Cross-engine determinism: any alpha whose exponent 1 - alpha is a
+    DYADIC rational k/2^m (0.5, 0.25, 0.75, 0.625, ...) computes the
+    rate as an ordered product of iterated square roots — sqrt and
+    multiply are IEEE-754 correctly rounded in both the JVM and every
+    libm, so floor(rate * 1e6) is bit-identical in any engine and the
+    sample is hash-gradable (see dyadic_pow). Non-dyadic alphas fall
+    back to pow(), which is NOT guaranteed correctly rounded across
+    libm implementations; a 1-ulp difference can flip floor(rate * 1e6)
+    by one bucket, so hash-grade those only through a dyadic BRACKET
+    check (dyadic_bracket), never directly."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     floor_n = counts.agg(F.min("__n").alias("__min_n"))
     ratio = F.col("__min_n").cast("double") / F.col("__n").cast("double")
-    rate = (
-        F.sqrt(ratio) if alpha == 0.5
-        else F.pow(ratio, F.lit(1.0 - alpha))
-    )
+    dyadic = dyadic_pow(ratio, 1.0 - alpha)
+    rate = dyadic if dyadic is not None else F.pow(ratio, F.lit(1.0 - alpha))
     ppm = counts.join(F.broadcast(floor_n)).select(
         stratum_col,
         F.floor(rate * F.lit(1_000_000.0)).cast("long").alias("__keep_ppm"),
@@ -159,3 +163,98 @@ def temperature_rebalance(
         .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
         .drop("__keep_ppm")
     )
+
+
+def _dyadic_bits(exponent: float, max_depth: int) -> list[int] | None:
+    """Binary-fraction digits of `exponent` in (0, 1]: the list of i
+    with exponent = sum(2^-i), or None if the expansion does not
+    terminate within max_depth bits (i.e. the exponent is not dyadic at
+    this depth). Exact float arithmetic — every intermediate is a
+    dyadic rational well inside double range, so `*2` and `-1` are
+    exact."""
+    if not (0.0 < exponent <= 1.0):
+        return None
+    if exponent == 1.0:
+        return [0]  # x^1 = x: one factor at sqrt-depth 0
+    bits, e = [], exponent
+    for i in range(1, max_depth + 1):
+        e *= 2.0
+        if e >= 1.0:
+            bits.append(i)
+            e -= 1.0
+        if e == 0.0:
+            return bits
+    return None
+
+
+def dyadic_pow(
+    x: Column, exponent: float, max_depth: int = 8
+) -> Column | None:
+    """x^exponent for x in [0, 1] as an ordered product of iterated
+    square roots, when `exponent` is a dyadic rational k/2^m with
+    m <= max_depth: x^(1/2) = sqrt(x), x^(3/4) = sqrt(x)*sqrt(sqrt(x)),
+    and in general one sqrt-tower factor per set bit of the binary
+    fraction, multiplied left-to-right in increasing-depth order.
+
+    Why this exists: IEEE 754 requires sqrt and multiply to be
+    correctly rounded, and both the JVM (Math.sqrt, double *) and every
+    C libm honor that — so this expression produces the bit-identical
+    double in Spark and in DuckDB, where pow() carries an
+    implementation-defined few-ulp error that can flip a downstream
+    floor(). This is what lets temperature sampling be hash-graded at
+    alphas beyond 0.5. Returns None for non-dyadic exponents
+    (exponent == 0 is the caller's trivial keep-everything case).
+
+    Must stay in lockstep with dyadic_pow_sql: same factor set, same
+    multiplication order."""
+    bits = _dyadic_bits(exponent, max_depth)
+    if bits is None:
+        return None
+    out = None
+    tower, depth = x, 0
+    for i in bits:
+        while depth < i:
+            tower = F.sqrt(tower)
+            depth += 1
+        out = tower if out is None else out * tower
+    return out
+
+
+def dyadic_pow_sql(x_sql: str, exponent: float, max_depth: int = 8) -> str:
+    """The DuckDB-SQL twin of dyadic_pow — identical factor set and
+    left-to-right multiplication order, so an oracle built from this
+    string reproduces the Spark column bit-for-bit. Raises on
+    non-dyadic exponents (an oracle must not silently fall back to
+    pow)."""
+    bits = _dyadic_bits(exponent, max_depth)
+    if bits is None:
+        raise ValueError(
+            f"exponent {exponent} is not dyadic at depth {max_depth}"
+        )
+    factors = []
+    for i in bits:
+        f = x_sql
+        for _ in range(i):
+            f = f"sqrt({f})"
+        factors.append(f)
+    out = factors[0]
+    for f in factors[1:]:
+        out = f"({out} * {f})"
+    return out
+
+
+def dyadic_bracket(exponent: float, depth: int = 8) -> tuple[float, float]:
+    """The tightest dyadic bracket [lo_exp, hi_exp] of width 2^-depth
+    around a (typically non-dyadic) exponent: floor/ceil of
+    exponent * 2^depth. For x in (0, 1], x^hi_exp <= x^exponent <=
+    x^lo_exp, and both bound exponents are dyadic — so both bounds are
+    computable bit-identically cross-engine via dyadic_pow, giving a
+    DETERMINISTIC acceptance band for each engine's own pow() result
+    (pow's few-ulp libm error is ~1e-16; the band is
+    ~x^(lo) - x^(hi) ≈ 0.1-1% wide: ten orders of magnitude of slack
+    for rounding, yet tight enough that any real implementation bug —
+    wrong exponent, inverted ratio — lands far outside)."""
+    scaled = exponent * (1 << depth)
+    lo = math.floor(scaled) / (1 << depth)
+    hi = math.ceil(scaled) / (1 << depth)
+    return lo, hi

@@ -450,3 +450,104 @@ def curation_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _temp_alpha_oracle_sql() -> str:
+    """Oracle for curation-temperature-alpha, assembled from the same
+    dyadic decomposition the Spark side uses (sampling.dyadic_pow_sql —
+    one source of truth for the factor order, so the two engines cannot
+    drift). alpha=0.25 (exponent 0.75, dyadic) is graded hash-exact;
+    alpha=0.3 (exponent 0.7, NOT dyadic) is graded through the
+    deterministic dyadic bracket: each engine checks its OWN pow()
+    against bit-identical dyadic bounds and emits a boolean."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        dyadic_bracket,
+        dyadic_pow_sql,
+    )
+
+    ratio = "(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs)"
+    exact = dyadic_pow_sql(ratio, 0.75)
+    lo_e, hi_e = dyadic_bracket(0.7)
+    # larger exponent -> smaller value for ratio <= 1
+    lo_val = dyadic_pow_sql(ratio, hi_e)
+    hi_val = dyadic_pow_sql(ratio, lo_e)
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+               GROUP BY lang),
+    p AS (SELECT lang, n_docs,
+                 CAST(floor({exact} * 1000000.0) AS BIGINT) AS keep_ppm_q,
+                 CAST(floor(pow({ratio}, 0.7) * 1000000.0) AS BIGINT)
+                   AS pow_ppm,
+                 CAST(floor({lo_val} * 1000000.0) AS BIGINT) AS lo_ppm,
+                 CAST(floor({hi_val} * 1000000.0) AS BIGINT) AS hi_ppm
+          FROM c),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept_q
+      FROM documents d JOIN p USING (lang)
+      WHERE ((d.doc_id * 69069 + 1) % 4294967296) % 1000000 < p.keep_ppm_q
+      GROUP BY d.lang
+    )
+    SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs, p.keep_ppm_q,
+           CAST(coalesce(k.n_kept_q, 0) AS BIGINT) AS n_kept_q,
+           (p.pow_ppm BETWEEN p.lo_ppm - 1 AND p.hi_ppm + 1)
+             AS pow_in_bracket
+    FROM p LEFT JOIN k ON k.lang = p.lang
+    ORDER BY p.lang
+    """
+
+
+@_register("curation-temperature-alpha", None)
+def curation_temperature_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature sampling graded BEYOND alpha=0.5 (VERDICT r5 item 6):
+    the alpha=0.25 report is hash-exact because its exponent 0.75 is a
+    dyadic rational computed as sqrt(x)*sqrt(sqrt(x)) — correctly
+    rounded in both engines (operators/sampling.py dyadic_pow) — and
+    the non-dyadic alpha=0.3 pow() path is graded by a deterministic
+    bracket boolean: pow's ppm must land inside dyadic-exact bounds
+    x^(180/256) .. x^(179/256) (±1 ppm floor slack). Any real bug —
+    swapped alpha/1-alpha, inverted ratio, broken hash — flips the
+    exact columns or the boolean; libm's few-ulp pow wobble cannot."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        dyadic_bracket,
+        dyadic_pow,
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("__min_n"))
+    ratio = F.col("__min_n").cast("double") / F.col("n_docs").cast("double")
+    lo_e, hi_e = dyadic_bracket(0.7)
+    to_ppm = lambda c: F.floor(c * F.lit(1_000_000.0)).cast("long")  # noqa: E731
+    ppm = counts.join(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        to_ppm(dyadic_pow(ratio, 0.75)).alias("keep_ppm_q"),
+        to_ppm(F.pow(ratio, F.lit(0.7))).alias("__pow_ppm"),
+        # larger exponent -> smaller value for ratio <= 1
+        to_ppm(dyadic_pow(ratio, hi_e)).alias("__lo_ppm"),
+        to_ppm(dyadic_pow(ratio, lo_e)).alias("__hi_ppm"),
+    )
+    kept = (
+        temperature_rebalance(docs, "lang", 0.25, F.col("doc_id"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_kept"))
+    )
+    return (
+        ppm.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "keep_ppm_q",
+            F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept_q"),
+            F.col("__pow_ppm").between(
+                F.col("__lo_ppm") - 1, F.col("__hi_ppm") + 1
+            ).alias("pow_in_bracket"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["curation-temperature-alpha"] = _temp_alpha_oracle_sql()

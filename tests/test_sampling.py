@@ -70,3 +70,94 @@ def test_stratified_sample_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_dyadic_pow_bit_identical_to_duckdb(spark):
+    """The cross-engine contract dyadic_pow exists for: for dyadic
+    exponents, floor(x^e * 1e6) computed via the sqrt-product must be
+    BIT-identical between Spark and DuckDB across a dense sweep of
+    ratio values (including exact-boundary ratios like powers of two).
+    pow() itself cannot promise this — that's the fallback's documented
+    weakness, not a target."""
+    import duckdb
+
+    from data_engineering_pipeline_spark.operators.sampling import (
+        dyadic_pow,
+        dyadic_pow_sql,
+    )
+
+    cases = [(n, d) for d in (64, 401, 997) for n in range(1, d + 1, 7)]
+    exps = [1.0, 0.5, 0.75, 0.625, 0.875, 179 / 256, 180 / 256]
+    rows = spark.createDataFrame(cases, "num INT, den INT")
+    x = F.col("num").cast("double") / F.col("den").cast("double")
+    got = rows.select(
+        "num",
+        "den",
+        *[
+            F.floor(dyadic_pow(x, e) * F.lit(1e6)).cast("long").alias(f"e{i}")
+            for i, e in enumerate(exps)
+        ],
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        for i, e in enumerate(exps):
+            sql = dyadic_pow_sql(
+                f"(CAST({r['num']} AS DOUBLE)/{r['den']})", e
+            )
+            want = con.execute(f"SELECT floor({sql}*1000000.0)").fetchone()[0]
+            assert r[f"e{i}"] == want, (r["num"], r["den"], e)
+    con.close()
+
+
+def test_dyadic_pow_matches_pow_semantically(spark):
+    """Sanity: the sqrt-product is the same FUNCTION as pow (within a
+    few ulp), not just cross-engine stable — checked against Python's
+    pow on the driver."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        dyadic_pow,
+    )
+
+    rows = spark.createDataFrame(
+        [(n, 997) for n in range(1, 998, 13)], "num INT, den INT"
+    )
+    x = F.col("num").cast("double") / F.col("den").cast("double")
+    got = rows.select(
+        "num", dyadic_pow(x, 0.625).alias("d")
+    ).collect()
+    for r in got:
+        assert abs(r["d"] - (r["num"] / 997) ** 0.625) < 1e-12
+
+
+def test_dyadic_bits_non_dyadic_returns_none():
+    from data_engineering_pipeline_spark.operators.sampling import (
+        _dyadic_bits,
+    )
+
+    assert _dyadic_bits(0.7, 8) is None
+    assert _dyadic_bits(1.0, 8) == [0]
+    assert _dyadic_bits(0.75, 8) == [1, 2]
+    assert _dyadic_bits(0.0, 8) is None
+    assert _dyadic_bits(1.5, 8) is None
+
+
+def test_temperature_rebalance_dyadic_alpha_partitioning_invariant(spark):
+    """alpha=0.25 rides the dyadic path; the kept set must be the same
+    exact rows under repartitioning, like every sampler here."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_rebalance(
+            docs, "lang", 0.25, F.col("doc_id")
+        ).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_rebalance(
+            docs.repartition(13, "source"), "lang", 0.25, F.col("doc_id")
+        ).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
