@@ -4,7 +4,9 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Per query: one warm-up execution (JIT/codegen/cache warm), then the
 median of 3 timed runs. The headline metric is the sum of per-query
-medians.
+medians; a parallel "spread" dict carries each query's median absolute
+deviation (MAD) across the timed runs, so a reader can tell machine
+noise from a real regression mechanically (|delta| >> MAD = real).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ def main() -> None:
 
     queries, _ = collect_registry()
     timings: dict[str, object] = {}
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -74,7 +77,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(runs), 4)
+            med = statistics.median(runs)
+            timings[name] = round(med, 4)
+            spread[name] = round(
+                statistics.median(abs(r - med) for r in runs), 4
+            )
         except Exception as exc:  # noqa: BLE001 - any query failure is data
             msg = f"{type(exc).__name__}: {exc}"
             timings[name] = {"err": msg[:500]}
@@ -88,6 +95,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
     }
     if errors:
