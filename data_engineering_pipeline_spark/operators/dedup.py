@@ -393,6 +393,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    state_mode: str = "full",
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingestion dedup: test a NEW batch against the corpus
     without re-scanning it. `existing_signatures` is the persisted
@@ -406,7 +407,10 @@ def incremental_minhash_dedup(
       NOT re-appended (keys-only anti-join): a replayed micro-batch
       (at-least-once restart after the state store committed) must
       converge to the same state, not duplicate its signature rows and
-      fan out every future candidate join.
+      fan out every future candidate join. state_mode="delta" returns
+      only this batch's fresh signature rows instead — for
+      append-organized state stores (streaming/sinks.py) where writing
+      the full union every batch is O(corpus), not O(batch).
     - dup_pairs: (id_a, id_b, est_jaccard) where est_jaccard is the
       fraction of matching minhashes (the unbiased Jaccard estimator) —
       at threshold 0.7 with K=32 the estimator's std error is ~0.08, so
@@ -419,6 +423,7 @@ def incremental_minhash_dedup(
     sig = minhash_signature(ex, id_col, num_hashes)
 
     if existing_signatures is None:
+        fresh_sig = sig
         all_sigs = sig
     else:
         fresh_sig = sig.join(
@@ -469,7 +474,8 @@ def incremental_minhash_dedup(
         .distinct()
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return all_sigs, pairs
+    state = fresh_sig if state_mode == "delta" else all_sigs
+    return state, pairs
 
 
 def cross_corpus_contamination(

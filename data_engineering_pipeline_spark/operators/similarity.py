@@ -452,6 +452,7 @@ def incremental_embedding_dedup(
     n_tables: int = 6,
     probe_radius: int = 0,
     scale: int = 4,
+    state_mode: str = "full",
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingestion embedding near-dup: test a NEW batch against
     everything already indexed without re-scoring the corpus — the
@@ -479,9 +480,16 @@ def incremental_embedding_dedup(
     micro-batch — an at-least-once restart that re-delivers rows after
     the state store committed — converges to the same state instead of
     duplicating index rows and fanning out every future candidate
-    join."""
+    join.
+
+    state_mode="delta" returns only this batch's FRESH index rows as
+    the first element instead of existing+fresh — for append-organized
+    state stores (streaming/sinks.py) where persisting the full union
+    every batch would make the state write O(corpus) instead of
+    O(batch). The pair computation is identical either way."""
     new_idx = embedding_index(new_vecs, id_col, vec_col, dim, bits, n_tables)
     if existing_index is None:
+        fresh_idx = new_idx
         all_idx = new_idx
     else:
         fresh_idx = new_idx.join(
@@ -539,7 +547,8 @@ def incremental_embedding_dedup(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
-    return all_idx, pairs
+    state = fresh_idx if state_mode == "delta" else all_idx
+    return state, pairs
 
 
 def train_ivf_centroids(

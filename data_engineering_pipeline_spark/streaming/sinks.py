@@ -28,6 +28,31 @@ def dedup_stream(
     )
 
 
+def _append_parquet(df: DataFrame, dest: str) -> None:
+    """Append `df` to the flat parquet directory `dest` by staging to a
+    temp dir and MOVING the part-files in under unique names — prior
+    files are never rewritten, so the append is O(df), not O(dest).
+    A crash mid-move leaves a prefix of the batch's files in place;
+    callers must make re-appending converge (here: the keys-only
+    anti-join in the incremental operators re-derives only the
+    still-missing rows on replay)."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{dest}.__app__{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    os.makedirs(dest, exist_ok=True)
+    tok = uuid.uuid4().hex[:8]
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(tmp, f),
+                os.path.join(dest, f"app-{tok}-{i:05d}.parquet"),
+            )
+    shutil.rmtree(tmp)
+
+
 def _incremental_dedup_sink(
     stream_df: DataFrame,
     out_path: str,
@@ -37,26 +62,39 @@ def _incremental_dedup_sink(
     pair_fn,
 ) -> StreamingQuery:
     """Shared core of the streaming near-dup sinks: per micro-batch,
-    `pair_fn(batch_df, existing_state_or_None) -> (new_state, pairs)`
-    produces duplicate pairs against everything seen so far; the drop
-    rule, survivor upsert, and atomic state swap are identical for any
-    incremental pair producer (MinHash text, hyperplane embeddings...).
+    `pair_fn(batch_df, existing_state_or_None) -> (state_delta, pairs)`
+    produces duplicate pairs against everything seen so far plus the
+    batch's FRESH state rows; the drop rule and the append discipline
+    are identical for any incremental pair producer (MinHash text,
+    hyperplane embeddings...).
+
+    Both the output table and the state store are APPEND-organized:
+    each batch moves only its own part-files into the directory (ids
+    are globally unique across batches, so a survivor row never needs
+    updating). Per-batch write cost is therefore O(batch) — the
+    previous stage-and-swap rewrote the full store every batch, an
+    O(corpus) write that would dominate a long-running stream.
+
+    Crash/replay contract: a crash anywhere between the appends and the
+    checkpoint commit re-delivers the batch; the keys-only anti-joins
+    (against the state store inside pair_fn, against the output ids
+    here) re-derive only the still-missing rows, so append + replay
+    CONVERGES — no remnant dirs, no healing pass needed for new-era
+    stores. recover_table still runs once at start to heal stores left
+    by the pre-append swap scheme.
 
     Drop rule per new doc: it loses to ANY earlier-seen near-duplicate,
     and to a same-batch near-duplicate with a lower id — the streaming
     form of exact_dedup's deterministic keep-lowest-id."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
     from data_engineering_pipeline_spark.operators.upsert import (
         recover_table,
-        upsert_parquet,
     )
 
-    # self-heal before the first batch: a crash in a previous run's
-    # upsert swap or state swap leaves recoverable remnants
+    # self-heal pre-append-era swap remnants from a previous run
     recover_table(out_path)
     recover_table(state_path)
 
@@ -69,7 +107,7 @@ def _incremental_dedup_sink(
             if os.path.exists(state_path)
             else None
         )
-        sigs, pairs = pair_fn(batch_df, existing)
+        delta, pairs = pair_fn(batch_df, existing)
         new_ids = batch_df.select(F.col(id_col).alias("__o")).distinct()
         edges = pairs.select(
             F.col("id_a").alias("__d"), F.col("id_b").alias("__o")
@@ -89,20 +127,13 @@ def _incremental_dedup_sink(
             .distinct()
         )
         survivors = batch_df.join(drop_ids, id_col, "left_anti")
-        upsert_parquet(spark, out_path, survivors, [id_col], id_col)
-        # materialize the updated store to a temp dir BEFORE touching the
-        # live one (the plan lazily reads the live store), then swap
-        tmp = f"{state_path}.__tmp__{uuid.uuid4().hex[:8]}"
-        sigs.write.mode("overwrite").parquet(tmp)
-        old = f"{state_path}.__old__{uuid.uuid4().hex[:8]}"
-        had = os.path.exists(state_path)
-        if had:
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        if had:
-            import shutil
-
-            shutil.rmtree(old)
+        if os.path.exists(out_path):
+            # replay guard: ids already written survive the re-append
+            # as no-ops (single-column read, not an O(corpus) rewrite)
+            out_ids = spark.read.parquet(out_path).select(id_col)
+            survivors = survivors.join(out_ids, id_col, "left_anti")
+        _append_parquet(survivors, out_path)
+        _append_parquet(delta, state_path)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -125,9 +156,10 @@ def near_dedup_sink(
     batch is MinHash-signed and probed against the persisted signature
     store of everything seen so far (operators/dedup.py
     incremental_minhash_dedup) — the corpus itself is never re-scanned.
-    Surviving docs are merged into out_path (upsert by id, so replayed
-    batches converge instead of duplicating); the signature store is
-    swapped atomically after each batch.
+    Surviving docs and the batch's fresh signatures are APPENDED to
+    out_path / sig_path (ids are unique across batches; replayed
+    batches converge through keys-only anti-joins, see
+    _incremental_dedup_sink).
 
     Scale: state is one row of K minhashes per document ever seen —
     tiny next to the corpus — and each batch shuffles only itself plus
@@ -138,7 +170,8 @@ def near_dedup_sink(
 
     def _pairs(batch_df, existing):
         return incremental_minhash_dedup(
-            batch_df, existing, id_col, text_col, threshold
+            batch_df, existing, id_col, text_col, threshold,
+            state_mode="delta",
         )
 
     return _incremental_dedup_sink(
@@ -163,8 +196,9 @@ def embedding_near_dedup_sink(
     near_dedup_sink: each micro-batch is hyperplane-signed and probed
     against the persisted LSH index of everything seen so far
     (operators/similarity.py incremental_embedding_dedup), candidates
-    exact-cosine-verified, survivors upserted, index swapped atomically.
-    Same drop rule and state discipline; only the signer differs."""
+    exact-cosine-verified, survivors and fresh index rows appended
+    (replay-convergent, see _incremental_dedup_sink). Same drop rule
+    and state discipline; only the signer differs."""
     from data_engineering_pipeline_spark.operators.similarity import (
         incremental_embedding_dedup,
     )
@@ -180,6 +214,7 @@ def embedding_near_dedup_sink(
             bits,
             n_tables,
             probe_radius,
+            state_mode="delta",
         )
 
     return _incremental_dedup_sink(

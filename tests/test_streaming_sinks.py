@@ -303,3 +303,91 @@ def test_upsert_sink_self_heals_interrupted_swap(spark, tmp_path):
     rows = {r.k: (r.v, r.ver) for r in spark.read.parquet(out).collect()}
     assert rows == {1: ("a2", 2), 2: ("b", 1)}  # recovered + merged
     assert not os.path.exists(f"{out}.__old__deadbeef")
+
+
+def test_state_store_is_append_organized(spark, tmp_path, sf_smoke):
+    """The scale contract of the incremental sinks: each batch must
+    APPEND its fresh state/output rows as new part-files, never rewrite
+    prior batches' files — per-batch write cost O(batch), not
+    O(corpus). Pinned by file identity: the exact file names present
+    after batch 1 must still be present (untouched) after batch 2."""
+    import os
+    import time
+
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        near_dedup_sink,
+    )
+
+    src = tmp_path / "app_src"
+    src.mkdir()
+    out, sig = str(tmp_path / "app_out"), str(tmp_path / "app_sig")
+
+    def land(batch_df, name, order):
+        d = tmp_path / f"w_{name}"
+        batch_df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"{name}.parquet"
+        os.rename(d / part, dst)
+        os.utime(dst, (time.time() + order, time.time() + order))
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    land(b1, "b1", 0)
+    q = near_dedup_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        out, sig, str(tmp_path / "app_ck"),
+    )
+    q.awaitTermination()
+    sig_files_1 = set(os.listdir(sig))
+    out_files_1 = set(os.listdir(out))
+    assert sig_files_1 and out_files_1
+
+    b2 = spark.createDataFrame(
+        [(3, "totally different text about ships and sails")],
+        "doc_id long, text string",
+    )
+    land(b2, "b2", 1)
+    q = near_dedup_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        out, sig, str(tmp_path / "app_ck"),
+    )
+    q.awaitTermination()
+    # batch 1's files survive bit-for-bit under their original names;
+    # batch 2 only added files
+    assert sig_files_1 <= set(os.listdir(sig))
+    assert out_files_1 <= set(os.listdir(out))
+    assert len(os.listdir(sig)) > len(sig_files_1)
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 3}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sig).collect()}
+    assert sig_ids == {1, 2, 3}
+
+
+def test_incremental_ops_delta_state_mode(spark):
+    """state_mode='delta' returns only the batch's fresh rows; feeding
+    full state back next batch must equal the old full-mode union."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "gg hh ii jj kk ll")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "gg hh ii jj kk ll"), (3, "mm nn oo pp qq rr")],
+        "doc_id long, text string",
+    )
+    full1, _ = incremental_minhash_dedup(b1, None)
+    delta2, _ = incremental_minhash_dedup(b2, full1, state_mode="delta")
+    # id 2 already in state: delta carries ONLY id 3
+    assert {r.doc_id for r in delta2.select("doc_id").collect()} == {3}
+    full2, _ = incremental_minhash_dedup(b2, full1)
+    assert sorted(
+        r.doc_id for r in full2.select("doc_id").collect()
+    ) == [1, 2, 3]
