@@ -32,6 +32,14 @@ _DEFAULTS = {
     # 128 MiB input splits: good parallelism at 100 TB (≈800k tasks across
     # 1000 executors) without tiny-task overhead at test scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # local mode runs every executor thread inside the driver JVM, whose
+    # default heap is 1g — measured to OOM a 600k-row index rewrite and
+    # to throttle local[32] with GC. Xmx is a cap, not a reservation, so
+    # a larger default costs nothing when unused. Only effective at JVM
+    # launch (getOrCreate on a live session ignores it); on a real
+    # cluster executor memory comes from the cluster config and this
+    # only sizes the driver. Overridable via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
 
