@@ -22,7 +22,8 @@ _CHECK_FIRST = [
     # round 6: queries whose implementation or oracle changed this round
     # — no prior driver row covers the new code, so they lead
     "classify-quality",  # gains a frozen-coefficient DuckDB oracle (r6)
-    "curation-temperature-alpha",  # new: tolerance-graded arbitrary alpha
+    "curation-temperature-alpha",  # new: dyadic-exact arbitrary alpha
+    "op-snapshot-table",  # new: transactional table format + time travel
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

@@ -867,3 +867,60 @@ def op_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         updates, ["custkey"], ["priority"], "ts", "tb"
     ).orderBy("custkey", "valid_from")
+
+
+@_register(
+    "op-snapshot-table",
+    """
+    SELECT 0 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 1,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY version
+    """,
+)
+def op_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional snapshot table end-to-end
+    (sources/snapshot_table.py): three committed versions — append F
+    orders, append O orders, overwrite with P orders — then TIME TRAVEL
+    to every version and summarize it with exact-integer aggregates.
+    The oracle recomputes each snapshot's contents straight from the
+    base table, so a broken manifest replay (files leaking across
+    versions, overwrite not removing, time travel off by one) shows up
+    as a wrong count/sum at some version."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_tbl_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    t.overwrite(orders.filter(F.col("o_orderstatus") == "P"))
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            t.read(version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
