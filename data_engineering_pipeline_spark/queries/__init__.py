@@ -24,6 +24,8 @@ _CHECK_FIRST = [
     "classify-quality",  # gains a frozen-coefficient DuckDB oracle (r6)
     "curation-temperature-alpha",  # new: dyadic-exact arbitrary alpha
     "op-snapshot-table",  # new: transactional table format + time travel
+    "op-snapshot-merge",  # new: file-pruned copy-on-write MERGE INTO
+    "op-snapshot-cdf",  # new: row-level change feed between versions
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

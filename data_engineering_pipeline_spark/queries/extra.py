@@ -924,3 +924,103 @@ def op_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("version")
+
+
+@_register(
+    "op-snapshot-merge",
+    """
+    WITH tgt AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+         src AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice * 2, 2) AS price
+    FROM src
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the transactional snapshot table
+    (sources/snapshot_table.py merge_into): target = 'F' orders,
+    source = every 7th orderkey with its price doubled; matched rows
+    update, unmatched insert. The oracle recomputes the post-merge
+    table relationally, so a wrong matched/not-matched split, a lost
+    update, or a double insert all surface as value mismatches.
+    Doubling a 2-dp double is exact (exponent bump), so round(.,2) is
+    cross-engine safe."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_merge_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge_into(src, ["o_orderkey"], when_matched="update")
+    return (
+        t.read()
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "op-snapshot-cdf",
+    """
+    WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+         s AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, 'insert' AS _change_type,
+           round(o_totalprice * 2, 2) AS price
+    FROM s WHERE o_orderkey NOT IN (SELECT o_orderkey FROM f)
+    UNION ALL
+    SELECT o_orderkey, 'update_preimage', round(o_totalprice, 2)
+    FROM f WHERE o_orderkey IN (SELECT o_orderkey FROM s)
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', round(o_totalprice * 2, 2)
+    FROM s WHERE o_orderkey IN (SELECT o_orderkey FROM f)
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def op_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshot versions
+    (sources/snapshot_table.py changes): version 0 = 'F' orders,
+    version 1 = the op-snapshot-merge MERGE; the CDC rows must be
+    exactly the inserts and pre/post update images the oracle derives
+    from the base predicates — rows rewritten unchanged by the
+    copy-on-write (same file, different version) must cancel out.
+    Reads only the file-set symmetric difference of the two versions."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_cdf_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    v0 = t.latest_version()
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    v1 = t.merge_into(src, ["o_orderkey"], when_matched="update")
+    return (
+        t.changes(v0, v1, ["o_orderkey"])
+        .select(
+            "o_orderkey",
+            "_change_type",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey", "_change_type")
+    )

@@ -211,11 +211,50 @@ class SnapshotTable:
                 return next_v
             # lost the race: loop re-reads the new head and re-validates
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Blind append: stages data, commits against whatever head
-        wins. Never conflicts (removes nothing)."""
+        wins. Never conflicts (removes nothing).
+
+        `txn=(app_id, txn_version)` makes the append IDEMPOTENT per
+        (app, version) — the Delta txnAppId/txnVersion protocol that
+        gives streaming foreachBatch exactly-once semantics: a replayed
+        micro-batch (crash after commit, before the streaming
+        checkpoint advanced) finds its txn already in the log and
+        becomes a no-op. The check re-runs inside the commit retry
+        loop, so two racing replayers cannot both commit: the loser's
+        re-read sees the winner's txn and abandons (its staged files
+        are unreferenced garbage for vacuum())."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()
         adds = self._stage(df)
-        return self._commit_loop("append", adds, lambda live: [])
+        while True:
+            head = self.latest_version()
+            if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+                return head  # a racing replayer won; staged adds -> vacuum
+            next_v = 0 if head is None else head + 1
+            manifest = {
+                "version": next_v,
+                "op": "append",
+                "adds": adds,
+                "removes": [],
+            }
+            if txn is not None:
+                manifest["txn"] = [txn[0], txn[1]]
+            if self._try_commit(next_v, manifest):
+                return next_v
+
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed txn_version for app_id, -1 if none — the
+        read side of the idempotent-append protocol. Driver-side log
+        scan, O(versions) JSON reads (checkpointing the replayed log
+        state would amortize this at real scale, same note as
+        _live_files)."""
+        high = -1
+        for v in self._versions():
+            t = self._read_manifest(v).get("txn")
+            if t is not None and t[0] == app_id:
+                high = max(high, t[1])
+        return high
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table's full contents atomically. Readers see
@@ -276,6 +315,164 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("compact", adds, removes)
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO: copy-on-write merge that REWRITES ONLY THE FILES
+        CONTAINING MATCHED KEYS — the property that makes merge usable
+        on a 100 TB table where a batch touches a sliver of it.
+
+        Semantics (the Delta/Iceberg MERGE core):
+          when_matched='update'  target row replaced by the source row
+          when_matched='delete'  target row dropped
+          insert_not_matched     source rows matching no target key
+                                 are appended
+
+        Plan shape, in order of cheapness:
+          1. manifest stat-prune: files whose [min,max] on keys[0]
+             cannot intersect the source's key range are untouched
+             without being opened (driver-side, O(files));
+          2. a column-pruned scan of the surviving candidates' key
+             columns, semi-joined with the source keys (keys-only
+             shuffle), yields the touched-file list — bounded by file
+             count, same driver-side convention as
+             operators/upsert.py's partition listing;
+          3. only touched files are read in full and rewritten;
+             untouched files stay byte-identical in the new version.
+
+        Isolation is SERIALIZABLE: the commit is valid only if the
+        candidate set it read is unchanged at commit time — a
+        concurrent append could add a file containing a 'not matched'
+        key, silently turning an insert into a duplicate, so unlike
+        upsert/compact even pure adds conflict (Delta documents the
+        same merge/append conflict at its Serializable level)."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        head = self.latest_version()
+        if head is None:
+            if not insert_not_matched:
+                raise ValueError("merge into an empty table inserts "
+                                 "nothing; nothing to commit")
+            return self.append(source)
+
+        live = self._live_files()
+        # 1. stat-prune candidates by the source's key range
+        rng = source.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+        candidates = {
+            name: e
+            for name, e in live.items()
+            if _may_contain(e["stats"].get(keys[0]), rng["lo"], rng["hi"])
+        }
+        src_keys = source.select(*keys)
+        touched: set[str] = set()
+        if candidates:
+            # 2. keys-only semi-join to find files holding matched keys
+            tgt_keys = self._df_for(candidates).select(
+                *keys, F.input_file_name().alias("__file")
+            )
+            touched = {
+                os.path.basename(r["__file"])
+                for r in tgt_keys.join(src_keys, keys, "left_semi")
+                .select("__file").distinct().collect()
+            }
+
+        # 3. rewrite touched files only
+        parts = []
+        if touched:
+            touched_df = self._df_for(
+                {n: live[n] for n in touched}
+            )
+            kept = touched_df.join(src_keys, keys, "left_anti")
+            parts.append(kept)
+            if when_matched == "update":
+                matched_src = source.join(
+                    touched_df.select(*keys), keys, "left_semi"
+                )
+                parts.append(matched_src)
+        if insert_not_matched:
+            if candidates:
+                existing_keys = self._df_for(candidates).select(*keys)
+                inserts = source.join(existing_keys, keys, "left_anti")
+            else:
+                inserts = source
+            parts.append(inserts)
+        if not parts:
+            return head  # delete-only merge with no matches: no-op
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        adds = self._stage(out)
+
+        basis = set(live)
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            if set(now) != basis:
+                raise SnapshotConflict(
+                    "table changed since this merge read it (serializable "
+                    "merge conflicts even with concurrent appends — a new "
+                    "file can invalidate the not-matched set); re-run"
+                )
+            return sorted(touched)
+
+        return self._commit_loop("merge", adds, removes)
+
+    def changes(
+        self, v_from: int, v_to: int, keys: list[str]
+    ) -> DataFrame:
+        """Change data feed: row-level diff between two committed
+        versions, labelled `_change_type` in {insert, delete,
+        update_preimage, update_postimage}. Requires `keys` unique
+        within each snapshot (CDC is only well-defined over a key).
+
+        Scale: reads ONLY the symmetric difference of the two
+        versions' file sets — files live in both versions cannot
+        contribute a change and are never opened, so the cost tracks
+        the churn between versions, not table size. Rows rewritten
+        byte-identically inside a touched file (copy-on-write
+        survivors) are cancelled by a null-safe struct compare."""
+        from pyspark.sql import functions as F
+
+        a = self._live_files(v_from)
+        b = self._live_files(v_to)
+        removed = {n: e for n, e in a.items() if n not in b}
+        added = {n: e for n, e in b.items() if n not in a}
+        proto = self._df_for(a if a else b)
+        cols = [c for c in proto.columns if c not in keys]
+        old = self._df_for(removed) if removed else proto.limit(0)
+        new = self._df_for(added) if added else proto.limit(0)
+        o = old.select(*keys, F.struct(*cols).alias("__o"))
+        n = new.select(*keys, F.struct(*cols).alias("__n"))
+        j = o.join(n, keys, "full_outer")
+        ins = j.filter(F.col("__o").isNull() & F.col("__n").isNotNull())
+        del_ = j.filter(F.col("__n").isNull() & F.col("__o").isNotNull())
+        upd = j.filter(
+            F.col("__o").isNotNull()
+            & F.col("__n").isNotNull()
+            & ~F.col("__o").eqNullSafe(F.col("__n"))
+        )
+
+        def emit(df: DataFrame, side: str, label: str) -> DataFrame:
+            return df.select(
+                *keys,
+                *[F.col(f"{side}.{c}").alias(c) for c in cols],
+                F.lit(label).alias("_change_type"),
+            )
+
+        return (
+            emit(ins, "__n", "insert")
+            .unionByName(emit(del_, "__o", "delete"))
+            .unionByName(emit(upd, "__o", "update_preimage"))
+            .unionByName(emit(upd, "__n", "update_postimage"))
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO version in the log

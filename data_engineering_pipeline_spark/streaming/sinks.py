@@ -268,3 +268,40 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_append_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+) -> StreamingQuery:
+    """writeStream.foreachBatch -> SnapshotTable.append with a
+    (app_id, batch_id) txn stamp: EXACTLY-ONCE streaming ingest into
+    the transactional table. foreachBatch alone is at-least-once (a
+    crash between the batch write and the checkpoint commit replays
+    the batch); stamping the snapshot commit with the txn id makes the
+    replay a log-checked no-op — the Delta txnAppId/txnVersion
+    protocol. Unlike upsert_sink's converge-by-merge idempotence this
+    needs no keys: blind appends become exactly-once too.
+
+    Scale: the per-batch overhead is one O(versions) driver-side log
+    scan + one O_EXCL create; data-plane cost is the batch itself
+    (append stages only the batch's files — never touches the table's
+    existing data)."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        t.append(batch_df, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -92,6 +92,7 @@ INTENDED_NESTED_LOOP = {
     "text-bm25",
     "curation-mixture",  # smallest-stratum size: 1-row broadcast
     "curation-temperature",  # same smallest-stratum 1-row broadcast
+    "curation-temperature-alpha",  # same smallest-stratum 1-row broadcast
     "text-crossentropy",  # corpus-total ln: 1-row broadcast
     # pair enumeration over GROUPS (sources/crawls — hundreds, never
     # rows); the corpus itself is touched once, sketch-side only

@@ -170,3 +170,131 @@ def test_stat_pruning_skips_files(spark, tmp_path):
     none = t.read(prune=[("k", 5000, 6000)])
     assert none.count() == 0
     assert none.columns == full.columns
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string")
+
+
+def test_merge_into_update_insert_and_file_pruning(spark, tmp_path):
+    """MERGE rewrites ONLY files containing matched keys: with
+    stat_cols on k, a source confined to the low key range must leave
+    the high-range file byte-identical (mtime+size witness), while
+    updates land and inserts append."""
+    t = SnapshotTable(spark, str(tmp_path / "m1"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "lo") for i in range(10)]).coalesce(1))
+    t.append(_kv(spark, [(i, "hi") for i in range(1000, 1010)]).coalesce(1))
+    data_dir = os.path.join(str(tmp_path / "m1"), "data")
+    before = {
+        f: (os.path.getmtime(os.path.join(data_dir, f)),
+            os.path.getsize(os.path.join(data_dir, f)))
+        for f in os.listdir(data_dir)
+    }
+    src = _kv(spark, [(3, "upd"), (7, "upd"), (20, "new")])
+    v = t.merge_into(src, ["k"], when_matched="update")
+    rows = {r.k: r.val for r in t.read().collect()}
+    assert rows[3] == "upd" and rows[7] == "upd" and rows[20] == "new"
+    assert rows[0] == "lo" and rows[1005] == "hi"
+    assert len(rows) == 21
+    # the hi-range file survived untouched (stat-pruned out of the merge)
+    live_now = t._live_files()
+    hi_files = [
+        n for n, e in live_now.items() if e["stats"]["k"][0] >= 1000
+    ]
+    assert hi_files
+    for f in hi_files:
+        p = os.path.join(data_dir, f)
+        assert (os.path.getmtime(p), os.path.getsize(p)) == before[f]
+    # pre-merge snapshot intact (time travel)
+    assert len(t.read(version=v - 1).collect()) == 20
+
+
+def test_merge_into_delete_and_no_insert(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "m2"))
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_into(
+        _kv(spark, [(2, "x"), (9, "x")]),
+        ["k"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+
+
+def test_merge_conflicts_with_concurrent_append(spark, tmp_path):
+    """Serializable merge: a concurrent append can add a file holding a
+    'not matched' key, so even a pure append invalidates the merge."""
+    path = str(tmp_path / "m3")
+    t = SnapshotTable(spark, path)
+    t.append(_kv(spark, [(1, "a")]))
+
+    orig_stage = t._stage
+    fired = {}
+
+    def hooked(df):
+        staged = orig_stage(df)
+        if not fired:
+            fired["x"] = True
+            SnapshotTable(spark, path).append(_kv(spark, [(50, "race")]))
+        return staged
+
+    t._stage = hooked
+    with pytest.raises(SnapshotConflict):
+        t.merge_into(_kv(spark, [(50, "mine")]), ["k"])
+    # the winning append is visible; the merge left nothing behind
+    assert {r.val for r in t.read().collect()} == {"a", "race"}
+
+
+def test_changes_row_level_cdc(spark, tmp_path):
+    """changes(v_from, v_to) labels inserts/deletes/updates and reads
+    only the symmetric difference of the file sets: the untouched
+    file from v0 must not appear in the CDC plan's inputFiles()."""
+    t = SnapshotTable(spark, str(tmp_path / "c1"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "lo") for i in range(5)]).coalesce(1))
+    t.append(_kv(spark, [(i, "hi") for i in range(100, 105)]).coalesce(1))
+    v1 = t.latest_version()
+    t.merge_into(
+        _kv(spark, [(2, "upd"), (200, "new")]), ["k"], when_matched="update"
+    )
+    v2 = t.latest_version()
+    cdc = t.changes(v1, v2, ["k"])
+    got = {(r.k, r._change_type): r.val for r in cdc.collect()}
+    assert got == {
+        (200, "insert"): "new",
+        (2, "update_preimage"): "lo",
+        (2, "update_postimage"): "upd",
+    }
+    # scan minimality: the hi file is live in both versions -> not read
+    data_dir = os.path.join(str(tmp_path / "c1"), "data")
+    hi_files = {
+        n for n, e in t._live_files(v1).items()
+        if e["stats"]["k"][0] >= 100
+    }
+    scanned = {os.path.basename(p) for p in cdc.inputFiles()}
+    assert hi_files and not (hi_files & scanned)
+    # a delete shows up as delete
+    t.merge_into(
+        _kv(spark, [(3, "z")]), ["k"], when_matched="delete",
+        insert_not_matched=False,
+    )
+    cdc2 = t.changes(v2, t.latest_version(), ["k"])
+    assert {(r.k, r._change_type) for r in cdc2.collect()} == {
+        (3, "delete")
+    }
+
+
+def test_txn_append_is_exactly_once(spark, tmp_path):
+    """The (app_id, batch_id) stamp makes a replayed append a no-op —
+    and a LATER batch id still commits."""
+    t = SnapshotTable(spark, str(tmp_path / "x1"))
+    v0 = t.append(_kv(spark, [(1, "a")]), txn=("app", 0))
+    v_replay = t.append(_kv(spark, [(1, "a")]), txn=("app", 0))
+    assert v_replay == v0 and t.read().count() == 1
+    t.append(_kv(spark, [(2, "b")]), txn=("app", 1))
+    assert t.read().count() == 2
+    # an unrelated app is not blocked by this app's txn history
+    t.append(_kv(spark, [(3, "c")]), txn=("other", 0))
+    assert t.read().count() == 3
+    assert t.txn_version("app") == 1
+    assert t.txn_version("other") == 0
+    assert t.txn_version("nobody") == -1

@@ -391,3 +391,41 @@ def test_incremental_ops_delta_state_mode(spark):
     assert sorted(
         r.doc_id for r in full2.select("doc_id").collect()
     ) == [1, 2, 3]
+
+
+def test_snapshot_append_sink_exactly_once(spark, tmp_path, sf_smoke):
+    """Exactly-once streaming ingest into the transactional table: a
+    full replay of the SAME micro-batches (fresh checkpoint, same
+    app_id) finds its (app_id, batch_id) txns already committed and
+    appends nothing; new data under a later batch id still lands."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        snapshot_append_sink,
+    )
+
+    src = _events_input(tmp_path, sf_smoke, "snap_in")
+    tbl = str(tmp_path / "snap_tbl")
+    ck1 = str(tmp_path / "snap_ck1")
+    ck2 = str(tmp_path / "snap_ck2")
+
+    stream = read_events_stream(spark, src)
+    snapshot_append_sink(stream, tbl, ck1, "ingest-app").awaitTermination()
+    t = SnapshotTable(spark, tbl)
+    n1 = t.read().count()
+    v1 = t.latest_version()
+    assert n1 > 0
+
+    # at-least-once replay: same files, fresh checkpoint -> same batch
+    # ids -> every append is a txn-checked no-op
+    stream2 = read_events_stream(spark, src)
+    snapshot_append_sink(stream2, tbl, ck2, "ingest-app").awaitTermination()
+    assert t.read().count() == n1
+    assert t.latest_version() == v1
+
+    # a DIFFERENT app is not deduped against this app's history
+    ck3 = str(tmp_path / "snap_ck3")
+    stream3 = read_events_stream(spark, src)
+    snapshot_append_sink(stream3, tbl, ck3, "other-app").awaitTermination()
+    assert t.read().count() == 2 * n1
