@@ -113,10 +113,17 @@ class SnapshotTable:
     optimistic protocol correct across processes."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 stat_cols: list[str] | None = None):
+                 stat_cols: list[str] | None = None,
+                 checkpoint_every: int = 16):
         self.spark = spark
         self.path = path
         self.stat_cols = stat_cols or []
+        # every Nth commit also writes a log CHECKPOINT (the fully
+        # replayed live-file state + txn high-water marks), so snapshot
+        # resolution is O(N) tail manifests instead of O(versions) —
+        # the same device as Delta's _last_checkpoint. Checkpoints are
+        # derived data: deleting one only makes reads replay further.
+        self.checkpoint_every = checkpoint_every
 
     # ---------------- log plumbing ----------------
 
@@ -137,8 +144,53 @@ class SnapshotTable:
         with open(_manifest_path(self.path, version)) as fh:
             return json.load(fh)
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            _log_dir(self.path), f"{version:08d}.checkpoint.json"
+        )
+
+    def _checkpoints(self) -> list[int]:
+        d = _log_dir(self.path)
+        if not os.path.isdir(d):
+            return []
+        suf = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suf)]) for f in os.listdir(d)
+            if f.endswith(suf) and f[: -len(suf)].isdigit()
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the replayed state at `version` (live files +
+        per-app txn high-water marks) as one JSON file, via tmp+rename
+        so readers never see a partial checkpoint. Only the committer
+        of `version` calls this, so there is no write race; a crash
+        mid-write leaves a tmp file the log scan ignores."""
+        path = self._checkpoint_path(version)
+        if os.path.exists(path):
+            return
+        state = {
+            "version": version,
+            "live": self._live_files(version),
+            "txns": self._txns_through(version),
+        }
+        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.rename(tmp, path)
+
+    def _replay_base(self, version: int) -> tuple[int, dict]:
+        """Latest checkpoint at or below `version` -> (next version to
+        replay, starting live-file state)."""
+        for cv in reversed(self._checkpoints()):
+            if cv <= version:
+                with open(self._checkpoint_path(cv)) as fh:
+                    return cv + 1, dict(json.load(fh)["live"])
+        return 0, {}
+
     def _live_files(self, version: int | None = None) -> dict[str, dict]:
-        """Replay manifests 0..version -> {file name: file entry}."""
+        """Replay manifests up to `version` -> {file name: file entry},
+        starting from the newest checkpoint at or below it (O(tail)
+        instead of O(versions))."""
         head = self.latest_version()
         if head is None:
             return {}
@@ -146,9 +198,15 @@ class SnapshotTable:
             version = head
         if version > head or version < 0:
             raise ValueError(f"version {version} not in log (head {head})")
-        live: dict[str, dict] = {}
-        for v in range(version + 1):
-            m = self._read_manifest(v)
+        start, live = self._replay_base(version)
+        for v in range(start, version + 1):
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {v} has been expired by a retention run "
+                    "and no checkpoint covers it"
+                ) from None
             for r in m["removes"]:
                 live.pop(r, None)
             for a in m["adds"]:
@@ -188,6 +246,8 @@ class SnapshotTable:
             return False
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
         return True
 
     # ---------------- write operations ----------------
@@ -245,16 +305,33 @@ class SnapshotTable:
 
     def txn_version(self, app_id: str) -> int:
         """Highest committed txn_version for app_id, -1 if none — the
-        read side of the idempotent-append protocol. Driver-side log
-        scan, O(versions) JSON reads (checkpointing the replayed log
-        state would amortize this at real scale, same note as
-        _live_files)."""
-        high = -1
+        read side of the idempotent-append protocol. O(tail) from the
+        newest checkpoint's txn high-water marks; txn history therefore
+        SURVIVES retention (expire_versions checkpoints before it
+        deletes manifests), so a replayed batch stays a no-op even
+        after its original commit was expired."""
+        head = self.latest_version()
+        if head is None:
+            return -1
+        return self._txns_through(head).get(app_id, -1)
+
+    def _txns_through(self, version: int) -> dict[str, int]:
+        """Per-app txn high-water marks over versions 0..version,
+        seeded from the newest checkpoint at or below `version`."""
+        txns: dict[str, int] = {}
+        start = 0
+        for cv in reversed(self._checkpoints()):
+            if cv <= version:
+                with open(self._checkpoint_path(cv)) as fh:
+                    txns = dict(json.load(fh)["txns"])
+                start = cv + 1
+                break
         for v in self._versions():
-            t = self._read_manifest(v).get("txn")
-            if t is not None and t[0] == app_id:
-                high = max(high, t[1])
-        return high
+            if start <= v <= version:
+                t = self._read_manifest(v).get("txn")
+                if t is not None:
+                    txns[t[0]] = max(txns.get(t[0], -1), t[1])
+        return txns
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table's full contents atomically. Readers see
@@ -474,15 +551,61 @@ class SnapshotTable:
             .unionByName(emit(upd, "__n", "update_postimage"))
         )
 
+    def expire_versions(self, keep_last: int) -> dict:
+        """Retention: truncate time-travel history to the newest
+        `keep_last` versions. Writes a checkpoint at the oldest
+        retained version first (so its state — and all txn high-water
+        marks — stay reconstructible), then deletes the expired
+        manifests and every data file no retained version can reach.
+        This is the policy decision vacuum() deliberately is not:
+        time travel to an expired version now raises.
+
+        Scale: history growth is the one unbounded driver-side cost of
+        the format (O(versions) manifests); a periodic
+        expire_versions(N) bounds both the log length and the
+        removed-file garbage that back old snapshots."""
+        vs = self._versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(vs) <= keep_last:
+            return {"expired": [], "deleted_files": []}
+        cutoff = vs[-keep_last]  # oldest retained version
+        self._write_checkpoint(cutoff)
+        reachable = set(self._live_files(cutoff))
+        for v in vs:
+            if v > cutoff:
+                reachable |= {
+                    a["path"] for a in self._read_manifest(v)["adds"]
+                }
+        expired = [v for v in vs if v < cutoff]
+        for v in expired:
+            os.remove(_manifest_path(self.path, v))
+            ck = self._checkpoint_path(v)
+            if os.path.exists(ck):
+                os.remove(ck)
+        data = os.path.join(self.path, "data")
+        deleted = []
+        for f in os.listdir(data) if os.path.isdir(data) else []:
+            if f.endswith(".parquet") and f not in reachable:
+                os.remove(os.path.join(data, f))
+                deleted.append(f)
+        return {"expired": expired, "deleted_files": sorted(deleted)}
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO version in the log
         (crash leftovers from writers that died before commit). Files
         removed by a later version are kept — they back time travel;
-        truncating history would be a retention policy, not vacuum."""
+        truncating history would be a retention policy, not vacuum
+        (that is expire_versions)."""
         ever: set[str] = set()
         for v in self._versions():
             for a in self._read_manifest(v)["adds"]:
                 ever.add(a["path"])
+        # after retention, a live file's adding manifest may be gone:
+        # checkpoints are then the only reference keeping it alive
+        for cv in self._checkpoints():
+            with open(self._checkpoint_path(cv)) as fh:
+                ever |= set(json.load(fh)["live"])
         data = os.path.join(self.path, "data")
         dropped = []
         for f in os.listdir(data) if os.path.isdir(data) else []:

@@ -298,3 +298,63 @@ def test_txn_append_is_exactly_once(spark, tmp_path):
     assert t.txn_version("app") == 1
     assert t.txn_version("other") == 0
     assert t.txn_version("nobody") == -1
+
+
+def test_log_checkpoint_equivalence(spark, tmp_path):
+    """Checkpoints are pure derived state: reads through a checkpoint
+    must equal a full log replay (checkpoints deleted), at the head and
+    at past versions, and txn high-water marks must round-trip."""
+    path = str(tmp_path / "ck1")
+    t = SnapshotTable(spark, path, checkpoint_every=4)
+    for i in range(9):
+        t.append(_kv(spark, [(i, f"b{i}")]), txn=("app", i))
+    t.merge_into(_kv(spark, [(2, "upd")]), ["k"])  # v9
+    assert t._checkpoints() == [4, 8]
+
+    with_ck = {v: t._live_files(v) for v in (3, 4, 7, 9)}
+    assert t.txn_version("app") == 8
+    for cv in t._checkpoints():
+        os.remove(t._checkpoint_path(cv))
+    bare = SnapshotTable(spark, path, checkpoint_every=4)
+    for v, live in with_ck.items():
+        assert bare._live_files(v) == live
+    assert bare.txn_version("app") == 8
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    """Retention truncates history: expired versions raise, retained
+    ones (including the cutoff) stay readable, orphaned data files are
+    physically deleted, and txn idempotence SURVIVES the expiry of the
+    manifest that carried the txn."""
+    path = str(tmp_path / "ret1")
+    t = SnapshotTable(spark, path)
+    for i in range(4):
+        t.append(_kv(spark, [(i, f"b{i}")]), txn=("app", i))
+    t.overwrite(_kv(spark, [(99, "ow")]))  # v4 drops all prior files
+    t.append(_kv(spark, [(100, "tail")]))  # v5
+    data_dir = os.path.join(path, "data")
+    n_files_before = len(os.listdir(data_dir))
+
+    res = t.expire_versions(keep_last=2)
+    assert res["expired"] == [0, 1, 2, 3]
+    assert res["deleted_files"]  # the pre-overwrite files are orphaned
+    assert len(os.listdir(data_dir)) < n_files_before
+
+    assert sorted(r.k for r in t.read().collect()) == [99, 100]
+    assert sorted(r.k for r in t.read(version=4).collect()) == [99]
+    with pytest.raises(ValueError, match="expired"):
+        t.read(version=2)
+
+    # a replayed pre-expiry batch is STILL a no-op
+    v = t.append(_kv(spark, [(0, "replay")]), txn=("app", 0))
+    assert v == t.latest_version()
+    assert sorted(r.k for r in t.read().collect()) == [99, 100]
+
+    # vacuum must not eat files that only the checkpoint references
+    assert t.vacuum() == []
+    assert sorted(r.k for r in t.read().collect()) == [99, 100]
+
+    # below the floor: a no-op
+    assert t.expire_versions(keep_last=50) == {
+        "expired": [], "deleted_files": []
+    }
