@@ -551,3 +551,57 @@ def curation_temperature_alpha(
 
 
 ORACLES["curation-temperature-alpha"] = _temp_alpha_oracle_sql()
+
+
+@_register(
+    "curation-shards",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ((1 + doc_id) * 69069 + 1) % 4294967296 AS hk
+      FROM documents
+    ), r AS (
+      SELECT CAST(hk % 8 AS BIGINT) AS shard, doc_id,
+             row_number() OVER (PARTITION BY hk % 8
+                                ORDER BY hk, doc_id) AS pos,
+             count(*) OVER (PARTITION BY hk % 8) AS n_docs,
+             sum(n_chars) OVER (PARTITION BY hk % 8) AS sum_chars
+      FROM h
+    )
+    SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_chars AS BIGINT) AS sum_chars
+    FROM r WHERE pos <= 3
+    ORDER BY shard, pos
+    """,
+)
+def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-shard export
+    (operators/sharding.py): shard assignment and within-shard order
+    are pure functions of (epoch, doc_id), so the oracle reproduces
+    the exact layout — head rows of each shard prove the ORDER, the
+    per-shard counts prove assignment and balance. The epoch folds
+    into the hash (epoch 0 here: seed hash = (0*69069+1) = 1)."""
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        shard_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mf = shard_manifest(docs, 8, F.col("doc_id"))
+    return (
+        mf.withColumn(
+            "sum_chars",
+            F.sum("n_chars").over(Window.partitionBy("shard")),
+        )
+        .filter(F.col("pos") <= 3)
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos").cast("long").alias("pos"),
+            "doc_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("shard", "pos")
+    )

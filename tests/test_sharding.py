@@ -1,0 +1,87 @@
+"""Deterministic shard export: assignment/order are data-derived (not
+partitioning-derived), the written layout is hive-partitioned and
+sorted, and epochs produce different permutations."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.sampling import key_hash
+from data_engineering_pipeline_spark.operators.sharding import (
+    export_shards,
+    shuffle_shard,
+)
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+    )
+
+
+def test_export_layout_sorted_and_complete(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    export_shards(_docs(spark), out, 4, ["doc_id"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert sorted(r.doc_id for r in back.collect()) == list(range(500))
+    # within one shard file the rows are in (hash, key) shuffle order
+    import pyarrow.parquet as pq
+
+    d0 = os.path.join(out, "shard=0")
+    f0 = [f for f in os.listdir(d0) if f.endswith(".parquet")]
+    assert len(f0) == 1  # one writer task per shard
+    ids = pq.read_table(os.path.join(d0, f0[0]))["doc_id"].to_pylist()
+    hk = [((1 + i) * 69069 + 1) % 2**32 for i in ids]  # epoch-0 LCG
+    assert hk == sorted(hk)
+
+
+def test_shard_contents_partitioning_independent(spark):
+    """The property df.repartition(N).write lacks: reshaping the input
+    must not change which rows land in which shard, nor their order."""
+    docs = _docs(spark, 300)
+    a = shuffle_shard(docs, 8, F.col("doc_id"))
+    b = shuffle_shard(docs.repartition(13), 8, F.col("doc_id"))
+    rows_a = sorted((r["shard"], r["__h"], r["doc_id"]) for r in a.collect())
+    rows_b = sorted((r["shard"], r["__h"], r["doc_id"]) for r in b.collect())
+    assert rows_a == rows_b
+    # balanced by construction: uniform hash over 300 rows / 8 shards
+    sizes = [
+        r["count"] for r in a.groupBy("shard").count().collect()
+    ]
+    assert len(sizes) == 8 and max(sizes) < 2.5 * min(sizes)
+
+
+def test_epoch_reshuffles(spark):
+    docs = _docs(spark, 200)
+    e0 = {r.doc_id: r.shard for r in
+          shuffle_shard(docs, 8, F.col("doc_id"), epoch=0).collect()}
+    e1 = {r.doc_id: r.shard for r in
+          shuffle_shard(docs, 8, F.col("doc_id"), epoch=1).collect()}
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > 100  # a genuinely different permutation
+
+
+def test_hash_matches_operator(spark):
+    """shuffle_shard's hash must be exactly key_hash(epoch, key) — the
+    cross-engine LCG the oracle reproduces."""
+    docs = _docs(spark, 50)
+    sh = shuffle_shard(docs, 4, F.col("doc_id"), epoch=3)
+    ref = docs.select(
+        "doc_id", key_hash(F.lit(3), F.col("doc_id")).alias("h")
+    )
+    j = sh.join(ref, "doc_id")
+    assert j.filter(F.col("__h") != F.col("h")).count() == 0
+
+
+def test_epoch0_hash_key_in_oracle_form(spark):
+    """The epoch-0 shuffle hash folds to ((1+key)*69069+1) % 2^32 —
+    the closed form the curation-shards oracle SQL uses."""
+    sh = shuffle_shard(_docs(spark, 20), 4, F.col("doc_id"))
+    for r in sh.collect():
+        assert r["__h"] == ((1 + r["doc_id"]) * 69069 + 1) % 2**32
