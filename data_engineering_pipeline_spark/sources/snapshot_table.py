@@ -35,8 +35,9 @@ O_EXCL create has committed. There is no intermediate state.
 
 Scale: manifests carry file-level metadata only — O(files) JSON, the
 data plane is untouched. Snapshot resolution is a driver-side log
-replay (at real scale you checkpoint the replayed state every N
-versions — noted, not implemented). Reads hand Spark an explicit file
+replay from the newest log checkpoint (written every Nth commit), so
+resolution cost is O(tail), not O(versions); expire_versions() bounds
+history. Reads hand Spark an explicit file
 list, so time travel and stat-pruning cost nothing at plan time;
 pruning uses the manifest min/max to drop whole files before Spark
 ever sees them — the same IO win as partition pruning but on any
@@ -57,6 +58,34 @@ class SnapshotConflict(Exception):
     """A read-modify-write transaction lost the race: files it read
     were removed by a concurrently committed version. Re-run on fresh
     state."""
+
+
+class SchemaConflict(Exception):
+    """An incoming DataFrame re-declares an existing column with a
+    different type. Schema evolution only ADDS columns — silent type
+    rewrites corrupt every existing file's read."""
+
+
+def _merge_schemas(base, extra):
+    """Evolve `base` with `extra`: new fields append, shared fields
+    must agree on type (nullability is not compared — parquet files
+    written from non-null frames stay readable under a nullable table
+    schema)."""
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in base.fields}
+    merged = list(base.fields)
+    for f in extra.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            merged.append(f)
+        elif have.dataType != f.dataType:
+            raise SchemaConflict(
+                f"column {f.name!r} is {have.dataType.simpleString()} in "
+                f"the table but {f.dataType.simpleString()} in the "
+                "incoming data; evolution only adds columns"
+            )
+    return StructType(merged)
 
 
 def _log_dir(path: str) -> str:
@@ -253,10 +282,17 @@ class SnapshotTable:
     # ---------------- write operations ----------------
 
     def _commit_loop(self, op: str, adds: list[dict],
-                     removes_fn) -> int:
+                     removes_fn, schema=None,
+                     replace_schema: bool = False) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
-        SnapshotConflict if the transaction's premise no longer holds."""
+        SnapshotConflict if the transaction's premise no longer holds.
+
+        `schema` is the transaction's staged schema; unless
+        `replace_schema` (overwrite), it is re-merged against the
+        HEAD's schema on every retry, so rebasing over a concurrent
+        commit that evolved the schema cannot silently hide that
+        commit's new columns."""
         while True:
             head = self.latest_version()
             next_v = 0 if head is None else head + 1
@@ -267,6 +303,13 @@ class SnapshotTable:
                 "adds": adds,
                 "removes": removes,
             }
+            if schema is not None:
+                eff = schema
+                if not replace_schema and head is not None:
+                    cur = self._schema_at(head)
+                    if cur is not None:
+                        eff = _merge_schemas(cur, schema)
+                manifest["schema"] = eff.json()
             if self._try_commit(next_v, manifest):
                 return next_v
             # lost the race: loop re-reads the new head and re-validates
@@ -292,11 +335,17 @@ class SnapshotTable:
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
                 return head  # a racing replayer won; staged adds -> vacuum
             next_v = 0 if head is None else head + 1
+            # schema evolution: new columns append to the table schema,
+            # same-name columns must keep their type; recomputed per
+            # retry so a concurrent evolver's columns are never hidden
+            cur = self._schema_at(head) if head is not None else None
+            eff = df.schema if cur is None else _merge_schemas(cur, df.schema)
             manifest = {
                 "version": next_v,
                 "op": "append",
                 "adds": adds,
                 "removes": [],
+                "schema": eff.json(),
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
@@ -338,7 +387,8 @@ class SnapshotTable:
         the old snapshot until the commit instant, then the new one."""
         adds = self._stage(df)
         return self._commit_loop(
-            "overwrite", adds, lambda live: sorted(live)
+            "overwrite", adds, lambda live: sorted(live),
+            schema=df.schema, replace_schema=True,
         )
 
     def upsert(self, df: DataFrame, keys: list[str], order_col: str) -> int:
@@ -353,8 +403,9 @@ class SnapshotTable:
 
         head = self.latest_version()
         read_files = self._live_files() if head is not None else {}
+        cur_schema = self._schema_at(head) if head is not None else None
         old = (
-            self._df_for(read_files) if read_files else None
+            self._df_for(read_files, cur_schema) if read_files else None
         )
         merged = merge_last_write_wins(old, df, keys, order_col)
         adds = self._stage(merged)
@@ -369,7 +420,8 @@ class SnapshotTable:
                 )
             return sorted(basis)
 
-        return self._commit_loop("upsert", adds, removes)
+        return self._commit_loop("upsert", adds, removes,
+                                 schema=merged.schema)
 
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the current snapshot into `target_files` files —
@@ -379,7 +431,8 @@ class SnapshotTable:
         if head is None:
             raise ValueError("cannot compact an empty table")
         read_files = self._live_files()
-        df = self._df_for(read_files).coalesce(target_files)
+        cur_schema = self._schema_at(head)
+        df = self._df_for(read_files, cur_schema).coalesce(target_files)
         adds = self._stage(df)
         basis = set(read_files)
 
@@ -391,7 +444,8 @@ class SnapshotTable:
                 )
             return sorted(basis)
 
-        return self._commit_loop("compact", adds, removes)
+        return self._commit_loop("compact", adds, removes,
+                                 schema=df.schema)
 
     def merge_into(
         self,
@@ -440,6 +494,7 @@ class SnapshotTable:
             return self.append(source)
 
         live = self._live_files()
+        cur_schema = self._schema_at(head)
         # 1. stat-prune candidates by the source's key range
         rng = source.agg(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
@@ -453,7 +508,7 @@ class SnapshotTable:
         touched: set[str] = set()
         if candidates:
             # 2. keys-only semi-join to find files holding matched keys
-            tgt_keys = self._df_for(candidates).select(
+            tgt_keys = self._df_for(candidates, cur_schema).select(
                 *keys, F.input_file_name().alias("__file")
             )
             touched = {
@@ -466,7 +521,7 @@ class SnapshotTable:
         parts = []
         if touched:
             touched_df = self._df_for(
-                {n: live[n] for n in touched}
+                {n: live[n] for n in touched}, cur_schema
             )
             kept = touched_df.join(src_keys, keys, "left_anti")
             parts.append(kept)
@@ -477,7 +532,9 @@ class SnapshotTable:
                 parts.append(matched_src)
         if insert_not_matched:
             if candidates:
-                existing_keys = self._df_for(candidates).select(*keys)
+                existing_keys = self._df_for(
+                    candidates, cur_schema
+                ).select(*keys)
                 inserts = source.join(existing_keys, keys, "left_anti")
             else:
                 inserts = source
@@ -500,7 +557,8 @@ class SnapshotTable:
                 )
             return sorted(touched)
 
-        return self._commit_loop("merge", adds, removes)
+        return self._commit_loop("merge", adds, removes,
+                                 schema=out.schema)
 
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
@@ -522,10 +580,13 @@ class SnapshotTable:
         b = self._live_files(v_to)
         removed = {n: e for n, e in a.items() if n not in b}
         added = {n: e for n, e in b.items() if n not in a}
-        proto = self._df_for(a if a else b)
+        # both sides read under v_to's schema: columns added between
+        # the versions diff as null -> value transitions
+        sch = self._schema_at(v_to)
+        proto = self._df_for(a if a else b, sch)
         cols = [c for c in proto.columns if c not in keys]
-        old = self._df_for(removed) if removed else proto.limit(0)
-        new = self._df_for(added) if added else proto.limit(0)
+        old = self._df_for(removed, sch) if removed else proto.limit(0)
+        new = self._df_for(added, sch) if added else proto.limit(0)
         o = old.select(*keys, F.struct(*cols).alias("__o"))
         n = new.select(*keys, F.struct(*cols).alias("__n"))
         j = o.join(n, keys, "full_outer")
@@ -616,10 +677,31 @@ class SnapshotTable:
 
     # ---------------- read operations ----------------
 
-    def _df_for(self, files: dict[str, dict]) -> DataFrame:
+    def _schema_at(self, version: int):
+        """Table schema as of `version`: the newest recorded schema at
+        or below it (every post-evolution commit records one). None for
+        legacy logs that never recorded a schema — reads then fall back
+        to footer inference."""
+        from pyspark.sql.types import StructType
+
+        for v in range(version, -1, -1):
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                return None  # expired prefix; no recorded schema found
+            s = m.get("schema")
+            if s is not None:
+                return StructType.fromJson(json.loads(s))
+        return None
+
+    def _df_for(self, files: dict[str, dict], schema=None) -> DataFrame:
         paths = [
             os.path.join(self.path, "data", name) for name in sorted(files)
         ]
+        if schema is not None:
+            # explicit schema: files written before a column existed
+            # read it as null — the schema-evolution read contract
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def read(
@@ -636,6 +718,8 @@ class SnapshotTable:
         files = self._live_files(version)
         if not files:
             raise ValueError("empty table (no committed version)")
+        v = self.latest_version() if version is None else version
+        schema = self._schema_at(v)
         if prune:
             files = {
                 name: e
@@ -648,8 +732,8 @@ class SnapshotTable:
             if not files:
                 # every file pruned: empty frame with the right schema
                 any_files = self._live_files(version)
-                return self._df_for(any_files).limit(0)
-        return self._df_for(files)
+                return self._df_for(any_files, schema).limit(0)
+        return self._df_for(files, schema)
 
     def history(self) -> list[dict]:
         """The committed log, oldest first: version, op, files added /

@@ -358,3 +358,70 @@ def test_expire_versions_retention(spark, tmp_path):
     assert t.expire_versions(keep_last=50) == {
         "expired": [], "deleted_files": []
     }
+
+
+def test_schema_evolution_append_new_column(spark, tmp_path):
+    """Appending a frame with a NEW column evolves the table schema:
+    the head read null-fills old files, time travel shows each
+    version's own schema, and a type rewrite is refused."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SchemaConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "se1"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]))
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.9)], "k long, val string, quality double"
+        )
+    )
+    head = t.read()
+    assert head.columns == ["k", "val", "quality"]
+    got = {r.k: r.quality for r in head.collect()}
+    assert got == {1: None, 2: None, 3: 0.9}
+    # v0 keeps its original two-column shape
+    assert t.read(version=0).columns == ["k", "val"]
+    # same column, different type -> refused
+    with pytest.raises(SchemaConflict, match="quality"):
+        t.append(
+            spark.createDataFrame(
+                [(4, "d", "high")], "k long, val string, quality string"
+            )
+        )
+
+
+def test_schema_evolution_survives_compact_and_merge(spark, tmp_path):
+    """Rewriting ops keep the evolved schema: compact reads old files
+    null-filled, and MERGE on a pre-evolution file carries the new
+    column through the rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "se2"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]))
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 7)], "k long, val string, extra long"
+        )
+    )
+    t.compact(target_files=1)
+    assert t.read().columns == ["k", "val", "extra"]
+    assert {r.k: r.extra for r in t.read().collect()} == {
+        1: None, 2: None, 3: 7
+    }
+    src = spark.createDataFrame(
+        [(1, "upd", 5)], "k long, val string, extra long"
+    )
+    t.merge_into(src, ["k"], when_matched="update")
+    rows = {r.k: (r.val, r.extra) for r in t.read().collect()}
+    assert rows == {1: ("upd", 5), 2: ("b", None), 3: ("c", 7)}
+
+
+def test_schema_overwrite_replaces_schema(spark, tmp_path):
+    """overwrite is a full replace: the table schema becomes exactly
+    the new frame's schema, including DROPPING columns."""
+    t = SnapshotTable(spark, str(tmp_path / "se3"))
+    t.append(
+        spark.createDataFrame([(1, "a", 1.0)],
+                              "k long, val string, q double")
+    )
+    t.overwrite(_kv(spark, [(9, "z")]))
+    assert t.read().columns == ["k", "val"]
+    assert t.read(version=0).columns == ["k", "val", "q"]
