@@ -423,16 +423,69 @@ class SnapshotTable:
         return self._commit_loop("upsert", adds, removes,
                                  schema=merged.schema)
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1,
+                cluster_by: list[str] | None = None,
+                bits: int = 8) -> int:
         """Rewrite the current snapshot into `target_files` files —
         the small-file cure for append-heavy tables. Conflicts like
-        upsert: commits only if its source files are all still live."""
+        upsert: commits only if its source files are all still live.
+
+        `cluster_by` additionally Z-ORDERS the rewrite (Delta's
+        OPTIMIZE ZORDER BY): rows are range-partitioned and sorted on
+        the Morton key of the named columns, so every output file's
+        manifest min/max is tight in ALL of them at once and
+        read(prune=...) box predicates skip most files. Grid bounds
+        come free from the manifest stats when the columns are in
+        stat_cols (driver-side, no scan); otherwise one min/max agg
+        pass. Cost: the one range-partition shuffle any global sort
+        pays — which compaction was going to pay anyway."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_pipeline_spark.operators.zorder import (
+            grid_coord,
+            zorder_key,
+        )
+
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot compact an empty table")
         read_files = self._live_files()
         cur_schema = self._schema_at(head)
-        df = self._df_for(read_files, cur_schema).coalesce(target_files)
+        df = self._df_for(read_files, cur_schema)
+        if cluster_by:
+            bounds: dict[str, tuple[float, float]] = {}
+            entries = list(read_files.values())
+            for c in cluster_by:
+                per_file = [e["stats"][c] for e in entries
+                            if c in e.get("stats", {})]
+                if len(per_file) == len(entries) and per_file:
+                    bounds[c] = (min(p[0] for p in per_file),
+                                 max(p[1] for p in per_file))
+            missing = [c for c in cluster_by if c not in bounds]
+            if missing:
+                row = df.agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in missing],
+                    *[F.max(c).alias(f"hi_{c}") for c in missing],
+                ).collect()[0]
+                for c in missing:
+                    bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+            coords = []
+            for c in cluster_by:
+                lo, hi = bounds[c]
+                if lo is None or hi is None or not hi > lo:
+                    continue  # constant/empty column: nothing to spread
+                coords.append(grid_coord(c, float(lo), float(hi), bits))
+            if coords:
+                df = (
+                    df.withColumn("__z", zorder_key(coords, bits))
+                    .repartitionByRange(target_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = df.coalesce(target_files)
+        else:
+            df = df.coalesce(target_files)
         adds = self._stage(df)
         basis = set(read_files)
 

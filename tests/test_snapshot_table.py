@@ -425,3 +425,37 @@ def test_schema_overwrite_replaces_schema(spark, tmp_path):
     t.overwrite(_kv(spark, [(9, "z")]))
     assert t.read().columns == ["k", "val"]
     assert t.read(version=0).columns == ["k", "val", "q"]
+
+
+def test_compact_zorder_clusters_for_pruning(spark, tmp_path):
+    """compact(cluster_by=[x, y]) must make a 2-D box predicate
+    prunable: after the Z-ordered rewrite, a small box touches a
+    strict subset of files on BOTH dimensions, while a plain
+    single-column sort would leave the second dimension unprunable."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(1000), rnd.randrange(1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    t = SnapshotTable(spark, str(tmp_path / "z1"), stat_cols=["x", "y"])
+    t.append(df.repartition(8))  # row-shuffled: every file spans x and y
+    full = t.read()
+    n_before = len(full.inputFiles())
+    # pre-compact: the shuffled layout prunes nothing
+    assert len(t.read(prune=[("x", 0, 99), ("y", 0, 99)]).inputFiles()) \
+        == n_before
+
+    t.compact(target_files=8, cluster_by=["x", "y"])
+    pruned = t.read(prune=[("x", 0, 99), ("y", 0, 99)])
+    n_files = len(t.read().inputFiles())
+    assert n_files == 8
+    assert len(pruned.inputFiles()) < n_files / 2
+    # and the pruned read is still CORRECT for the box
+    want = sorted(i for i, x, y in rows if x < 100 and y < 100)
+    got = sorted(
+        r.id for r in pruned.filter("x < 100 and y < 100").collect()
+    )
+    assert got == want
+    # prune on y ALONE also works — the Z-curve keeps y ranges tight
+    assert len(t.read(prune=[("y", 0, 99)]).inputFiles()) < n_files
