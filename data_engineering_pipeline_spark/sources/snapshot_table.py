@@ -506,6 +506,7 @@ class SnapshotTable:
         keys: list[str],
         when_matched: str = "update",
         insert_not_matched: bool = True,
+        output_files: int | None = None,
     ) -> int:
         """MERGE INTO: copy-on-write merge that REWRITES ONLY THE FILES
         CONTAINING MATCHED KEYS — the property that makes merge usable
@@ -597,6 +598,11 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # the rewrite is sized like its input: a merge that touched 2
+        # files writes ~2 files, not one per shuffle partition (which
+        # turns every small merge into a small-file factory).
+        # insert-heavy merges can override via output_files.
+        out = out.coalesce(output_files or max(1, len(touched)))
         adds = self._stage(out)
 
         basis = set(live)
