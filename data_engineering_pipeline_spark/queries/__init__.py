@@ -27,6 +27,7 @@ _CHECK_FIRST = [
     "op-snapshot-merge",  # new: file-pruned copy-on-write MERGE INTO
     "op-snapshot-cdf",  # new: row-level change feed between versions
     "curation-shards",  # new: deterministic global shuffle / shard export
+    "text-bigram-ppl",  # new: bigram-LM perplexity terciles
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

@@ -717,3 +717,143 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
         ).alias("bpe_per_ws"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "text-bigram-ppl",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    uni AS (
+      SELECT u.token, count(*) AS c2
+      FROM (SELECT unnest(toks) AS token FROM t) u GROUP BY u.token
+    ),
+    tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS tt FROM uni),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    types AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    lq AS (
+      SELECT t.w1, t.w2,
+             CAST(floor(ln(0.8 * (CAST(t.c12 AS DOUBLE)
+                                  / CAST(x.c1 AS DOUBLE))
+                           + 0.2 * (CAST(u.c2 AS DOUBLE) / o.tt))
+                        * 1000000000 + 0.5) AS BIGINT) AS lq
+      FROM types t
+      JOIN ctx x ON t.w1 = x.w1
+      JOIN uni u ON t.w2 = u.token
+      CROSS JOIN tot o
+    ),
+    d AS (
+      SELECT bg.doc_id, count(*) AS n, CAST(sum(lq.lq) AS BIGINT) AS s
+      FROM bg JOIN lq ON bg.w1 = lq.w1 AND bg.w2 = lq.w2
+      GROUP BY bg.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+             CAST(-s AS DOUBLE) / n / 1000000000.0 AS bigram_ce
+      FROM d
+    )
+    SELECT doc_id, n_bigrams, bigram_ce,
+           CAST(ntile(3) OVER (ORDER BY bigram_ce, doc_id) AS BIGINT)
+             AS ppl_bucket
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy with CCNet-style perplexity terciles
+    (Wenzek et al. 2019 bucket docs by LM perplexity into head/middle/
+    tail and keep the middle; the LM here is the corpus's own
+    interpolated bigram model — same shape as their KenLM without the
+    external model): p(w2|w1) = 0.8*c12/c1 + 0.2*c2/T, per-doc score
+    -1/n * sum ln p, bucket = tercile of the score.
+
+    All bigrams come from the corpus the model is counted on, so every
+    event is seen (no smoothing cliff); docs with <2 tokens carry no
+    bigram and drop out. Cross-engine exactness uses the
+    text-crossentropy device: ln p is quantized once per bigram TYPE
+    to a 1e-9 BIGINT, doc sums are exact integer arithmetic in any
+    order, and the tercile orders by the identically-computed double
+    with doc_id tiebreak.
+
+    Scale: bigrams explode map-side (transform over token arrays, no
+    self-join); type/context/unigram stats are groupBys with partial
+    agg; the type dim joins back broadcast (swap to shuffle join when
+    the bigram vocabulary outgrows memory); the global ntile is a
+    single-partition sort over DOCS — at 100 TB replace with
+    approx-quantile cutoffs, which changes only the bucket boundary
+    rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(element_at(__toks, i) AS w1, "
+                "element_at(__toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        toked.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.agg(F.sum("c2").cast("double").alias("tt"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lq = (
+        types.join(F.broadcast(ctx), "w1")
+        .join(
+            F.broadcast(uni.withColumnRenamed("token", "w2")), "w2"
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    F.lit(0.8)
+                    * (
+                        F.col("c12").cast("double")
+                        / F.col("c1").cast("double")
+                    )
+                    + F.lit(0.2)
+                    * (F.col("c2").cast("double") / F.col("tt"))
+                )
+                * 1_000_000_000
+                + F.lit(0.5)
+            ).alias("lq"),
+        )
+    )
+    d = (
+        bg.join(F.broadcast(lq), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lq").alias("s"))
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bigrams"),
+        (
+            (-F.col("s")).cast("double")
+            / F.col("n")
+            / F.lit(1_000_000_000.0)
+        ).alias("bigram_ce"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bigram_ce", "doc_id")
+    return (
+        scored.withColumn(
+            "ppl_bucket", F.ntile(3).over(w).cast("long")
+        )
+        .orderBy("doc_id")
+    )
