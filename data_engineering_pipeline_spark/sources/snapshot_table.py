@@ -66,6 +66,61 @@ class SchemaConflict(Exception):
     rewrites corrupt every existing file's read."""
 
 
+class ExpectationViolation(Exception):
+    """A fail-action expectation found violating rows; the batch was
+    NOT committed."""
+
+
+class Expectation:
+    """A data-quality gate on incoming batches (the Delta
+    constraints / DLT expectations idea): `predicate` is a SQL boolean
+    over the batch's columns; rows where it is false OR NULL violate.
+    `action`: 'fail' aborts the commit, 'drop' commits only passing
+    rows, 'warn' commits everything. Violation counts land in the
+    manifest either way — the corpus-quality audit trail."""
+
+    def __init__(self, name: str, predicate: str, action: str = "fail"):
+        if action not in ("fail", "drop", "warn"):
+            raise ValueError("action must be fail | drop | warn")
+        self.name = name
+        self.predicate = predicate
+        self.action = action
+
+
+def enforce_expectations(
+    df: DataFrame, expects: list[Expectation]
+) -> tuple[DataFrame, dict[str, int]]:
+    """Count violations per expectation (ONE aggregate pass over the
+    batch — batch-sized, never table-sized), raise on any 'fail' hit,
+    and filter 'drop' rows. Returns (clean frame, {name: violations}).
+    Usable standalone in any pipeline stage, not just table commits."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(e.predicate), F.lit(0)).otherwise(F.lit(1))
+            ).alias(e.name)
+            for e in expects
+        ]
+    ).collect()[0]
+    report = {e.name: int(row[e.name] or 0) for e in expects}
+    bad = [e.name for e in expects
+           if e.action == "fail" and report[e.name]]
+    if bad:
+        raise ExpectationViolation(
+            f"expectations failed: "
+            f"{ {n: report[n] for n in bad} }; batch not committed"
+        )
+    out = df
+    for e in expects:
+        if e.action == "drop" and report[e.name]:
+            out = out.filter(
+                F.coalesce(F.expr(e.predicate), F.lit(False))
+            )
+    return out, report
+
+
 def _merge_schemas(base, extra):
     """Evolve `base` with `extra`: new fields append, shared fields
     must agree on type (nullability is not compared — parquet files
@@ -314,7 +369,8 @@ class SnapshotTable:
                 return next_v
             # lost the race: loop re-reads the new head and re-validates
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None,
+               expect: list[Expectation] | None = None) -> int:
         """Blind append: stages data, commits against whatever head
         wins. Never conflicts (removes nothing).
 
@@ -329,6 +385,11 @@ class SnapshotTable:
         are unreferenced garbage for vacuum())."""
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()
+        report: dict[str, int] | None = None
+        if expect:
+            # quality gate BEFORE staging: a failing batch stages
+            # nothing (no garbage), a drop batch stages only survivors
+            df, report = enforce_expectations(df, expect)
         adds = self._stage(df)
         while True:
             head = self.latest_version()
@@ -349,6 +410,8 @@ class SnapshotTable:
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
+            if report is not None:
+                manifest["expectations"] = report
             if self._try_commit(next_v, manifest):
                 return next_v
 

@@ -459,3 +459,32 @@ def test_compact_zorder_clusters_for_pruning(spark, tmp_path):
     assert got == want
     # prune on y ALONE also works — the Z-curve keeps y ranges tight
     assert len(t.read(prune=[("y", 0, 99)]).inputFiles()) < n_files
+
+
+def test_expectations_gate_commits(spark, tmp_path):
+    """Delta-constraints-style quality gates: fail aborts before
+    staging, drop commits survivors only, warn commits everything —
+    and the manifest carries the violation counts as an audit trail."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        Expectation,
+        ExpectationViolation,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ex1"))
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "k long, val string"
+    )
+
+    with pytest.raises(ExpectationViolation, match="k_not_null"):
+        t.append(batch, expect=[
+            Expectation("k_not_null", "k IS NOT NULL", "fail")
+        ])
+    assert t.latest_version() is None  # nothing committed, nothing staged
+
+    v = t.append(batch, expect=[
+        Expectation("k_not_null", "k IS NOT NULL", "drop"),
+        Expectation("val_not_null", "val IS NOT NULL", "warn"),
+    ])
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    m = t._read_manifest(v)
+    assert m["expectations"] == {"k_not_null": 1, "val_not_null": 1}
