@@ -28,6 +28,7 @@ _CHECK_FIRST = [
     "op-snapshot-cdf",  # new: row-level change feed between versions
     "curation-shards",  # new: deterministic global shuffle / shard export
     "text-bigram-ppl",  # new: bigram-LM perplexity terciles
+    "op-snapshot-incr-agg",  # new: CDC-driven incremental aggregate
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

@@ -1024,3 +1024,81 @@ def op_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+@_register(
+    "op-snapshot-incr-agg",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    s AS (
+      SELECT o_orderkey, '9-MOVED' AS o_orderpriority,
+             2 * CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+      UNION ALL SELECT * FROM s
+    )
+    SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY o_orderpriority ORDER BY grp
+    """,
+)
+def op_snapshot_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental materialized aggregate
+    (sources/snapshot_table.py refresh_aggregate): bootstrap the
+    per-priority count/cents-sum of 'F' orders, then MERGE a batch
+    that doubles every 7th order's cents and MOVES it to priority
+    '9-MOVED' (inserting the non-F ones), then refresh incrementally
+    from the change feed. The oracle computes the post-merge aggregate
+    directly, so a wrong delta sign, a missed group move (pre-image
+    not decremented), or a double-applied batch all mismatch. Money
+    rides as exact cents (scaled longs) so incremental == full
+    recompute bit-for-bit."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_aggregate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = tempfile.mkdtemp(prefix="snap_ma_q_")
+    src = SnapshotTable(spark, os.path.join(base, "src"))
+    agg = SnapshotTable(spark, os.path.join(base, "agg"))
+    src.append(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderpriority", cents.alias("cents")
+        )
+    )
+    refresh_aggregate(
+        src, agg, ["o_orderkey"], ["o_orderpriority"], ["cents"]
+    )
+    src.merge_into(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit("9-MOVED").alias("o_orderpriority"),
+            (F.lit(2) * cents).alias("cents"),
+        ),
+        ["o_orderkey"],
+        when_matched="update",
+    )
+    refresh_aggregate(
+        src, agg, ["o_orderkey"], ["o_orderpriority"], ["cents"]
+    )
+    return (
+        agg.read()
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("grp")
+    )

@@ -338,7 +338,8 @@ class SnapshotTable:
 
     def _commit_loop(self, op: str, adds: list[dict],
                      removes_fn, schema=None,
-                     replace_schema: bool = False) -> int:
+                     replace_schema: bool = False,
+                     txn: tuple[str, int] | None = None) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -350,6 +351,8 @@ class SnapshotTable:
         commit's new columns."""
         while True:
             head = self.latest_version()
+            if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+                return head  # a racing replayer already committed this txn
             next_v = 0 if head is None else head + 1
             removes = removes_fn(self._live_files() if head is not None else {})
             manifest = {
@@ -358,6 +361,8 @@ class SnapshotTable:
                 "adds": adds,
                 "removes": removes,
             }
+            if txn is not None:
+                manifest["txn"] = [txn[0], txn[1]]
             if schema is not None:
                 eff = schema
                 if not replace_schema and head is not None:
@@ -445,13 +450,20 @@ class SnapshotTable:
                     txns[t[0]] = max(txns.get(t[0], -1), t[1])
         return txns
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame,
+                  txn: tuple[str, int] | None = None) -> int:
         """Replace the table's full contents atomically. Readers see
-        the old snapshot until the commit instant, then the new one."""
+        the old snapshot until the commit instant, then the new one.
+        `txn` carries the same idempotence protocol as append — a
+        replayed overwrite with an already-committed (app, version)
+        stamp is a no-op (used by refresh_aggregate for exactly-once
+        incremental refreshes)."""
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()
         adds = self._stage(df)
         return self._commit_loop(
             "overwrite", adds, lambda live: sorted(live),
-            schema=df.schema, replace_schema=True,
+            schema=df.schema, replace_schema=True, txn=txn,
         )
 
     def upsert(self, df: DataFrame, keys: list[str], order_col: str) -> int:
@@ -886,3 +898,82 @@ def _may_contain(minmax: list | None, lo, hi) -> bool:
     if hi is not None and mn > hi:
         return False
     return True
+
+
+def refresh_aggregate(
+    src: SnapshotTable,
+    agg: SnapshotTable,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int | None:
+    """Incrementally maintain a grouped COUNT/SUM materialization of
+    `src` inside `agg` — the materialized-view refresh a warehouse
+    would run after every batch, driven by the CHANGE DATA FEED
+    instead of a full rescan.
+
+    Bootstrap (empty agg) computes the aggregate once from the source
+    snapshot. Every later refresh reads only changes(applied, head):
+    inserts/update-postimages count +1, deletes/update-preimages -1
+    (a row that moved groups decrements its old group and increments
+    the new one), so refresh cost tracks the CHURN between versions,
+    not source size. The agg rewrite is O(groups) — the dimension of
+    the materialization, not the corpus.
+
+    Exactly-once: the applied source version rides the txn protocol
+    under app id "incr-agg:<src path>"; a crashed-and-replayed refresh
+    finds its (app, head) txn committed and becomes a no-op, and
+    `txn_version` doubles as the refresh watermark (no side state).
+
+    Count/sum over integral measures reproduces the full recompute
+    EXACTLY; double measures accumulate the usual float-association
+    drift, so store money as scaled longs (cents) — the same rule the
+    oracle queries follow."""
+    from pyspark.sql import functions as F
+
+    head = src.latest_version()
+    if head is None:
+        return None
+    app = f"incr-agg:{os.path.abspath(src.path)}"
+    applied = agg.txn_version(app)
+    if applied >= head:
+        return None  # nothing new to fold in
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+
+    if applied < 0:
+        fresh = agg_of(src.read())
+    else:
+        cdc = src.changes(applied, head, keys)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        deltas = cdc.groupBy(*group_cols).agg(
+            F.sum(sign).alias("__d_cnt"),
+            *[F.sum(sign * F.col(c)).alias(f"__d_{c}") for c in sum_cols],
+        )
+        old = agg.read()
+        fresh = (
+            old.join(deltas, group_cols, "full_outer")
+            .select(
+                *group_cols,
+                (
+                    F.coalesce("cnt", F.lit(0))
+                    + F.coalesce("__d_cnt", F.lit(0))
+                ).cast("long").alias("cnt"),
+                *[
+                    (
+                        F.coalesce(f"sum_{c}", F.lit(0))
+                        + F.coalesce(f"__d_{c}", F.lit(0))
+                    ).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+            .filter(F.col("cnt") > 0)
+        )
+    return agg.overwrite(fresh, txn=(app, head))

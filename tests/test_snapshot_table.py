@@ -488,3 +488,61 @@ def test_expectations_gate_commits(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
     m = t._read_manifest(v)
     assert m["expectations"] == {"k_not_null": 1, "val_not_null": 1}
+
+
+def test_refresh_aggregate_incremental_equals_full(spark, tmp_path):
+    """CDC-driven materialized aggregate: after a merge that updates,
+    inserts, deletes, and MOVES rows across groups, the incrementally
+    refreshed aggregate equals a full recompute — and provably took
+    the incremental path (the source read is disabled after
+    bootstrap). Replayed refreshes are exactly-once no-ops."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_aggregate,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "ma_src"))
+    agg = SnapshotTable(spark, str(tmp_path / "ma_agg"))
+    rows = [(i, "g%d" % (i % 3), i * 10) for i in range(60)]
+    src.append(
+        spark.createDataFrame(rows, "k long, grp string, cents long")
+    )
+    assert refresh_aggregate(src, agg, ["k"], ["grp"], ["cents"]) == 0
+    base = {r.grp: (r.cnt, r.sum_cents) for r in agg.read().collect()}
+    assert base["g0"] == (20, sum(i * 10 for i in range(0, 60, 3)))
+
+    # mutate: update k=3 (cents 30->999), MOVE k=4 to group gX,
+    # insert k=100 in gX, delete k=5
+    upd = spark.createDataFrame(
+        [(3, "g0", 999), (4, "gX", 40), (100, "gX", 7)],
+        "k long, grp string, cents long",
+    )
+    src.merge_into(upd, ["k"], when_matched="update")
+    src.merge_into(
+        spark.createDataFrame([(5,)], "k long"),
+        ["k"], when_matched="delete", insert_not_matched=False,
+    )
+
+    # bootstrap is over: a full-recompute fallback would call src.read
+    orig_read = src.read
+    src.read = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("refresh fell back to a full recompute")
+    )
+    assert refresh_aggregate(src, agg, ["k"], ["grp"], ["cents"]) \
+        == agg.latest_version()
+    src.read = orig_read
+
+    got = {r.grp: (r.cnt, r.sum_cents) for r in agg.read().collect()}
+    want = {}
+    final = {k: (g, c) for k, g, c in rows}
+    final[3] = ("g0", 999); final[4] = ("gX", 40); final[100] = ("gX", 7)
+    del final[5]
+    for g, c in final.values():
+        cnt, s = want.get(g, (0, 0))
+        want[g] = (cnt + 1, s + c)
+    assert got == want
+
+    # exactly-once: nothing new -> no-op; replay with same head -> no-op
+    assert refresh_aggregate(src, agg, ["k"], ["grp"], ["cents"]) is None
+    assert agg.txn_version(
+        "incr-agg:" + os.path.abspath(str(tmp_path / "ma_src"))
+    ) == src.latest_version()
