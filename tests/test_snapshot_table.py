@@ -546,3 +546,67 @@ def test_refresh_aggregate_incremental_equals_full(spark, tmp_path):
     assert agg.txn_version(
         "incr-agg:" + os.path.abspath(str(tmp_path / "ma_src"))
     ) == src.latest_version()
+
+
+def test_concurrent_mixed_writers_stress(spark, tmp_path):
+    """Torture the optimistic protocol: 4 threads interleave blind
+    appends and serializable merges (retrying on SnapshotConflict).
+    Afterwards every writer's rows are present exactly once, the log
+    has exactly one manifest per committed version, and replaying the
+    log from scratch reproduces the same state."""
+    path = str(tmp_path / "stress")
+    t = SnapshotTable(spark, path)
+    t.append(_kv(spark, [(0, "seed")]))
+    errs = []
+
+    def appender(base):
+        try:
+            for j in range(3):
+                SnapshotTable(spark, path).append(
+                    _kv(spark, [(base + j, f"a{base + j}")])
+                )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def merger(base):
+        try:
+            for j in range(3):
+                for _ in range(60):  # retry the serializable conflict
+                    try:
+                        SnapshotTable(spark, path).merge_into(
+                            _kv(spark, [(base + j, f"m{base + j}")]), ["k"]
+                        )
+                        break
+                    except SnapshotConflict:
+                        continue
+                else:
+                    raise AssertionError("merge starved")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(100,)),
+        threading.Thread(target=appender, args=(200,)),
+        threading.Thread(target=merger, args=(300,)),
+        threading.Thread(target=merger, args=(400,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    rows = {r.k: r.val for r in t.read().collect()}
+    want = {0: "seed"}
+    want |= {100 + j: f"a{100 + j}" for j in range(3)}
+    want |= {200 + j: f"a{200 + j}" for j in range(3)}
+    want |= {300 + j: f"m{300 + j}" for j in range(3)}
+    want |= {400 + j: f"m{400 + j}" for j in range(3)}
+    assert rows == want
+    # one manifest per version, no gaps — and a fresh handle (cold log
+    # replay, checkpoints ignored) sees the identical state
+    vs = t._versions()
+    assert vs == list(range(len(vs))) and len(vs) == 13
+    for cv in t._checkpoints():
+        os.remove(t._checkpoint_path(cv))
+    cold = SnapshotTable(spark, path)
+    assert {r.k: r.val for r in cold.read().collect()} == want
