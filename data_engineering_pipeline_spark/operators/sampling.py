@@ -258,3 +258,18 @@ def dyadic_bracket(exponent: float, depth: int = 8) -> tuple[float, float]:
     lo = math.floor(scaled) / (1 << depth)
     hi = math.ceil(scaled) / (1 << depth)
     return lo, hi
+
+
+def bottom_k_sample(df: DataFrame, k: int, *keys: Column) -> DataFrame:
+    """EXACTLY-k deterministic sample: the k rows with the smallest key
+    hash (ties broken by the keys themselves). hash_sample gives an
+    expected rate; this gives an exact size — 'pick exactly 10,000
+    eval docs, reproducibly' — and is still partitioning-independent
+    and oracle-reproducible (ORDER BY hash LIMIT k).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a k-row heap and the driver merges task heaps; no global
+    sort, no full shuffle. Keep k driver-friendly (<= millions); for
+    billions use hash_sample to a rate first, then exact-k the
+    survivors."""
+    return df.orderBy(key_hash(*keys), *keys).limit(k)

@@ -1102,3 +1102,28 @@ def op_snapshot_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@_register(
+    "op-sample-exact-k",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY {_KEY_HASH_SQL}, l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+)
+def op_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample (operators/sampling.py
+    bottom_k_sample): the 1000 lineitems with the smallest key hash —
+    exact size where op-hash-sample gives an expected rate, same
+    reproducible-on-any-partitioning property. Plan is
+    TakeOrderedAndProject (per-task k-heaps, no global sort)."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        bottom_k_sample,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bottom_k_sample(
+        li, 1000, F.col("l_orderkey"), F.col("l_linenumber")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

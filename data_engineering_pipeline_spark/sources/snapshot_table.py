@@ -786,6 +786,24 @@ class SnapshotTable:
                 deleted.append(f)
         return {"expired": expired, "deleted_files": sorted(deleted)}
 
+    def maintain(self, max_files: int = 64, keep_versions: int = 30,
+                 cluster_by: list[str] | None = None) -> dict:
+        """One-call housekeeping — the routine a scheduler runs
+        nightly: compact when the live file count exceeds `max_files`
+        (optionally Z-ordering via `cluster_by`), expire history past
+        `keep_versions`, vacuum crash garbage. Each step is the
+        already-tested primitive; this just sequences them with
+        sensible triggers so append-heavy tables do not decay into
+        small-file soup or unbounded logs."""
+        out: dict = {"compacted": False, "expired": [], "vacuumed": []}
+        if len(self._live_files()) > max_files:
+            self.compact(target_files=max_files, cluster_by=cluster_by)
+            out["compacted"] = True
+        res = self.expire_versions(keep_versions)
+        out["expired"] = res["expired"]
+        out["vacuumed"] = self.vacuum()
+        return out
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO version in the log
         (crash leftovers from writers that died before commit). Files

@@ -610,3 +610,32 @@ def test_concurrent_mixed_writers_stress(spark, tmp_path):
         os.remove(t._checkpoint_path(cv))
     cold = SnapshotTable(spark, path)
     assert {r.k: r.val for r in cold.read().collect()} == want
+
+
+def test_maintain_housekeeping(spark, tmp_path):
+    """maintain() = compact-if-fragmented + expire + vacuum in one
+    call; a healthy table is a near-no-op."""
+    t = SnapshotTable(spark, str(tmp_path / "mt1"))
+    for i in range(6):
+        t.append(_kv(spark, [(i, f"b{i}")]))
+    t._stage(_kv(spark, [(99, "ghost")]))  # crash garbage
+    data_dir = os.path.join(str(tmp_path / "mt1"), "data")
+    referenced = set()
+    for v in t._versions():
+        referenced |= {a["path"] for a in t._read_manifest(v)["adds"]}
+    ghosts = set(os.listdir(data_dir)) - referenced
+    assert ghosts and len(t._live_files()) >= 6
+
+    out = t.maintain(max_files=2, keep_versions=1)
+    assert out["compacted"] is True
+    assert out["expired"]
+    # ghost gone; with keep_versions=1 only the compacted head's
+    # files survive on disk (expire's reachability sweep covers what
+    # vacuum would have found)
+    assert not (ghosts & set(os.listdir(data_dir)))
+    assert set(os.listdir(data_dir)) == set(t._live_files())
+    assert len(t.read().inputFiles()) <= 2
+    assert sorted(r.k for r in t.read().collect()) == list(range(6))
+    # second run: already healthy
+    out2 = t.maintain(max_files=2, keep_versions=1)
+    assert out2 == {"compacted": False, "expired": [], "vacuumed": []}
