@@ -305,3 +305,39 @@ def snapshot_append_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Stream embeddings into the persistent IVF index
+    (operators/ann_index.py): each micro-batch is assigned to the
+    index's frozen centroids and appended cell-clustered under the
+    (app_id, batch_id) txn stamp — exactly-once, same protocol as
+    snapshot_append_sink. The index must already be built (centroids
+    are the frozen side state); searches see each batch as soon as its
+    commit lands. Rebuild cadence is the caller's policy via
+    index_stats' imbalance metric."""
+    from data_engineering_pipeline_spark.operators.ann_index import (
+        ann_index_add,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ann_index_add(
+            batch_df.sparkSession, batch_df, path,
+            id_col=id_col, vec_col=vec_col, txn=(app_id, batch_id),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

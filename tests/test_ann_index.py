@@ -111,3 +111,47 @@ def test_search_reads_fewer_files_than_table(spark, tmp_path):
     ).collect()[0]["c"]
     pruned = t.read(prune=[("cell", cell, cell)])
     assert len(pruned.inputFiles()) < n_all
+
+
+def test_ann_index_sink_streaming_exactly_once(spark, tmp_path):
+    """Streaming adds through the sink: replayed batches (same app,
+    fresh checkpoint) are no-ops; the streamed vectors are served."""
+    import os
+
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        ann_index_sink,
+    )
+
+    rows = _clustered_vecs(400)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sidx")
+    build_ann_index(spark, df, path, n_cells=4)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    dup = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+    )
+    dup.coalesce(1).write.parquet(str(land / "b0"))
+    stream = spark.readStream.schema(dup.schema).parquet(
+        str(land / "b0")
+    )
+    ann_index_sink(
+        stream, path, str(tmp_path / "ck1"), "vec-ingest"
+    ).awaitTermination()
+    assert index_stats(spark, path)["rows"] == 405
+
+    # full replay with a fresh checkpoint: nothing doubles
+    stream2 = spark.readStream.schema(dup.schema).parquet(
+        str(land / "b0")
+    )
+    ann_index_sink(
+        stream2, path, str(tmp_path / "ck2"), "vec-ingest"
+    ).awaitTermination()
+    assert index_stats(spark, path)["rows"] == 405
+
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_index_search(spark, q, path, k=1, n_probe=1)
+    assert all(r.corpus_id == r.query_id + 50_000 for r in got.collect())
