@@ -153,6 +153,7 @@ def ann_index_search(
     k: int = 5,
     n_probe: int = 1,
     cell_of=None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Serve top-k from the persisted index: each query probes its
     n_probe nearest cells (or its own deterministic cell), the index
@@ -183,14 +184,32 @@ def ann_index_search(
             ).alias("cell"),
         )
     t = SnapshotTable(spark, path, stat_cols=["cell"])
-    # one driver-side pass over the probe cells bounds the file read;
-    # per-file manifests then drop every file outside the range
-    rng = probes.agg(
-        F.min("cell").alias("lo"), F.max("cell").alias("hi")
-    ).collect()[0]
-    idx = t.read(prune=[("cell", rng["lo"], rng["hi"])])
+    # one driver-side pass collects the DISTINCT probed cells (bounded
+    # by n_cells, tiny); the point-set prune then keeps only files
+    # whose cell range can hold one of them — a min..max range would
+    # be defeated the moment a query batch probes scattered cells
+    cells = [
+        r["cell"]
+        for r in probes.select("cell").distinct().collect()
+    ]
+    idx = t.read(prune=[("cell", cells)])
+    # a CONCENTRATED query batch prunes down to very few files, and one
+    # parquet file is one scan task — the whole candidate join would
+    # run on one core. Re-spread the (small, pruned) index side so the
+    # per-pair cosine work parallelizes; measured 2.2x on a one-cell
+    # batch at 200k vecs (BASELINE.md addendum 7).
+    par = spark.sparkContext.defaultParallelism
+    if len(idx.inputFiles()) < par:
+        idx = idx.repartition(par)
+    # broadcast the probe side (queries x n_probe rows — tiny for an
+    # online batch) so the cell equi-join does NOT re-shuffle the index
+    # by cell: a concentrated batch probing ONE cell would otherwise
+    # collapse the whole candidate join onto a single partition no
+    # matter how the scan side was spread. For offline mega-batches of
+    # queries pass broadcast_probes=False (shuffle join + AQE skew).
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     scored = (
-        probes.join(idx, "cell")
+        probe_side.join(idx, "cell")
         .filter(F.col("vec_id") != F.col(query_id))
         .select(
             query_id,

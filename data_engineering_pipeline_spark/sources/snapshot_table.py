@@ -862,24 +862,34 @@ class SnapshotTable:
         prune: list[tuple[str, object, object]] | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally at a past version (time travel)
-        and optionally file-pruned: prune=[(col, lo, hi)] drops every
-        file whose manifest [min,max] for col cannot intersect
-        [lo, hi] BEFORE Spark plans the scan — file-level skipping on
-        any stats column, complementing parquet's row-group stats
-        which Spark only consults after opening the file."""
+        and optionally file-pruned: prune entries are either
+        (col, lo, hi) RANGE predicates or (col, values) POINT-SET
+        predicates (a file survives if ANY value can fall in its
+        [min,max] — the IVF-probe shape, where a scattered cell set
+        would defeat a single min..max range). Either way files drop
+        BEFORE Spark plans the scan — file-level skipping on any
+        stats column, complementing parquet's row-group stats which
+        Spark only consults after opening the file."""
         files = self._live_files(version)
         if not files:
             raise ValueError("empty table (no committed version)")
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
         if prune:
+            def keep(e, pred) -> bool:
+                if len(pred) == 3:
+                    col, lo, hi = pred
+                    return _may_contain(e["stats"].get(col), lo, hi)
+                col, values = pred
+                mm = e["stats"].get(col)
+                return mm is None or any(
+                    _may_contain(mm, x, x) for x in values
+                )
+
             files = {
                 name: e
                 for name, e in files.items()
-                if all(
-                    _may_contain(e["stats"].get(col), lo, hi)
-                    for col, lo, hi in prune
-                )
+                if all(keep(e, pred) for pred in prune)
             }
             if not files:
                 # every file pruned: empty frame with the right schema
