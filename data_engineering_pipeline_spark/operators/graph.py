@@ -75,3 +75,72 @@ def connected_components(
         if not obs.get["n_changed"]:  # None (all-null) or 0 -> converged
             break
     return labels.select(F.col("v").alias(id_col), "component")
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank with EXACT integer arithmetic: ranks are
+    scaled longs, per-edge contributions use integer floor division,
+    and the damping factor is a rational (85/100) — every step is
+    exact int64 math, so a fixed-iteration run is bit-identical on
+    any engine/partitioning and verifiable by a SQL oracle with the
+    iterations unrolled as CTE layers. (Float PageRank sums are
+    order-sensitive; quantization is the same device the LM
+    cross-entropy oracle uses.)
+
+    p0(v) = scale/N;  p_{t+1}(v) = base + damp * sum_u p_t(u)*w(u,v)/W(u)
+    with base = (damp_den-damp_num)*scale/damp_den/N, all divisions
+    floored. Nodes = every endpoint of an edge; dangling mass is not
+    redistributed (documented contract — matches the oracle).
+
+    Scale: each iteration is one broadcast/shuffle join of the rank
+    frame (N rows) with the edge list plus a groupBy(dst) — the
+    textbook distributed PR step. The edge list is reused every
+    iteration: localCheckpoint it for long runs (the CC lesson);
+    at 3 iterations the lineage stays shallow enough without."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.cast("long").alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = e.join(out_w, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = ((damp_den - damp_num) * scale // damp_den) // n_nodes
+    pr = nodes.withColumn("p", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(
+                "dst",
+                F.expr("(p * w) div wout").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
+                )
+            ).cast("long").alias("p"),
+        )
+    return pr

@@ -1127,3 +1127,73 @@ def op_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom_k_sample(
         li, 1000, F.col("l_orderkey"), F.col("l_linenumber")
     ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_PR_SCALE = 10**12
+_PR_BASE = (15 * _PR_SCALE) // 100  # (1-d)*scale with d = 85/100
+
+
+@_register(
+    "op-graph-pagerank",
+    f"""
+    WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, sum(w) AS wout FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w, ow.wout
+          FROM e0 JOIN ow USING (src)),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    params AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (SELECT node, {_PR_SCALE} // n AS p FROM nodes, params),
+    s1 AS (SELECT e.dst AS node, sum((p.p * e.w) // e.wout) AS s
+           FROM e JOIN p0 p ON e.src = p.node GROUP BY 1),
+    p1 AS (SELECT nodes.node,
+                  ({_PR_BASE} // n) + (85 * coalesce(s1.s, 0)) // 100 AS p
+           FROM nodes CROSS JOIN params
+           LEFT JOIN s1 ON s1.node = nodes.node),
+    s2 AS (SELECT e.dst AS node, sum((p.p * e.w) // e.wout) AS s
+           FROM e JOIN p1 p ON e.src = p.node GROUP BY 1),
+    p2 AS (SELECT nodes.node,
+                  ({_PR_BASE} // n) + (85 * coalesce(s2.s, 0)) // 100 AS p
+           FROM nodes CROSS JOIN params
+           LEFT JOIN s2 ON s2.node = nodes.node),
+    s3 AS (SELECT e.dst AS node, sum((p.p * e.w) // e.wout) AS s
+           FROM e JOIN p2 p ON e.src = p.node GROUP BY 1),
+    p3 AS (SELECT nodes.node,
+                  ({_PR_BASE} // n) + (85 * coalesce(s3.s, 0)) // 100 AS p
+           FROM nodes CROSS JOIN params
+           LEFT JOIN s3 ON s3.node = nodes.node)
+    SELECT node AS part, CAST(p AS BIGINT) AS pr_q
+    FROM p3 ORDER BY part
+    """,
+)
+def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part CO-PURCHASE graph (parts are
+    linked when they appear in the same order, weight = co-occurrence
+    count) — graph analytics derived from relational data
+    (operators/graph.py pagerank_quantized). All arithmetic is exact
+    scaled-integer (floor divisions, rational damping), so the
+    3-iteration run is bit-identical to the oracle's unrolled CTE
+    layers — a wrong contribution split, a missed dangling node, or a
+    float drift all hash-mismatch."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank_quantized(edges, weight_col="w", iters=3)
+    return pr.select(
+        F.col("node").alias("part"), F.col("p").alias("pr_q")
+    ).orderBy("part")

@@ -30,3 +30,36 @@ def test_components_converge_on_long_chain(spark):
         for r in connected_components(vertices, edges, max_iter=n).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_pagerank_quantized_hand_computed(spark):
+    """3-node toy graph checked against hand-run integer recurrence,
+    plus partitioning invariance (exact ints — no float drift)."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.p for r in
+           pagerank_quantized(edges, weight_col="w", iters=3).collect()}
+
+    # hand-run the same recurrence
+    scale, n = 10**12, 3
+    base = ((15 * scale) // 100) // n
+    p = {1: scale // n, 2: scale // n, 3: scale // n}
+    adj = {1: [(2, 1), (3, 1)], 2: [(3, 1)], 3: [(1, 1)]}
+    wout = {u: sum(w for _, w in vs) for u, vs in adj.items()}
+    for _ in range(3):
+        s = {v: 0 for v in p}
+        for u, vs in adj.items():
+            for v, w in vs:
+                s[v] += (p[u] * w) // wout[u]
+        p = {v: base + (85 * s[v]) // 100 for v in p}
+    assert got == p
+
+    got13 = {r.node: r.p for r in pagerank_quantized(
+        edges.repartition(13), weight_col="w", iters=3).collect()}
+    assert got13 == got
