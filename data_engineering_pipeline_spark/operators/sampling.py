@@ -273,3 +273,65 @@ def bottom_k_sample(df: DataFrame, k: int, *keys: Column) -> DataFrame:
     billions use hash_sample to a rate first, then exact-k the
     survivors."""
     return df.orderBy(key_hash(*keys), *keys).limit(k)
+
+
+def weighted_bottom_k_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *keys: Column,
+    max_weight: int = 64,
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement, deterministic:
+    each row draws max_over_j<=w(key_hash(key..., j)) as its ticket and
+    the k largest tickets win. The max of w iid uniforms is distributed
+    as u^(1/w) — precisely the Efraimidis-Spirakis (2006) weighted
+    reservoir key — so inclusion probability scales with integer
+    weight, with NO floating pow (the cross-engine trap): every ticket
+    is exact int64 (LCG fold + one squaring mix — the fold alone is
+    affine in j, see _mix), reproducible on any partitioning and in
+    any engine.
+
+    Weights are positive integers <= max_weight (quality tiers,
+    dup-counts, small token buckets — the corpus-curation cases); the
+    per-row cost is w hash evaluations via one explode, so max_weight
+    bounds the blowup (guarded, not silent).
+
+    Scale: the ticket is one map-side array expression (<= max_weight
+    hash evaluations per row, no explode, no groupBy); the winner
+    selection is a top-k heap (TakeOrderedAndProject) — no full sort,
+    no shuffle at all before the k-row merge."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    w = F.col(weight_col).cast("long")
+    guard = F.when(
+        (w >= 1) & (w <= max_weight), w
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weight out of [1, {max_weight}]: "),
+                w.cast("string"),
+            )
+        )
+    )
+    def _mix(h):
+        # key_hash is AFFINE in its last fold, so tickets for adjacent
+        # j would be linearly spaced and max-of-w would not bias by
+        # weight at all (caught by tests/test_sampling.py). One
+        # squaring round breaks the linearity: g = h mod 2^31 keeps
+        # g*g inside int64, (g*g + h) mod 2^32 scrambles uniformly.
+        g = h % F.lit(2_147_483_648)
+        return (g * g + h) % F.lit(4_294_967_296)
+
+    ticket = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), guard),
+            lambda j: _mix(key_hash(*keys, j)),
+        )
+    )
+    return (
+        df.withColumn("__ticket", ticket)
+        .orderBy(F.desc("__ticket"), *keys)
+        .limit(k)
+        .drop("__ticket")
+    )

@@ -1197,3 +1197,51 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("part"), F.col("p").alias("pr_q")
     ).orderBy("part")
+
+
+@_register(
+    "op-sample-weighted-k",
+    f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             1 + l_linenumber % 4 AS w,
+             list_aggregate(
+               list_transform(
+                 range(1, (1 + l_linenumber % 4) + 1),
+                 j -> (
+                   ((((((((l_orderkey * 69069 + 1) % 4294967296)
+                         + l_linenumber) * 69069 + 1) % 4294967296
+                       + j) * 69069 + 1) % 4294967296) % 2147483648)
+                   * (((((((l_orderkey * 69069 + 1) % 4294967296)
+                         + l_linenumber) * 69069 + 1) % 4294967296
+                       + j) * 69069 + 1) % 4294967296 % 2147483648)
+                   + ((((((l_orderkey * 69069 + 1) % 4294967296)
+                        + l_linenumber) * 69069 + 1) % 4294967296
+                      + j) * 69069 + 1) % 4294967296
+                 ) % 4294967296
+               ), 'max') AS ticket
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, CAST(w AS BIGINT) AS w
+    FROM t
+    ORDER BY ticket DESC, l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+)
+def op_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample without replacement
+    (operators/sampling.py weighted_bottom_k_sample): 500 lineitems
+    drawn with probability scaled by an integer weight (1 +
+    l_linenumber % 4), via the Efraimidis-Spirakis key realized as
+    max-of-w-hashes — exact int64 tickets, no floating pow, so the
+    oracle reproduces the draw ticket-for-ticket."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        weighted_bottom_k_sample,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "w", (F.lit(1) + F.col("l_linenumber") % 4).cast("long")
+    )
+    return weighted_bottom_k_sample(
+        li, 500, "w", F.col("l_orderkey"), F.col("l_linenumber")
+    ).select("l_orderkey", "l_linenumber", "w")

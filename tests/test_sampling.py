@@ -161,3 +161,39 @@ def test_temperature_rebalance_dyadic_alpha_partitioning_invariant(spark):
         ).select("doc_id").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_weighted_bottom_k_biases_by_weight(spark):
+    """The Efraimidis-Spirakis max-of-w-hashes ticket must actually
+    bias inclusion ~proportionally to weight, be exactly k-sized,
+    partitioning-independent, and refuse out-of-range weights."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.sampling import (
+        weighted_bottom_k_sample,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 4).otherwise(1).cast("long").alias("w"),
+    )
+    got = weighted_bottom_k_sample(df, 2000, "w", F.col("k"))
+    rows = got.collect()
+    assert len(rows) == 2000
+    heavy = sum(1 for r in rows if r.w == 4)
+    # E[heavy] ~ 2000 * 4/5 = 1600; binomial sd ~ 18 — allow wide band
+    assert 1480 <= heavy <= 1720, heavy
+
+    got13 = weighted_bottom_k_sample(
+        df.repartition(13), 2000, "w", F.col("k")
+    )
+    assert sorted(r.k for r in got13.collect()) == sorted(
+        r.k for r in rows
+    )
+
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(100).cast("long").alias("w")
+    )
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_bottom_k_sample(bad, 2, "w", F.col("k")).collect()
