@@ -85,3 +85,62 @@ def test_epoch0_hash_key_in_oracle_form(spark):
     sh = shuffle_shard(_docs(spark, 20), 4, F.col("doc_id"))
     for r in sh.collect():
         assert r["__h"] == ((1 + r["doc_id"]) * 69069 + 1) % 2**32
+
+
+def test_refresh_shards_rebuilds_only_affected(spark, tmp_path):
+    """Incremental export maintenance: after a merge touching two
+    docs, only their shards' directories are rebuilt (mtime witness on
+    the untouched dirs), the refreshed export equals a from-scratch
+    export of the current snapshot, and a no-change refresh rebuilds
+    nothing."""
+    import os
+    import time
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        refresh_shards,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(_docs(spark, 400))
+    out = str(tmp_path / "shards")
+    res = refresh_shards(src, out, 8, ["doc_id"])
+    assert res["rebuilt"] == list(range(8))
+
+    before = {
+        d: os.path.getmtime(os.path.join(out, d))
+        for d in os.listdir(out) if d.startswith("shard=")
+    }
+    time.sleep(0.05)
+    upd = spark.createDataFrame(
+        [(3, "UPDATED"), (7, "UPDATED")], "doc_id long, text string"
+    )
+    src.merge_into(upd, ["doc_id"])
+    res2 = refresh_shards(src, out, 8, ["doc_id"])
+    # doc 3 -> shard of hash(3), doc 7 -> shard of hash(7)
+    h = lambda i: ((1 + i) * 69069 + 1) % 2**32  # noqa: E731
+    want = sorted({h(3) % 8, h(7) % 8})
+    assert res2["rebuilt"] == want
+    after = {
+        d: os.path.getmtime(os.path.join(out, d))
+        for d in os.listdir(out) if d.startswith("shard=")
+    }
+    for d in before:
+        shard_no = int(d.split("=")[1])
+        if shard_no in want:
+            assert after[d] != before[d]
+        else:
+            assert after[d] == before[d]
+
+    # refreshed export == from-scratch export of the current snapshot
+    fresh_dir = str(tmp_path / "fresh")
+    export_shards(src.read(), fresh_dir, 8, ["doc_id"])
+    a = spark.read.parquet(out).orderBy("doc_id").collect()
+    b = spark.read.parquet(fresh_dir).orderBy("doc_id").collect()
+    assert a == b
+    assert {r.text for r in a if r.doc_id in (3, 7)} == {"UPDATED"}
+
+    # nothing new -> no shard touched
+    assert refresh_shards(src, out, 8, ["doc_id"])["rebuilt"] == []
