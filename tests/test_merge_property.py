@@ -56,3 +56,70 @@ def test_merge_matches_dict_model(spark, old_rows, new_rows):
         ver, src, vals = model[r.key]
         assert r.version == ver
         assert r.value in vals
+
+
+def _snap_model(target, source, when_matched, insert):
+    """Dict-semantics MERGE model: target/source are {k: v} maps."""
+    out = {}
+    skeys = set(source)
+    for k, v in target.items():
+        if k in skeys:
+            if when_matched == "update":
+                out[k] = source[k]
+            # delete: dropped
+        else:
+            out[k] = v
+    if insert:
+        for k, v in source.items():
+            if k not in target:
+                out[k] = v
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-50, max_value=50),
+        min_size=1, max_size=12,
+    ),
+    src=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-50, max_value=50),
+        max_size=12,
+    ),
+    when_matched=st.sampled_from(["update", "delete"]),
+    insert=st.booleans(),
+)
+def test_snapshot_merge_matches_dict_model(
+    spark, tmp_path_factory, tgt, src, when_matched, insert
+):
+    """MERGE INTO on the snapshot table against the dict-semantics
+    model, for arbitrary target/source key overlaps and all four
+    matched/not-matched mode combinations."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    if when_matched == "delete" and not insert and not src:
+        return  # merge would be a no-op by contract
+    base = tmp_path_factory.mktemp("snapmerge")
+    t = SnapshotTable(spark, str(base / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(k, v) for k, v in tgt.items()], "k long, v long"
+        )
+    )
+    src_df = spark.createDataFrame(
+        [(k, v) for k, v in src.items()], "k long, v long"
+    ) if src else spark.createDataFrame([], "k long, v long")
+    t.merge_into(
+        src_df, ["k"], when_matched=when_matched,
+        insert_not_matched=insert,
+    )
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == _snap_model(tgt, src, when_matched, insert)
