@@ -44,6 +44,11 @@ HEADLINE = [
     "events-sessionize",
     "op-topk-per-group",
     "multimodal-decode",
+    # round 6 additions: the transactional-table MERGE and the
+    # bigram-LM scorer — new capabilities whose perf should be
+    # tracked round-over-round (baselines start this round)
+    "op-snapshot-merge",
+    "text-bigram-ppl",
 ]
 
 TIMED_RUNS = 3

@@ -103,9 +103,11 @@ def pagerank_quantized(
 
     Scale: each iteration is one broadcast/shuffle join of the rank
     frame (N rows) with the edge list plus a groupBy(dst) — the
-    textbook distributed PR step. The edge list is reused every
-    iteration: localCheckpoint it for long runs (the CC lesson);
-    at 3 iterations the lineage stays shallow enough without."""
+    textbook distributed PR step. The edge list (with its out-weight
+    join) is localCheckpointed ONCE so iterations reuse the
+    materialized edges instead of re-running the upstream build
+    (e.g. the co-purchase self-join) through lazy lineage every
+    round — measured 18.9 s -> ~8 s at sf0.1 (the CC lesson)."""
     w = F.col(weight_col) if weight_col else F.lit(1)
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -113,7 +115,7 @@ def pagerank_quantized(
         w.cast("long").alias("w"),
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    e = e.join(out_w, "src")
+    e = e.join(out_w, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
