@@ -105,16 +105,20 @@ def refresh_shards(
     column — documented tradeoff; at real scale you co-persist `shard`
     as a stat column to prune the scan too), but the WRITE — the
     expensive half of an export — touches only changed shards. Each
-    shard directory is replaced via write-aside + atomic rename, so a
-    crash leaves either the old or the new shard, never a mix;
-    replaying a refresh converges because shard contents are pure
-    functions of the snapshot. The applied-version watermark lives in
-    `_shards_state.json` (tmp+rename)."""
+    shard directory is replaced via write-aside + atomic rename;
+    recover_shards() (run on every refresh start) heals the one
+    crash window — dead between the aside-rename and the swap-in —
+    by restoring the aside, and sweeps stale stage dirs; replaying a
+    refresh then converges because shard contents are pure functions
+    of the snapshot. The applied-version watermark lives in
+    `_shards_state.json` (tmp+rename); it only advances AFTER every
+    swap landed, so a crash mid-refresh replays the whole refresh."""
     import json
     import os
     import shutil
     import uuid
 
+    recover_shards(out_dir)
     state_path = os.path.join(out_dir, "_shards_state.json")
 
     def _write_state(version: int) -> None:
@@ -182,3 +186,35 @@ def refresh_shards(
     shutil.rmtree(stage)
     _write_state(head)
     return {"rebuilt": changed, "applied": head}
+
+
+def recover_shards(out_dir: str) -> list[str]:
+    """Heal an interrupted refresh_shards swap: a `shard=K.xxxxxx.old`
+    aside with NO live `shard=K` means the writer died between the
+    two renames — restore the aside (the pre-refresh shard; the
+    replayed refresh rebuilds it). An aside WITH a live dir means the
+    swap completed — drop the leftover. Stale `.stage-*` dirs from a
+    writer that died mid-write are swept (never referenced)."""
+    import glob as _glob
+    import os
+    import re
+    import shutil
+
+    healed = []
+    if not os.path.isdir(out_dir):
+        return healed
+    for aside in _glob.glob(os.path.join(out_dir, "shard=*.old")):
+        m = re.match(r"(.*shard=\d+)\.[0-9a-f]+\.old$", aside)
+        if not m:
+            continue
+        live = m.group(1)
+        if os.path.isdir(live):
+            shutil.rmtree(aside)
+            healed.append(f"dropped:{os.path.basename(aside)}")
+        else:
+            os.rename(aside, live)
+            healed.append(f"restored:{os.path.basename(live)}")
+    for stage in _glob.glob(os.path.join(out_dir, ".stage-*")):
+        shutil.rmtree(stage)
+        healed.append(f"swept:{os.path.basename(stage)}")
+    return healed

@@ -144,3 +144,52 @@ def test_refresh_shards_rebuilds_only_affected(spark, tmp_path):
 
     # nothing new -> no shard touched
     assert refresh_shards(src, out, 8, ["doc_id"])["rebuilt"] == []
+
+
+def test_recover_shards_crash_states(spark, tmp_path):
+    """Every crash window of the shard swap heals: aside-without-live
+    restores, aside-with-live drops, stale stage dirs sweep — and the
+    replayed refresh converges to the correct export."""
+    import os
+    import shutil
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        recover_shards,
+        refresh_shards,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(_docs(spark, 200))
+    out = str(tmp_path / "out")
+    refresh_shards(src, out, 4, ["doc_id"])
+
+    # crash window 1: aside renamed, swap-in never happened
+    live = os.path.join(out, "shard=2")
+    aside = live + ".abc123.old"
+    os.rename(live, aside)
+    # crash window 2: a completed swap left its aside behind
+    live3 = os.path.join(out, "shard=3")
+    aside3 = live3 + ".def456.old"
+    shutil.copytree(live3, aside3)
+    # crash window 3: a stage dir from a dead writer
+    os.makedirs(os.path.join(out, ".stage-deadbeef", "shard=1"))
+
+    healed = recover_shards(out)
+    assert any(h.startswith("restored:shard=2") for h in healed)
+    assert any(h.startswith("dropped:") for h in healed)
+    assert any(h.startswith("swept:.stage-deadbeef") for h in healed)
+    assert os.path.isdir(live) and not os.path.exists(aside)
+    assert not os.path.exists(aside3)
+
+    # the full export is intact and refresh keeps working
+    assert spark.read.parquet(out).count() == 200
+    src.merge_into(
+        spark.createDataFrame([(7, "x")], "doc_id long, text string"),
+        ["doc_id"],
+    )
+    res = refresh_shards(src, out, 4, ["doc_id"])
+    assert res["rebuilt"]
+    assert spark.read.parquet(out).count() == 200
