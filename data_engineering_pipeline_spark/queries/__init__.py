@@ -33,6 +33,7 @@ _CHECK_FIRST = [
     "ann-index-table",  # new: persistent IVF index on the snapshot table
     "op-graph-pagerank",  # new: exact quantized PageRank (co-purchase)
     "op-sample-weighted-k",  # new: exact-k ES-weighted sample
+    "text-keyphrases",  # new: per-doc top-PMI collocations
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

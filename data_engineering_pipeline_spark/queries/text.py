@@ -857,3 +857,107 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "text-keyphrases",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    m1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    m2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+    tot AS (SELECT count(*) AS b FROM bg),
+    pmi AS (
+      SELECT c12.w1, c12.w2,
+             CAST(floor(ln(CAST(c12.c AS DOUBLE) * o.b
+                           / (CAST(m1.c1 AS DOUBLE) * m2.c2))
+                        * 1000000000 + 0.5) AS BIGINT) AS pmi_q
+      FROM c12
+      JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot o
+      WHERE c12.c >= 3
+    ),
+    dt AS (SELECT DISTINCT doc_id, w1, w2 FROM bg),
+    r AS (
+      SELECT dt.doc_id, dt.w1, dt.w2, pmi.pmi_q,
+             row_number() OVER (PARTITION BY dt.doc_id
+                                ORDER BY pmi.pmi_q DESC,
+                                         dt.w1, dt.w2) AS rnk
+      FROM dt JOIN pmi ON dt.w1 = pmi.w1 AND dt.w2 = pmi.w2
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w1, w2, pmi_q
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase (collocation) extraction: each document's top-3
+    bigrams by corpus-level PMI, ln(c12*B / (c1*c2)) over the bigram
+    stream with min-support c12 >= 3 — the classic statistical
+    collocation measure (Church & Hanks 1990), here as the per-doc
+    tagging a corpus browser or dedup-explainer needs. PMI is
+    quantized to a 1e-9 BIGINT once per bigram TYPE (the
+    text-crossentropy device), so ranking and output are exact
+    cross-engine.
+
+    Scale: bigrams explode map-side; type/marginal counts partial-
+    aggregate; the PMI dim broadcasts back; the per-doc top-3 is a
+    bounded window over each doc's distinct types."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(element_at(__toks, i) AS w1, "
+                "element_at(__toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("b_tot"))
+    pmi = (
+        c12.filter(F.col("c") >= 3)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") * F.col("b_tot")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1_000_000_000
+                + F.lit(0.5)
+            ).alias("pmi_q"),
+        )
+    )
+    dt = bg.select("doc_id", "w1", "w2").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("pmi_q"), "w1", "w2"
+    )
+    return (
+        dt.join(F.broadcast(pmi), ["w1", "w2"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", F.col("rnk").cast("long").alias("rnk"),
+            "w1", "w2", "pmi_q",
+        )
+        .orderBy("doc_id", "rnk")
+    )
