@@ -1245,3 +1245,52 @@ def op_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottom_k_sample(
         li, 500, "w", F.col("l_orderkey"), F.col("l_linenumber")
     ).select("l_orderkey", "l_linenumber", "w")
+
+
+@_register(
+    "op-rfm-segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY r DESC, o_custkey) AS BIGINT)
+             AS r_tile,
+           CAST(ntile(4) OVER (ORDER BY f DESC, o_custkey) AS BIGINT)
+             AS f_tile,
+           CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey) AS BIGINT)
+             AS m_tile
+    FROM cust ORDER BY o_custkey
+    """,
+)
+def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order date),
+    frequency (order count), monetary (exact cents sum) quartiles —
+    the classic behavioral segmentation, deterministic via custkey
+    tie-breaks. The three global ntiles are single-partition sorts
+    over CUSTOMERS (not orders); at 100 TB replace with
+    approx-quantile cutoffs, changing only the boundary rule."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("m"),
+    )
+    return cust.select(
+        "o_custkey",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("r"), "o_custkey")
+        ).cast("long").alias("r_tile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("f"), "o_custkey")
+        ).cast("long").alias("f_tile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("m"), "o_custkey")
+        ).cast("long").alias("m_tile"),
+    ).orderBy("o_custkey")
