@@ -35,6 +35,7 @@ _CHECK_FIRST = [
     "op-sample-weighted-k",  # new: exact-k ES-weighted sample
     "text-keyphrases",  # new: per-doc top-PMI collocations
     "op-rfm-segments",  # new: recency/frequency/monetary quartiles
+    "op-ab-experiment",  # new: deterministic-assignment A/B readout
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

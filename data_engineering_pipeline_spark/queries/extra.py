@@ -1294,3 +1294,64 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc("m"), "o_custkey")
         ).cast("long").alias("m_tile"),
     ).orderBy("o_custkey")
+
+
+@_register(
+    "op-ab-experiment",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN ((user_id * 69069 + 1) % 4294967296) % 100 < 50
+                  THEN 0 ELSE 1 END AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(c.user_id) AS BIGINT) AS n_converted,
+           CAST(count(c.user_id) * 1000000 // count(*) AS BIGINT)
+             AS conv_ppm
+    FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+    GROUP BY a.arm ORDER BY a.arm
+    """,
+)
+def op_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically split 50/50 by
+    their LCG hash bucket (stable across reruns and cluster sizes —
+    the property rand()-based assignment lacks), conversion = any
+    purchase event, rate as an exact integer ppm. The pattern every
+    event pipeline ends at: assignment must be a pure function of the
+    unit id so exposures and outcomes can be joined retroactively."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        key_hash,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    assign = events.select("user_id").distinct().withColumn(
+        "arm",
+        F.when(key_hash(F.col("user_id")) % 100 < 50, 0)
+        .otherwise(1).cast("int"),
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("__c").alias("n_converted"),
+        )
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.expr("(n_converted * 1000000) div n_users")
+            .cast("long").alias("conv_ppm"),
+        )
+        .orderBy("arm")
+    )
