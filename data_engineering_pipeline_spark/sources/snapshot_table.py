@@ -710,6 +710,10 @@ class SnapshotTable:
         survivors) are cancelled by a null-safe struct compare."""
         from pyspark.sql import functions as F
 
+        if v_from > v_to:
+            raise ValueError(
+                f"changes requires v_from <= v_to (got {v_from} > {v_to})"
+            )
         a = self._live_files(v_from)
         b = self._live_files(v_to)
         removed = {n: e for n, e in a.items() if n not in b}
