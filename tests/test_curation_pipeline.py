@@ -1,0 +1,102 @@
+"""End-to-end curation pipeline composition: gates enforce, stages
+reconcile, sequential increments converge to the one-shot result, and
+replays are no-ops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.plans.curation_pipeline import (
+    curate_batch,
+    curate_increment,
+)
+from data_engineering_pipeline_spark.sources.snapshot_table import (
+    ExpectationViolation,
+    SnapshotTable,
+)
+
+LANGS = ["en", "de", "fr"]
+
+
+def _doc(i, lang, text):
+    return (i, lang, text)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+
+
+def _corpus(base_id, n):
+    rows = []
+    for i in range(n):
+        did = base_id + i
+        lang = LANGS[i % 3]
+        text = (
+            f"document number {did} talks about topic {i % 7} in "
+            f"considerable detail with plenty of ordinary words"
+        )
+        rows.append(_doc(did, lang, text))
+    return rows
+
+
+def test_pipeline_increments_converge_to_one_shot(spark, tmp_path):
+    b1 = _corpus(0, 60)
+    # exact duplicate of doc 3, near-duplicate of doc 5, a too-short doc
+    b1 += [
+        _doc(900, "en", b1[3][2]),
+        _doc(901, "de", b1[5][2].replace("ordinary", "usual")),
+        _doc(902, "fr", "too short"),
+    ]
+    b2 = _corpus(100, 40)
+    # cross-batch exact dup of doc 10 and near-dup of doc 11
+    b2 += [
+        _doc(950, "en", b1[10][2]),
+        _doc(951, "de", b1[11][2].replace("plenty", "loads")),
+    ]
+
+    seq = str(tmp_path / "seq")
+    s1 = curate_batch(spark, _mk_docs(spark, b1), seq)
+    assert s1["landed"] == 62  # short doc dropped at the gate
+    assert s1["after_dedup"] < s1["landed"]  # dup + near-dup gone
+    assert s1["shards_rebuilt"] == 8
+    s2 = curate_increment(spark, _mk_docs(spark, b2), seq, batch_id=1)
+    assert s2["landed"] == 62 + 42
+
+    one = str(tmp_path / "one")
+    curate_batch(spark, _mk_docs(spark, b1 + b2), one)
+
+    a = {tuple(r) for r in SnapshotTable(spark, f"{seq}/curated")
+         .read().collect()}
+    b = {tuple(r) for r in SnapshotTable(spark, f"{one}/curated")
+         .read().collect()}
+    assert a == b and len(a) > 0
+    # cross-batch dups lost to their lower-id originals
+    kept_ids = {r[0] for r in a}
+    assert 950 not in kept_ids and 951 not in kept_ids
+
+    # the shard exports are byte-equivalent row sets
+    sa = spark.read.parquet(f"{seq}/shards").orderBy("doc_id").collect()
+    sb = spark.read.parquet(f"{one}/shards").orderBy("doc_id").collect()
+    assert sa == sb
+
+    # replaying the increment (same batch id) changes nothing
+    v_before = SnapshotTable(spark, f"{seq}/curated").latest_version()
+    s2r = curate_increment(spark, _mk_docs(spark, b2), seq, batch_id=1)
+    assert SnapshotTable(spark, f"{seq}/curated").latest_version() \
+        == v_before
+    assert s2r["shards_rebuilt"] == 0
+
+
+def test_pipeline_fail_gate_blocks_batch(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [(None, "en", "this text is long enough to pass the length gate")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ExpectationViolation, match="doc_id_present"):
+        curate_batch(spark, bad, str(tmp_path / "w"))
+    assert not os.path.isdir(str(tmp_path / "w" / "landing" / "_log"))
