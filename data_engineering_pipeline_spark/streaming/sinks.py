@@ -341,3 +341,35 @@ def ann_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_sink(
+    stream_df: DataFrame,
+    work_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming front door of the end-to-end curation pipeline
+    (plans/curation_pipeline.py): every micro-batch of raw documents
+    runs gate -> landing -> incremental dedup -> quality ->
+    temperature -> curated table -> shard refresh. The landing append
+    uses the micro-batch id as its txn version, so the whole chain is
+    exactly-once under replay — each downstream stage is either
+    idempotent (deterministic rebuild) or watermark-guarded (shard
+    refresh)."""
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        curate_increment,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curate_increment(
+            batch_df.sparkSession, batch_df, work_dir, batch_id=batch_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

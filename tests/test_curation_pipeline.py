@@ -100,3 +100,31 @@ def test_pipeline_fail_gate_blocks_batch(spark, tmp_path):
     with pytest.raises(ExpectationViolation, match="doc_id_present"):
         curate_batch(spark, bad, str(tmp_path / "w"))
     assert not os.path.isdir(str(tmp_path / "w" / "landing" / "_log"))
+
+
+def test_curation_sink_streaming(spark, tmp_path):
+    """The streaming front door: documents landed as files flow through
+    the full pipeline per micro-batch, and a replay with a fresh
+    checkpoint leaves the curated table's version untouched."""
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        curation_sink,
+    )
+
+    land = tmp_path / "in"
+    land.mkdir()
+    _mk_docs(spark, _corpus(0, 30)).coalesce(1).write.parquet(
+        str(land / "b0")
+    )
+    work = str(tmp_path / "work")
+    schema = "doc_id long, lang string, text string"
+
+    stream = spark.readStream.schema(schema).parquet(str(land / "b0"))
+    curation_sink(stream, work, str(tmp_path / "ck1")).awaitTermination()
+    cur = SnapshotTable(spark, f"{work}/curated")
+    n1, v1 = cur.read().count(), cur.latest_version()
+    assert n1 > 0
+    assert os.path.isdir(f"{work}/shards/shard=0")
+
+    stream2 = spark.readStream.schema(schema).parquet(str(land / "b0"))
+    curation_sink(stream2, work, str(tmp_path / "ck2")).awaitTermination()
+    assert cur.latest_version() == v1 and cur.read().count() == n1

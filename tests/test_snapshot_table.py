@@ -639,3 +639,34 @@ def test_maintain_housekeeping(spark, tmp_path):
     # second run: already healthy
     out2 = t.maintain(max_files=2, keep_versions=1)
     assert out2 == {"compacted": False, "expired": [], "vacuumed": []}
+
+
+def test_compaction_is_cdc_invisible(spark, tmp_path):
+    """A compact (or Z-order) rewrite moves every row to new files but
+    changes no data: the change feed across it must be EMPTY — the
+    guarantee that lets downstream incremental consumers (aggregate
+    refresh, shard refresh) ignore maintenance churn."""
+    t = SnapshotTable(spark, str(tmp_path / "cdc_c"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, f"v{i}") for i in range(50)]))
+    t.append(_kv(spark, [(i, f"v{i}") for i in range(50, 80)]))
+    v_before = t.latest_version()
+    t.compact(target_files=2, cluster_by=["k"])
+    assert t.changes(v_before, t.latest_version(), ["k"]).count() == 0
+    # and a refresh_aggregate across the compact applies zero deltas
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_aggregate,
+    )
+
+    agg = SnapshotTable(spark, str(tmp_path / "cdc_a"))
+    t2 = SnapshotTable(spark, str(tmp_path / "cdc_s"))
+    t2.append(
+        spark.createDataFrame(
+            [(i, "g", i) for i in range(40)], "k long, grp string, c long"
+        )
+    )
+    refresh_aggregate(t2, agg, ["k"], ["grp"], ["c"])
+    before = {r.grp: (r.cnt, r.sum_c) for r in agg.read().collect()}
+    t2.compact(target_files=1)
+    refresh_aggregate(t2, agg, ["k"], ["grp"], ["c"])
+    assert {r.grp: (r.cnt, r.sum_c) for r in agg.read().collect()} \
+        == before
