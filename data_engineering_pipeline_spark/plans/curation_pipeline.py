@@ -59,6 +59,7 @@ def _paths(work_dir: str) -> dict:
         "curated": os.path.join(work_dir, "curated"),
         "sigs": os.path.join(work_dir, "minhash_sigs"),
         "losers": os.path.join(work_dir, "neardup_losers"),
+        "rates": os.path.join(work_dir, "frozen_rates"),
         "shards": os.path.join(work_dir, "shards"),
     }
 
@@ -69,6 +70,43 @@ def _filter_quality(df: DataFrame, min_quality: float) -> DataFrame:
 
 def _rebalance(df: DataFrame, alpha: float) -> DataFrame:
     return temperature_rebalance(df, "lang", alpha, F.col("doc_id"))
+
+
+def _keep_ppm_of(df: DataFrame, alpha: float) -> DataFrame:
+    """The per-stratum keep rates temperature_rebalance would derive
+    from df — materialized so delta mode can FREEZE them."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        dyadic_pow,
+    )
+
+    counts = df.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    ratio = (
+        F.col("__min_n").cast("double") / F.col("__n").cast("double")
+    )
+    rate = dyadic_pow(ratio, 1.0 - alpha)
+    if rate is None:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    return counts.join(F.broadcast(floor_n)).select(
+        "lang",
+        F.floor(rate * F.lit(1_000_000.0)).cast("long")
+        .alias("keep_ppm"),
+    )
+
+
+def _apply_frozen_rates(df: DataFrame, rates: DataFrame) -> DataFrame:
+    from data_engineering_pipeline_spark.operators.sampling import (
+        key_hash,
+    )
+
+    return (
+        df.join(F.broadcast(rates), "lang", "left")
+        .filter(
+            key_hash(F.col("doc_id")) % 1_000_000
+            < F.coalesce("keep_ppm", F.lit(1_000_000))
+        )
+        .drop("keep_ppm")
+    )
 
 
 def curate_batch(
@@ -95,12 +133,26 @@ def curate_increment(
     n_shards: int = 8,
     min_quality: float = 0.0,
     alpha: float = 0.5,
+    mode: str = "rebuild",
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
     append is (app, batch_id)-idempotent; near-dedup probes only the
-    batch against the persisted signature store; the curated table is
-    rebuilt from the landing snapshot (deterministic — replay
-    converges) and the shard refresh touches only changed shards."""
+    batch against the persisted signature store.
+
+    mode="rebuild" (default): the curated table is deterministically
+    rebuilt from the landing snapshot — increments converge BIT-EXACT
+    to the one-shot run, at O(corpus) rebuild cost per increment
+    (measured in BASELINE.md addendum 9).
+
+    mode="delta": O(batch) — only the batch's survivors MERGE into the
+    curated table (pre-existing docs that lost to a lower-id newcomer
+    are retracted via a delete-merge), and temperature uses the RATES
+    FROZEN at the last rebuild, the standard production tradeoff:
+    counts drift until the next rebuild refreezes them; a lang unseen
+    at freeze time keeps everything. Exact duplicates are caught by
+    the MinHash probe (identical texts collide in every band)."""
+    if mode not in ("rebuild", "delta"):
+        raise ValueError("mode must be 'rebuild' or 'delta'")
     p = _paths(work_dir)
     stats: dict = {}
 
@@ -133,6 +185,35 @@ def curate_increment(
     drop_new.write.mode("append").parquet(p["losers"])
     losers = spark.read.parquet(p["losers"]).distinct()
 
+    if mode == "delta":
+        if not os.path.isdir(p["rates"]):
+            raise ValueError(
+                "delta mode needs frozen rates: run a rebuild first"
+            )
+        rates = spark.read.parquet(p["rates"])
+        curated = SnapshotTable(spark, p["curated"])
+        # retract pre-existing docs that just lost to a lower-id
+        # newcomer (loser id not in this batch's landed rows)
+        retract = drop_new.join(
+            new_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+        surv = new_docs.join(drop_new, "doc_id", "left_anti")
+        surv = _filter_quality(surv, min_quality)
+        surv = _apply_frozen_rates(surv, rates)
+        stats["batch_survivors"] = surv.count()
+        curated.merge_into(surv, ["doc_id"], when_matched="update")
+        n_retract = retract.count()
+        if n_retract:
+            curated.merge_into(
+                retract, ["doc_id"], when_matched="delete",
+                insert_not_matched=False,
+            )
+        stats["retracted"] = n_retract
+        stats["curated"] = curated.read().count()
+        res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
+        stats["shards_rebuilt"] = len(res["rebuilt"])
+        return stats
+
     # deterministic rebuild from the landing snapshot: exact dedup
     # recomputes (cheap, keys-only), near-dup losers come from the
     # accumulated store, quality/temperature re-apply as pure
@@ -146,6 +227,10 @@ def curate_increment(
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
     sampled = _rebalance(filtered, alpha)
+    # refreeze the per-lang rates for subsequent delta increments
+    _keep_ppm_of(filtered, alpha).write.mode("overwrite").parquet(
+        p["rates"]
+    )
 
     curated = SnapshotTable(spark, p["curated"])
     curated.overwrite(sampled, txn=("curate", batch_id))

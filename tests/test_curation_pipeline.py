@@ -128,3 +128,57 @@ def test_curation_sink_streaming(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(str(land / "b0"))
     curation_sink(stream2, work, str(tmp_path / "ck2")).awaitTermination()
     assert cur.latest_version() == v1 and cur.read().count() == n1
+
+
+def test_delta_mode_merges_and_retracts(spark, tmp_path):
+    """O(batch) delta increments: batch survivors merge in under the
+    FROZEN temperature rates, a pre-existing doc that loses to a
+    lower-id newcomer is retracted, and a replayed delta converges."""
+    work = str(tmp_path / "w")
+    # imbalanced corpus: extra en docs force en's frozen keep rate
+    # below 1e6, so the rate rule actually discriminates
+    b1 = _corpus(100, 60) + [
+        (500 + i, "en",
+         f"extra english document {i} padding the en stratum with "
+         f"plenty of additional very ordinary filler words here")
+        for i in range(60)
+    ]
+    curate_batch(spark, _mk_docs(spark, b1), work)
+    cur = SnapshotTable(spark, f"{work}/curated")
+    before = {r.doc_id for r in cur.read().collect()}
+    assert 105 in before  # the retraction target must start curated
+
+    rates = {r.lang: r.keep_ppm for r in
+             spark.read.parquet(f"{work}/frozen_rates").collect()}
+    assert rates["en"] < 1_000_000  # the freeze is non-trivial
+
+    # 5 is a near-dup of doc 105 with a LOWER id -> 105 must retract;
+    # 2000/2001 are genuinely new docs
+    b2 = [
+        (5, b1[5][1], b1[5][2].replace("ordinary", "usual")),
+        (2000, "en", "a brand new document about freshly minted "
+                     "subjects with plenty of novel words inside"),
+        (2001, "de", "another brand new document concerning different "
+                     "freshly minted subjects and novel words"),
+    ]
+    s = curate_increment(
+        spark, _mk_docs(spark, b2), work, batch_id=1, mode="delta"
+    )
+    assert s["retracted"] == 1
+    after = {r.doc_id: r for r in cur.read().collect()}
+    assert 105 not in after
+    # every batch doc (including 5, which WON its pair) is kept iff
+    # its hash passes the lang's frozen rate — the exact
+    # temperature_rebalance rule under the freeze
+    M, MOD = 69069, 2**32
+    for did, lang, _ in b2:
+        h = ((0 + did) * M + 1) % MOD
+        expected_kept = h % 1_000_000 < rates.get(lang, 1_000_000)
+        assert (did in after) == expected_kept, (did, lang)
+
+    # replay: content unchanged
+    n = cur.read().count()
+    s2 = curate_increment(
+        spark, _mk_docs(spark, b2), work, batch_id=1, mode="delta"
+    )
+    assert cur.read().count() == n and s2["shards_rebuilt"] == 0
