@@ -694,6 +694,54 @@ class SnapshotTable:
         return self._commit_loop("merge", adds, removes,
                                  schema=out.schema)
 
+    def delete_where(self, condition: str,
+                     output_files: int | None = None) -> int:
+        """DELETE WHERE: predicate delete that rewrites ONLY the
+        files actually containing matching rows — one column-pruned
+        pass with input_file_name finds them; every other file stays
+        byte-identical in the new version. Rows where the condition is
+        NULL are kept (SQL three-valued semantics); a no-match delete
+        commits nothing.
+
+        Conflicts like compact: valid only if the files it read are
+        all still live at commit (concurrent appends rebase cleanly —
+        a predicate delete makes no claim about rows it never saw)."""
+        from pyspark.sql import functions as F
+
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot delete from an empty table")
+        live = self._live_files()
+        schema = self._schema_at(head)
+        tagged = self._df_for(live, schema).withColumn(
+            "__file", F.input_file_name()
+        )
+        touched = {
+            os.path.basename(r["__file"])
+            for r in tagged.filter(condition)
+            .select("__file").distinct().collect()
+        }
+        if not touched:
+            return head  # nothing matches: no-op, no new version
+        kept = (
+            self._df_for({n: live[n] for n in touched}, schema)
+            .filter(f"NOT coalesce(({condition}), false)")
+            .coalesce(output_files or max(1, len(touched)))
+        )
+        adds = self._stage(kept)
+        basis = set(touched)
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            if not basis <= set(now):
+                raise SnapshotConflict(
+                    "files read by this delete were removed by a "
+                    "concurrent commit; re-run"
+                )
+            return sorted(basis)
+
+        return self._commit_loop("delete", adds, removes,
+                                 schema=schema)
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:

@@ -670,3 +670,36 @@ def test_compaction_is_cdc_invisible(spark, tmp_path):
     refresh_aggregate(t2, agg, ["k"], ["grp"], ["c"])
     assert {r.grp: (r.cnt, r.sum_c) for r in agg.read().collect()} \
         == before
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Predicate DELETE: rows matching the condition vanish, files
+    with no matches stay byte-identical, null-condition rows are NOT
+    deleted (three-valued logic), and a no-match delete is a no-op
+    that commits nothing."""
+    t = SnapshotTable(spark, str(tmp_path / "dw"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "lo") for i in range(10)]).coalesce(1))
+    t.append(_kv(spark, [(i, "hi") for i in range(100, 110)]).coalesce(1))
+    t.append(
+        spark.createDataFrame([(200, None)], "k long, val string")
+        .coalesce(1)
+    )
+    data_dir = os.path.join(str(tmp_path / "dw"), "data")
+    before = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+    }
+    v = t.delete_where("val = 'lo' AND k < 5")
+    rows = {r.k for r in t.read().collect()}
+    assert rows == set(range(5, 10)) | set(range(100, 110)) | {200}
+    # files without matches (hi + null) untouched
+    live = t._live_files()
+    for n in live:
+        if n in before:
+            assert os.path.getmtime(
+                os.path.join(data_dir, n)) == before[n]
+    # time travel still shows the pre-delete rows
+    assert len(t.read(version=v - 1).collect()) == 21
+    # no-match delete: no new version at all
+    assert t.delete_where("k > 99999") == v
+    assert t.latest_version() == v
