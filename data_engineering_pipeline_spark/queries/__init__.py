@@ -36,6 +36,7 @@ _CHECK_FIRST = [
     "text-keyphrases",  # new: per-doc top-PMI collocations
     "op-rfm-segments",  # new: recency/frequency/monetary quartiles
     "op-ab-experiment",  # new: deterministic-assignment A/B readout
+    "op-snapshot-delete",  # new: predicate DELETE WHERE
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

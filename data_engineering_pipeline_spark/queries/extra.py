@@ -1355,3 +1355,48 @@ def op_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@_register(
+    "op-snapshot-delete",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND NOT coalesce(o_totalprice > 150000
+                       AND o_orderpriority = '1-URGENT', false)
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE WHERE on the snapshot table
+    (sources/snapshot_table.py delete_where): load 'F' orders, delete
+    the urgent high-value ones, read back. The oracle applies the
+    same NOT-coalesce predicate relationally, so over-deletion
+    (NULL-condition rows wrongly removed), under-deletion, or a
+    file-confinement bug that drops unrelated rows all mismatch."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_del_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.delete_where(
+        "o_totalprice > 150000 AND o_orderpriority = '1-URGENT'"
+    )
+    return (
+        t.read()
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
