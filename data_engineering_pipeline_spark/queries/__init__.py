@@ -37,6 +37,7 @@ _CHECK_FIRST = [
     "op-rfm-segments",  # new: recency/frequency/monetary quartiles
     "op-ab-experiment",  # new: deterministic-assignment A/B readout
     "op-snapshot-delete",  # new: predicate DELETE WHERE
+    "op-snapshot-update",  # new: predicate UPDATE ... SET
     "dedup-semantic",  # hot-cell recursive split added
     "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
     "ann-topk-lsh",  # shares the hyperplane derivation

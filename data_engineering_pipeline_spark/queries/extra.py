@@ -1400,3 +1400,49 @@ def op_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-update",
+    """
+    SELECT o_orderkey,
+           CASE WHEN coalesce(o_orderpriority = '5-LOW'
+                              AND o_totalprice < 50000, false)
+                THEN '4-NOT SPECIFIED' ELSE o_orderpriority
+           END AS o_orderpriority,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE on the snapshot table
+    (sources/snapshot_table.py update_where): reclassify low-value
+    '5-LOW' orders, leave everything else untouched. The oracle is the
+    same CASE expression applied relationally — a SET leaking onto
+    non-matching rows, or an untouched-file row going missing, breaks
+    the hash."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_upd_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.update_where(
+        "o_orderpriority = '5-LOW' AND o_totalprice < 50000",
+        {"o_orderpriority": "'4-NOT SPECIFIED'"},
+    )
+    return (
+        t.read()
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

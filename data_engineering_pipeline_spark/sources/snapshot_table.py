@@ -742,6 +742,59 @@ class SnapshotTable:
         return self._commit_loop("delete", adds, removes,
                                  schema=schema)
 
+    def update_where(self, condition: str, assignments: dict[str, str],
+                     output_files: int | None = None) -> int:
+        """UPDATE ... SET ... WHERE: predicate update rewriting only
+        the files containing matching rows (same file-confinement as
+        delete_where). `assignments` maps column -> SQL expression,
+        applied only where `condition` is TRUE; NULL/false rows keep
+        their values. Assigned columns must already exist (schema
+        evolution happens through append/overwrite, not UPDATE)."""
+        from pyspark.sql import functions as F
+
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot update an empty table")
+        schema = self._schema_at(head)
+        cols = (
+            [f.name for f in schema.fields] if schema is not None
+            else self._df_for(self._live_files()).columns
+        )
+        missing = [c for c in assignments if c not in cols]
+        if missing:
+            raise ValueError(f"unknown columns in SET: {missing}")
+        live = self._live_files()
+        tagged = self._df_for(live, schema).withColumn(
+            "__file", F.input_file_name()
+        )
+        touched = {
+            os.path.basename(r["__file"])
+            for r in tagged.filter(condition)
+            .select("__file").distinct().collect()
+        }
+        if not touched:
+            return head
+        cond = F.expr(f"coalesce(({condition}), false)")
+        df = self._df_for({n: live[n] for n in touched}, schema)
+        for c, expr in assignments.items():
+            df = df.withColumn(
+                c, F.when(cond, F.expr(expr)).otherwise(F.col(c))
+            )
+        df = df.coalesce(output_files or max(1, len(touched)))
+        adds = self._stage(df)
+        basis = set(touched)
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            if not basis <= set(now):
+                raise SnapshotConflict(
+                    "files read by this update were removed by a "
+                    "concurrent commit; re-run"
+                )
+            return sorted(basis)
+
+        return self._commit_loop("update", adds, removes,
+                                 schema=schema)
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:

@@ -703,3 +703,33 @@ def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     # no-match delete: no new version at all
     assert t.delete_where("k > 99999") == v
     assert t.latest_version() == v
+
+
+def test_update_where_file_confined(spark, tmp_path):
+    """Predicate UPDATE: matching rows get the SET expressions,
+    non-matching rows (including NULL-condition) keep their values,
+    files with no matches stay byte-identical, and unknown SET
+    columns are refused."""
+    t = SnapshotTable(spark, str(tmp_path / "uw"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "lo") for i in range(10)]).coalesce(1))
+    t.append(_kv(spark, [(i, "hi") for i in range(100, 110)]).coalesce(1))
+    data_dir = os.path.join(str(tmp_path / "uw"), "data")
+    before = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+    }
+    v = t.update_where(
+        "k < 3", {"val": "concat(val, '-touched')"}
+    )
+    rows = {r.k: r.val for r in t.read().collect()}
+    assert rows[0] == "lo-touched" and rows[2] == "lo-touched"
+    assert rows[5] == "lo" and rows[105] == "hi"
+    for n in t._live_files():
+        if n in before:  # the hi file must be byte-stable
+            assert os.path.getmtime(
+                os.path.join(data_dir, n)) == before[n]
+    assert len(t.read(version=v - 1).collect()) == 20
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where("k < 3", {"nope": "1"})
+    # no-match: no new version
+    assert t.update_where("k > 9999", {"val": "'x'"}) == v
