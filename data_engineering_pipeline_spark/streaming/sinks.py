@@ -373,3 +373,45 @@ def curation_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def aggregate_refresh_sink(
+    stream_df: DataFrame,
+    src_path: str,
+    agg_path: str,
+    checkpoint: str,
+    app_id: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> StreamingQuery:
+    """Bronze -> silver streaming materialization: each micro-batch
+    lands in the snapshot SOURCE table (txn exactly-once), then the
+    grouped count/sum MATERIALIZATION refreshes from the change feed
+    (sources/snapshot_table.py refresh_aggregate). Every layer is
+    watermarked — the landing by (app, batch_id), the aggregate by its
+    applied-source-version txn — so crash/replay anywhere in the chain
+    converges, and the refresh cost per batch tracks the batch, not
+    the table."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_aggregate,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        src = SnapshotTable(spark, src_path)
+        src.append(batch_df, txn=(app_id, batch_id))
+        refresh_aggregate(
+            src, SnapshotTable(spark, agg_path),
+            keys, group_cols, sum_cols,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

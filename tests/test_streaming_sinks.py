@@ -429,3 +429,56 @@ def test_snapshot_append_sink_exactly_once(spark, tmp_path, sf_smoke):
     stream3 = read_events_stream(spark, src)
     snapshot_append_sink(stream3, tbl, ck3, "other-app").awaitTermination()
     assert t.read().count() == 2 * n1
+
+
+def test_aggregate_refresh_sink_bronze_to_silver(spark, tmp_path):
+    """Streamed batches land in the source table and the grouped
+    materialization refreshes incrementally per batch; a full replay
+    changes neither layer, and the final aggregate equals a direct
+    recompute over everything streamed."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        aggregate_refresh_sink,
+    )
+
+    land = tmp_path / "in"
+    land.mkdir()
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 5)).alias("grp"),
+        (F.col("id") % 97).alias("cents"),
+    )
+    df.coalesce(1).write.parquet(str(land / "files"))
+    src_p, agg_p = str(tmp_path / "src"), str(tmp_path / "agg")
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "k long, grp string, cents long"
+        ).option("maxFilesPerTrigger", "1").parquet(str(land / "files"))
+        aggregate_refresh_sink(
+            stream, src_p, agg_p, str(tmp_path / ck), "b2s",
+            ["k"], ["grp"], ["cents"],
+        ).awaitTermination()
+
+    run("ck1")
+    agg = SnapshotTable(spark, agg_p)
+    got = {r.grp: (r.cnt, r.sum_cents) for r in agg.read().collect()}
+    want = {
+        r.grp: (r.cnt, r.s)
+        for r in df.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert got == want
+    v_src = SnapshotTable(spark, src_p).latest_version()
+    v_agg = agg.latest_version()
+
+    run("ck2")  # full replay, fresh checkpoint
+    assert SnapshotTable(spark, src_p).latest_version() == v_src
+    assert agg.latest_version() == v_agg
+    assert {r.grp: (r.cnt, r.sum_cents)
+            for r in agg.read().collect()} == want
