@@ -116,8 +116,6 @@ def test_search_reads_fewer_files_than_table(spark, tmp_path):
 def test_ann_index_sink_streaming_exactly_once(spark, tmp_path):
     """Streaming adds through the sink: replayed batches (same app,
     fresh checkpoint) are no-ops; the streamed vectors are served."""
-    import os
-
     from data_engineering_pipeline_spark.streaming.sinks import (
         ann_index_sink,
     )
