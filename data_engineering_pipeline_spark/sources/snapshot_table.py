@@ -582,6 +582,7 @@ class SnapshotTable:
         when_matched: str = "update",
         insert_not_matched: bool = True,
         output_files: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE INTO: copy-on-write merge that REWRITES ONLY THE FILES
         CONTAINING MATCHED KEYS — the property that makes merge usable
@@ -615,12 +616,14 @@ class SnapshotTable:
 
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
+        if txn is not None and self.txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()  # replayed merge: no-op
         head = self.latest_version()
         if head is None:
             if not insert_not_matched:
                 raise ValueError("merge into an empty table inserts "
                                  "nothing; nothing to commit")
-            return self.append(source)
+            return self.append(source, txn=txn)
 
         live = self._live_files()
         cur_schema = self._schema_at(head)
@@ -692,7 +695,7 @@ class SnapshotTable:
             return sorted(touched)
 
         return self._commit_loop("merge", adds, removes,
-                                 schema=out.schema)
+                                 schema=out.schema, txn=txn)
 
     def delete_where(self, condition: str,
                      output_files: int | None = None) -> int:

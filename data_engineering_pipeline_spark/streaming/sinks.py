@@ -415,3 +415,36 @@ def aggregate_refresh_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_merge_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    keys: list[str],
+) -> StreamingQuery:
+    """Exactly-once streaming MERGE into the snapshot table: each
+    micro-batch upserts by key through the file-pruned copy-on-write
+    merge, stamped with (app_id, batch_id) so a replayed batch is a
+    log-checked no-op — the third leg of the streaming-DML matrix
+    after snapshot_append_sink (blind rows) and upsert_sink (plain
+    parquet LWW). Serializable merge conflicts with a concurrent
+    writer raise into the stream (the query fails loud; rerun resumes
+    from the checkpoint), matching the table's documented isolation."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        t.merge_into(batch_df, keys, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

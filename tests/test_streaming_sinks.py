@@ -482,3 +482,48 @@ def test_aggregate_refresh_sink_bronze_to_silver(spark, tmp_path):
     assert agg.latest_version() == v_agg
     assert {r.grp: (r.cnt, r.sum_cents)
             for r in agg.read().collect()} == want
+
+
+def test_snapshot_merge_sink_exactly_once_upserts(spark, tmp_path):
+    """Streaming MERGE: two micro-batches upsert by key (update +
+    insert) through the table format; a full replay with a fresh
+    checkpoint finds its txns and changes neither version nor rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        snapshot_merge_sink,
+    )
+
+    land = tmp_path / "in"
+    land.mkdir()
+    spark.createDataFrame(
+        [(1, "a1"), (2, "b1")], "k long, val string"
+    ).coalesce(1).write.parquet(str(land / "files" / "b0"))
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c2")], "k long, val string"
+    ).coalesce(1).write.parquet(str(land / "files" / "b1"))
+    tbl = str(tmp_path / "tbl")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, val string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(land / "files"))
+        )
+        snapshot_merge_sink(
+            stream, tbl, str(tmp_path / ck), "merge-app", ["k"]
+        ).awaitTermination()
+
+    run("ck1")
+    t = SnapshotTable(spark, tbl)
+    rows = {r.k: r.val for r in t.read().collect()}
+    assert rows == {1: "a1", 2: "b2", 3: "c2"}
+    v = t.latest_version()
+
+    run("ck2")  # replay everything
+    assert t.latest_version() == v
+    assert {r.k: r.val for r in t.read().collect()} == rows
