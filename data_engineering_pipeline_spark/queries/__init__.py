@@ -19,65 +19,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # canaries. Everything stays registered and locally oracle-tested
 # (tests/test_oracle_queries.py) regardless of rotation.
 _CHECK_FIRST = [
-    # round 6: queries whose implementation or oracle changed this round
-    # — no prior driver row covers the new code, so they lead
-    "classify-quality",  # gains a frozen-coefficient DuckDB oracle (r6)
-    "curation-temperature-alpha",  # new: dyadic-exact arbitrary alpha
-    "op-snapshot-table",  # new: transactional table format + time travel
-    "op-snapshot-merge",  # new: file-pruned copy-on-write MERGE INTO
-    "op-snapshot-cdf",  # new: row-level change feed between versions
-    "curation-shards",  # new: deterministic global shuffle / shard export
-    "text-bigram-ppl",  # new: bigram-LM perplexity terciles
-    "op-snapshot-incr-agg",  # new: CDC-driven incremental aggregate
-    "op-sample-exact-k",  # new: exactly-k bottom-k-hash sample
-    "ann-index-table",  # new: persistent IVF index on the snapshot table
-    "op-graph-pagerank",  # new: exact quantized PageRank (co-purchase)
-    "op-sample-weighted-k",  # new: exact-k ES-weighted sample
-    "text-keyphrases",  # new: per-doc top-PMI collocations
-    "op-rfm-segments",  # new: recency/frequency/monetary quartiles
-    "op-ab-experiment",  # new: deterministic-assignment A/B readout
-    "op-snapshot-delete",  # new: predicate DELETE WHERE
-    "op-snapshot-update",  # new: predicate UPDATE ... SET
-    "dedup-semantic",  # hot-cell recursive split added
-    "dedup-embedding-lsh",  # hash-derived hyperplanes (no literal planes)
-    "ann-topk-lsh",  # shares the hyperplane derivation
-    # the 56 queries the r5 window did NOT sample (VERDICT r5 item #1):
-    # their driver evidence predates the last testdata regeneration, so
-    # round 6's window re-proves them on current data. TPC-H first.
-    "q1-pricing-summary",
-    "q3-shipping-priority",
-    "q4-order-priority",
-    "q5-local-supplier-volume",
-    "q6-forecast-revenue",
-    "q7-volume-shipping",
-    "q8-market-share",
-    "q9-product-profit",
-    "q10-returned-items",
-    "q13-order-distribution",
-    "q14-promo-revenue",
-    "q15-top-supplier",
-    "q16-supplier-part-count",
-    "q17-small-quantity",
-    "q18-large-orders",
-    "q19-disjunctive-revenue",
-    "q20-excess-supplier",
-    "q21-waiting-supplier",
-    "q22-idle-customers",
-    # text suite
-    "text-stats",
-    "text-quality",
-    "text-langid",
-    "text-filter",
-    "text-vocab",
-    "text-contamination",
-    # dedup / similarity not sampled in r5
-    "dedup-exact",
-    "dedup-jaccard-pairs",
-    "dedup-components",
-    "dedup-embedding-cosine",
-    "ann-topk-cosine",
-    # relational extras
-    "op-join-semi",
+    # round 7: queries whose implementation changed this round lead
+    # (merge-on-read mode, duplicate-source guard, centroid-versioned
+    # ANN index) — no prior driver row covers the new code paths
+    "op-snapshot-merge",  # dup-source guard + composite-key pruning
+    "op-snapshot-delete",  # MoR deletion-vector read path shared
+    "op-snapshot-update",
+    "op-snapshot-cdf",  # CDC across MoR commits
+    "ann-index-table",  # centroids now versioned with the snapshot
+    "curation-shards",  # expired-watermark fallback added
+    # VERDICT r6 item #1: the 72 driver-unsampled queries, oldest driver
+    # evidence first. op-scalar-suite was last driver-checked in r1, the
+    # relational extras in r2, multimodal-decode in r4 — driver evidence
+    # dies on testdata regen, so these lead the r7 window.
+    "op-scalar-suite",  # r1
+    "op-join-semi",  # r2 block starts
     "op-join-anti",
     "op-join-outer",
     "op-rollup",
@@ -100,21 +56,68 @@ _CHECK_FIRST = [
     "op-quality-report",
     "op-json-schema-extract",
     "op-histogram",
-    "op-scalar-suite",
-    "multimodal-decode",
     "events-window-sliding",
-    # round-5 canaries (driver-green in r5 on current testdata) — kept at
-    # the tail so any window overflow drops re-proven rows, not stale ones
+    "multimodal-decode",  # r4
+    # the r5 cohort: last driver row predates the r6 window; re-prove on
+    # current testdata. §2 core operators first, then suites.
+    "op-json-extract",
+    "op-validate-cast",
+    "op-project-alias",
+    "op-filter-notnull",
+    "op-join-inner-equi",
+    "op-agg-count",
+    "op-groupby-collect",
+    "op-window-lag1",
+    "op-sort-limit-topk",
     "parity-pipeline",
     "op-sink-upsert",
     "op-scan-ordered",
     "op-window-roll5",
+    "q2-min-cost-supplier",
+    "q11-important-stock",
+    "q12-ship-speed",
+    "dedup-simhash",
     "dedup-minhash-lsh",
     "dedup-keep-best",
+    "ann-topk-ivf",
+    "embedding-centroids",
+    "corpus-overlap",
+    "corpus-curation",
+    "text-repetition",
+    "text-head-coverage",
+    "text-crossentropy",
+    "text-tokenize-bpe",
+    "text-bm25",
+    "curation-chunk-dedup",
+    "curation-pii-redact",
+    "curation-weighted-sample",
+    "curation-temperature",
     "curation-pack",
     "curation-mixture",
     "events-sessionize",
-    "text-bm25",
+    "events-window-tumbling",
+    "events-funnel",
+    "events-cohort-retention",
+    "events-transitions",
+    "events-hourly-anomaly",
+    "events-asof-purchase",
+    "events-range-clicks",
+    "events-attribution",
+    "multimodal-frames",
+    "op-zorder-key",
+    "op-scd2-history",
+    # round-6 canaries (driver-green in r6 on current testdata) — kept at
+    # the tail so any window overflow drops re-proven rows, not stale ones
+    "q1-pricing-summary",
+    "q6-forecast-revenue",
+    "text-quality",
+    "dedup-exact",
+    "dedup-semantic",
+    "ann-topk-cosine",
+    "op-snapshot-table",
+    "op-snapshot-incr-agg",
+    "op-graph-pagerank",
+    "classify-quality",
 ]
 
 
