@@ -151,7 +151,18 @@ def refresh_shards(
         _write_state(head)
         return {"rebuilt": list(range(n_shards)), "applied": head}
 
-    cdc = src.changes(applied, head, keys)
+    try:
+        cdc = src.changes(applied, head, keys)
+    except ValueError:
+        # the applied watermark version was expired by a retention run
+        # (expire_versions/maintain): the change feed can no longer be
+        # resolved. Fall back to a FULL rebuild instead of wedging the
+        # consumer forever — correctness is unaffected (shard contents
+        # are pure functions of the snapshot), only this one refresh
+        # pays O(corpus).
+        export_shards(src.read(), out_dir, n_shards, keys, epoch=epoch)
+        _write_state(head)
+        return {"rebuilt": list(range(n_shards)), "applied": head}
     changed = sorted(
         r["shard"]
         for r in shuffle_shard(cdc, n_shards, *key_cols, epoch=epoch)

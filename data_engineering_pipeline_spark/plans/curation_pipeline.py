@@ -177,12 +177,20 @@ def curate_increment(
         new_docs, existing,
         state_mode="delta" if existing is not None else "full",
     )
-    sigs.write.mode("append").parquet(p["sigs"])
     drop_new = (
         pairs.select(F.greatest("id_a", "id_b").alias("doc_id"))
         .distinct()
     )
+    # WRITE ORDER IS THE CRASH CONTRACT: losers BEFORE sigs. The replay
+    # guard anti-joins new_docs against the signature store, so once a
+    # batch's sigs land its pairs are never recomputed — a crash after
+    # sigs but before losers would lose that batch's drop decisions
+    # forever. Losers-first is safe in both crash windows: losers
+    # without sigs -> replay recomputes the pairs and re-appends the
+    # same loser ids (deduped by the .distinct() on read); sigs without
+    # losers can no longer happen.
     drop_new.write.mode("append").parquet(p["losers"])
+    sigs.write.mode("append").parquet(p["sigs"])
     losers = spark.read.parquet(p["losers"]).distinct()
 
     if mode == "delta":

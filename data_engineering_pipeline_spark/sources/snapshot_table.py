@@ -583,6 +583,7 @@ class SnapshotTable:
         insert_not_matched: bool = True,
         output_files: int | None = None,
         txn: tuple[str, int] | None = None,
+        dedupe_source: str | None = None,
     ) -> int:
         """MERGE INTO: copy-on-write merge that REWRITES ONLY THE FILES
         CONTAINING MATCHED KEYS — the property that makes merge usable
@@ -611,26 +612,73 @@ class SnapshotTable:
         concurrent append could add a file containing a 'not matched'
         key, silently turning an insert into a duplicate, so unlike
         upsert/compact even pure adds conflict (Delta documents the
-        same merge/append conflict at its Serializable level)."""
+        same merge/append conflict at its Serializable level).
+
+        Duplicate keys in the SOURCE are rejected (same as Delta's
+        'multiple source rows matched'): with when_matched='update'
+        every duplicate copy would be appended — and duplicate
+        not-matched rows would all insert — silently breaking the key
+        uniqueness changes()/CDC and later merges rely on. Pass
+        `dedupe_source=<order col>` to instead keep, per key, the row
+        with the highest order value (ties broken deterministically by
+        the key columns' row) — the last-write-wins shape a streaming
+        micro-batch with in-batch updates needs."""
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed merge: no-op
+        if dedupe_source is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(dedupe_source), *[F.desc(k) for k in keys]
+            )
+            source = (
+                source.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         head = self.latest_version()
         if head is None:
             if not insert_not_matched:
                 raise ValueError("merge into an empty table inserts "
                                  "nothing; nothing to commit")
+            if dedupe_source is None:
+                dup = (
+                    source.groupBy(*keys)
+                    .count().filter(F.col("count") > 1).limit(1).count()
+                )
+                if dup:
+                    raise ValueError(
+                        "duplicate keys in merge source; dedup upstream "
+                        "or pass dedupe_source=<order col>"
+                    )
             return self.append(source, txn=txn)
 
         live = self._live_files()
         cur_schema = self._schema_at(head)
-        # 1. stat-prune candidates by the source's key range
+        # 1. stat-prune candidates by the source's key range; the same
+        # single pass also proves source-key uniqueness (count of
+        # fully-keyed rows vs distinct keys — null-keyed rows never
+        # equi-match and are exempt)
         rng = source.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+            F.count(
+                F.when(
+                    F.expr(" AND ".join(f"({k} IS NOT NULL)" for k in keys)),
+                    F.lit(1),
+                )
+            ).alias("n_keyed"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("n_dist"),
         ).collect()[0]
+        if dedupe_source is None and rng["n_keyed"] != rng["n_dist"]:
+            raise ValueError(
+                "duplicate keys in merge source "
+                f"({rng['n_keyed']} keyed rows, {rng['n_dist']} distinct "
+                "keys); dedup upstream or pass dedupe_source=<order col>"
+            )
         candidates = {
             name: e
             for name, e in live.items()
@@ -854,7 +902,8 @@ class SnapshotTable:
             .unionByName(emit(upd, "__n", "update_postimage"))
         )
 
-    def expire_versions(self, keep_last: int) -> dict:
+    def expire_versions(self, keep_last: int,
+                        grace_seconds: float = 3600.0) -> dict:
         """Retention: truncate time-travel history to the newest
         `keep_last` versions. Writes a checkpoint at the oldest
         retained version first (so its state — and all txn high-water
@@ -862,6 +911,14 @@ class SnapshotTable:
         manifests and every data file no retained version can reach.
         This is the policy decision vacuum() deliberately is not:
         time travel to an expired version now raises.
+
+        Files referenced by SOME manifest but no retained version are
+        time-travel garbage and delete immediately. Files referenced by
+        NO manifest at all may be an IN-FLIGHT writer's staged data
+        (_stage moves files into data/ BEFORE its manifest commits), so
+        those only delete once older than `grace_seconds` — the same
+        race Delta's VACUUM retention window exists for. Size the grace
+        above the longest plausible stage-to-commit gap.
 
         Scale: history growth is the one unbounded driver-side cost of
         the format (O(versions) manifests); a periodic
@@ -875,27 +932,29 @@ class SnapshotTable:
         cutoff = vs[-keep_last]  # oldest retained version
         self._write_checkpoint(cutoff)
         reachable = set(self._live_files(cutoff))
+        ever: set[str] = set()
         for v in vs:
+            adds = {a["path"] for a in self._read_manifest(v)["adds"]}
+            ever |= adds
             if v > cutoff:
-                reachable |= {
-                    a["path"] for a in self._read_manifest(v)["adds"]
-                }
+                reachable |= adds
+        for cv in self._checkpoints():
+            with open(self._checkpoint_path(cv)) as fh:
+                ever |= set(json.load(fh)["live"])
         expired = [v for v in vs if v < cutoff]
         for v in expired:
             os.remove(_manifest_path(self.path, v))
             ck = self._checkpoint_path(v)
             if os.path.exists(ck):
                 os.remove(ck)
-        data = os.path.join(self.path, "data")
-        deleted = []
-        for f in os.listdir(data) if os.path.isdir(data) else []:
-            if f.endswith(".parquet") and f not in reachable:
-                os.remove(os.path.join(data, f))
-                deleted.append(f)
+        deleted = self._sweep_data(
+            keep=reachable, known=ever, grace_seconds=grace_seconds
+        )
         return {"expired": expired, "deleted_files": sorted(deleted)}
 
     def maintain(self, max_files: int = 64, keep_versions: int = 30,
-                 cluster_by: list[str] | None = None) -> dict:
+                 cluster_by: list[str] | None = None,
+                 grace_seconds: float = 3600.0) -> dict:
         """One-call housekeeping — the routine a scheduler runs
         nightly: compact when the live file count exceeds `max_files`
         (optionally Z-ordering via `cluster_by`), expire history past
@@ -907,17 +966,24 @@ class SnapshotTable:
         if len(self._live_files()) > max_files:
             self.compact(target_files=max_files, cluster_by=cluster_by)
             out["compacted"] = True
-        res = self.expire_versions(keep_versions)
+        res = self.expire_versions(
+            keep_versions, grace_seconds=grace_seconds
+        )
         out["expired"] = res["expired"]
-        out["vacuumed"] = self.vacuum()
+        out["vacuumed"] = self.vacuum(grace_seconds=grace_seconds)
         return out
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO version in the log
-        (crash leftovers from writers that died before commit). Files
-        removed by a later version are kept — they back time travel;
-        truncating history would be a retention policy, not vacuum
-        (that is expire_versions)."""
+        (crash leftovers from writers that died before commit), but
+        only once they are older than `grace_seconds`: an unreferenced
+        file younger than that may belong to an IN-FLIGHT writer that
+        staged it and has not committed its manifest yet — deleting it
+        would corrupt that writer's imminent commit (its manifest would
+        reference a missing file). Files removed by a later version are
+        kept regardless — they back time travel; truncating history
+        would be a retention policy, not vacuum (that is
+        expire_versions)."""
         ever: set[str] = set()
         for v in self._versions():
             for a in self._read_manifest(v)["adds"]:
@@ -927,12 +993,34 @@ class SnapshotTable:
         for cv in self._checkpoints():
             with open(self._checkpoint_path(cv)) as fh:
                 ever |= set(json.load(fh)["live"])
+        return self._sweep_data(
+            keep=ever, known=ever, grace_seconds=grace_seconds
+        )
+
+    def _sweep_data(self, keep: set[str], known: set[str],
+                    grace_seconds: float) -> list[str]:
+        """Delete data files not in `keep`. Files also absent from
+        `known` (referenced by no manifest/checkpoint at all) are
+        possibly mid-stage for an uncommitted writer: those survive
+        until older than `grace_seconds` (mtime)."""
+        import time
+
         data = os.path.join(self.path, "data")
         dropped = []
+        now = time.time()
         for f in os.listdir(data) if os.path.isdir(data) else []:
-            if f.endswith(".parquet") and f not in ever:
-                os.remove(os.path.join(data, f))
-                dropped.append(f)
+            if not f.endswith(".parquet") or f in keep:
+                continue
+            p = os.path.join(data, f)
+            if f not in known:
+                try:
+                    age = now - os.path.getmtime(p)
+                except FileNotFoundError:
+                    continue  # a concurrent sweep got it first
+                if age < grace_seconds:
+                    continue  # possibly an in-flight writer's staging
+            os.remove(p)
+            dropped.append(f)
         return dropped
 
     # ---------------- read operations ----------------
@@ -1084,7 +1172,15 @@ def refresh_aggregate(
     if applied < 0:
         fresh = agg_of(src.read())
     else:
-        cdc = src.changes(applied, head, keys)
+        try:
+            cdc = src.changes(applied, head, keys)
+        except ValueError:
+            # the applied watermark version was expired by retention:
+            # the feed is gone, but the aggregate is still exactly
+            # recomputable from the head snapshot. Full recompute once
+            # instead of wedging every future refresh (the overwrite
+            # below re-stamps the txn watermark at head).
+            return agg.overwrite(agg_of(src.read()), txn=(app, head))
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit(1),

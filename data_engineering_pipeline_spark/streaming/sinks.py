@@ -423,6 +423,7 @@ def snapshot_merge_sink(
     checkpoint: str,
     app_id: str,
     keys: list[str],
+    dedupe_source: str | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming MERGE into the snapshot table: each
     micro-batch upserts by key through the file-pruned copy-on-write
@@ -431,7 +432,12 @@ def snapshot_merge_sink(
     after snapshot_append_sink (blind rows) and upsert_sink (plain
     parquet LWW). Serializable merge conflicts with a concurrent
     writer raise into the stream (the query fails loud; rerun resumes
-    from the checkpoint), matching the table's documented isolation."""
+    from the checkpoint), matching the table's documented isolation.
+
+    A micro-batch that updates the same key twice would be rejected by
+    the merge's duplicate-source guard; pass `dedupe_source=<order
+    col>` (event time, offset) to collapse in-batch updates
+    last-write-wins before the merge."""
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
     )
@@ -440,7 +446,8 @@ def snapshot_merge_sink(
         if batch_df.isEmpty():
             return
         t = SnapshotTable(batch_df.sparkSession, path)
-        t.merge_into(batch_df, keys, txn=(app_id, batch_id))
+        t.merge_into(batch_df, keys, txn=(app_id, batch_id),
+                     dedupe_source=dedupe_source)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -182,3 +182,59 @@ def test_delta_mode_merges_and_retracts(spark, tmp_path):
         spark, _mk_docs(spark, b2), work, batch_id=1, mode="delta"
     )
     assert cur.read().count() == n and s2["shards_rebuilt"] == 0
+
+
+def test_crash_between_side_stores_converges(spark, tmp_path, monkeypatch):
+    """ADVICE r6: a crash between the two side-store appends must not
+    permanently lose a batch's near-dup drop decisions. The write
+    order is losers THEN sigs — if the writer dies after losers land
+    but before sigs do, the replay (new_docs still absent from the
+    signature store) recomputes the pairs and converges to the
+    one-shot result. Simulated by making the sigs append raise."""
+    import data_engineering_pipeline_spark.plans.curation_pipeline as cp
+
+    b1 = _corpus(0, 40)
+    b2 = _corpus(100, 20) + [
+        # near-duplicate of doc 7 — the drop decision the crash must
+        # not lose
+        _doc(990, "de", b1[7][2].replace("ordinary", "usual")),
+    ]
+    work = str(tmp_path / "w")
+    curate_batch(spark, _mk_docs(spark, b1), work)
+
+    real = cp.incremental_minhash_dedup
+
+    class _CrashOnWrite:
+        """DataFrame proxy whose .write raises — the crash point."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            if name == "write":
+                raise RuntimeError("simulated crash before sigs append")
+            return getattr(self._df, name)
+
+    def crashing(new_docs, existing, *a, **kw):
+        sigs, pairs = real(new_docs, existing, *a, **kw)
+        return _CrashOnWrite(sigs), pairs
+
+    monkeypatch.setattr(cp, "incremental_minhash_dedup", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_increment(spark, _mk_docs(spark, b2), work, batch_id=1)
+    monkeypatch.setattr(cp, "incremental_minhash_dedup", real)
+
+    # losers landed, sigs did not — the exact crash window; the replay
+    # must still drop doc 990 and converge to the one-shot pipeline
+    curate_increment(spark, _mk_docs(spark, b2), work, batch_id=1)
+    got = {r.doc_id for r in
+           SnapshotTable(spark, f"{work}/curated").read().collect()}
+    assert 990 not in got
+
+    one = str(tmp_path / "one")
+    curate_batch(spark, _mk_docs(spark, b1 + b2), one)
+    want = {tuple(r) for r in
+            SnapshotTable(spark, f"{one}/curated").read().collect()}
+    have = {tuple(r) for r in
+            SnapshotTable(spark, f"{work}/curated").read().collect()}
+    assert have == want

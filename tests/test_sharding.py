@@ -193,3 +193,39 @@ def test_recover_shards_crash_states(spark, tmp_path):
     res = refresh_shards(src, out, 4, ["doc_id"])
     assert res["rebuilt"]
     assert spark.read.parquet(out).count() == 200
+
+
+def test_refresh_shards_survives_expired_watermark(spark, tmp_path):
+    """Retention can expire the version the applied watermark points
+    at; the refresh must fall back to a full rebuild instead of
+    raising on every run forever (the wedge ADVICE r6 flagged). The
+    rebuilt export must equal a from-scratch export of the head."""
+    from data_engineering_pipeline_spark.operators.sharding import (
+        refresh_shards,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src_exp"))
+    src.append(_docs(spark, 100))
+    out = str(tmp_path / "shards_exp")
+    refresh_shards(src, out, 4, ["doc_id"])
+
+    for i in range(3):
+        src.append(
+            spark.createDataFrame(
+                [(1000 + i, f"late{i}")], "doc_id long, text string"
+            )
+        )
+    src.expire_versions(keep_last=1, grace_seconds=0.0)
+
+    res = refresh_shards(src, out, 4, ["doc_id"])
+    assert res["rebuilt"] == [0, 1, 2, 3]  # full rebuild, not a wedge
+    fresh = str(tmp_path / "fresh_exp")
+    export_shards(src.read(), fresh, 4, ["doc_id"])
+    a = spark.read.parquet(out).orderBy("doc_id").collect()
+    b = spark.read.parquet(fresh).orderBy("doc_id").collect()
+    assert a == b
+    # watermark re-stamped at head: the next refresh is a clean no-op
+    assert refresh_shards(src, out, 4, ["doc_id"])["rebuilt"] == []

@@ -135,11 +135,14 @@ def test_uncommitted_files_invisible_and_vacuumed(spark, tmp_path):
     # simulate a writer that died before commit: stage without manifest
     t._stage(_df(spark, 900, 950, "ghost"))
     assert t.read().count() == 2          # ghost rows invisible
-    dropped = t.vacuum()
+    # default grace window: a FRESH unreferenced file may be an
+    # in-flight writer's staged data — vacuum must leave it alone
+    assert t.vacuum() == []
+    dropped = t.vacuum(grace_seconds=0.0)
     assert dropped and all(d.endswith(".parquet") for d in dropped)
     assert t.read(version=0).count() == 5  # time travel intact
     assert t.read().count() == 2
-    assert t.vacuum() == []                # idempotent
+    assert t.vacuum(grace_seconds=0.0) == []  # idempotent
 
 
 def test_compact_preserves_contents_and_shrinks_files(spark, tmp_path):
@@ -626,7 +629,7 @@ def test_maintain_housekeeping(spark, tmp_path):
     ghosts = set(os.listdir(data_dir)) - referenced
     assert ghosts and len(t._live_files()) >= 6
 
-    out = t.maintain(max_files=2, keep_versions=1)
+    out = t.maintain(max_files=2, keep_versions=1, grace_seconds=0.0)
     assert out["compacted"] is True
     assert out["expired"]
     # ghost gone; with keep_versions=1 only the compacted head's
@@ -637,7 +640,7 @@ def test_maintain_housekeeping(spark, tmp_path):
     assert len(t.read().inputFiles()) <= 2
     assert sorted(r.k for r in t.read().collect()) == list(range(6))
     # second run: already healthy
-    out2 = t.maintain(max_files=2, keep_versions=1)
+    out2 = t.maintain(max_files=2, keep_versions=1, grace_seconds=0.0)
     assert out2 == {"compacted": False, "expired": [], "vacuumed": []}
 
 
@@ -733,3 +736,102 @@ def test_update_where_file_confined(spark, tmp_path):
         t.update_where("k < 3", {"nope": "1"})
     # no-match: no new version
     assert t.update_where("k > 9999", {"val": "'x'"}) == v
+
+
+def test_vacuum_grace_window_spares_inflight_staging(spark, tmp_path):
+    """An unreferenced data file YOUNGER than the grace window may be
+    an in-flight writer mid-stage (files land in data/ before the
+    manifest commits): default vacuum AND expire_versions must leave
+    it alone; once its mtime ages past the grace it is garbage. Files
+    orphaned by retention (referenced by an expired manifest) delete
+    immediately — they cannot be in-flight."""
+    path = str(tmp_path / "grace")
+    t = SnapshotTable(spark, path)
+    for i in range(3):
+        t.append(_kv(spark, [(i, f"b{i}")]))
+    t.overwrite(_kv(spark, [(99, "head")]))
+    # an in-flight writer: staged, manifest not yet committed
+    t._stage(_kv(spark, [(500, "inflight")]))
+    data_dir = os.path.join(path, "data")
+    referenced = set()
+    for v in t._versions():
+        referenced |= {a["path"] for a in t._read_manifest(v)["adds"]}
+    inflight = set(os.listdir(data_dir)) - referenced
+    assert inflight
+
+    res = t.expire_versions(keep_last=1)  # default grace
+    # retention garbage (the pre-overwrite files) went...
+    assert res["deleted_files"]
+    # ...but the fresh in-flight files survived both sweeps
+    assert inflight <= set(os.listdir(data_dir))
+    assert t.vacuum() == []
+    # the in-flight writer can still commit a manifest over its files
+    # (simulate: age the files instead, as if the writer died long ago)
+    for f in inflight:
+        os.utime(os.path.join(data_dir, f), (0, 0))
+    assert set(t.vacuum(grace_seconds=3600.0)) == inflight
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    """Duplicate source keys would silently multiply rows under
+    when_matched='update' and double-insert under not-matched — the
+    merge must refuse them (Delta's 'multiple source rows matched'),
+    on both the empty-table fast path and the regular path. NULL-keyed
+    rows never equi-match and are exempt from the check."""
+    t = SnapshotTable(spark, str(tmp_path / "dup1"))
+    dup = _kv(spark, [(1, "a"), (1, "b"), (2, "c")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(dup, ["k"])  # empty-table path
+    t.append(_kv(spark, [(1, "old"), (9, "old")]))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(dup, ["k"])  # regular path
+    # null keys do not trip the guard
+    nulls = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (3, "x")], "k long, val string"
+    )
+    t.merge_into(nulls, ["k"])
+    assert t.read().filter("k IS NULL").count() == 2
+
+
+def test_merge_dedupe_source_last_write_wins(spark, tmp_path):
+    """dedupe_source=<order col> collapses in-batch updates to the
+    highest order value per key BEFORE the merge — the streaming
+    micro-batch shape — and the result has unique keys."""
+    t = SnapshotTable(spark, str(tmp_path / "dup2"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, "old"), (2, 0, "old")], "k long, ord long, val string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 1, "mid"), (1, 2, "new"), (3, 1, "ins-a"), (3, 2, "ins-b")],
+        "k long, ord long, val string",
+    )
+    t.merge_into(src, ["k"], dedupe_source="ord")
+    rows = {r.k: (r.ord, r.val) for r in t.read().collect()}
+    assert rows == {1: (2, "new"), 2: (0, "old"), 3: (2, "ins-b")}
+    # uniqueness preserved -> CDC stays well-defined
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_refresh_aggregate_survives_expired_watermark(spark, tmp_path):
+    """Retention can expire the version a refresh watermark points at;
+    the refresh must fall back to a full recompute (and re-stamp the
+    watermark) instead of raising forever."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_aggregate,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "exp_src"))
+    agg = SnapshotTable(spark, str(tmp_path / "exp_agg"))
+    src.append(_kv(spark, [(1, "a"), (2, "a"), (3, "b")]))
+    refresh_aggregate(src, agg, ["k"], ["val"], [])
+    # advance source far enough that retention expires the watermark
+    for i in range(10, 14):
+        src.append(_kv(spark, [(i, "b")]))
+    src.expire_versions(keep_last=1, grace_seconds=0.0)
+    refresh_aggregate(src, agg, ["k"], ["val"], [])
+    got = {r.val: r.cnt for r in agg.read().collect()}
+    assert got == {"a": 2, "b": 5}
+    # watermark re-stamped: the next refresh is a clean no-op
+    assert refresh_aggregate(src, agg, ["k"], ["val"], []) is None
