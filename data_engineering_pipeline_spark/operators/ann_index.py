@@ -17,21 +17,31 @@ Why this shape at 100 TB:
   search touching cells {3, 7} opens only the files whose [min, max]
   cell range intersects — the same IO discipline a dedicated vector
   store's posting lists give, expressed with parquet + manifests.
-- Centroids are the only side state (k x dim floats, a JSON sidecar
-  written tmp+rename): tiny, immutable per build, re-derived only by
-  a full rebuild.
+- Centroids are the only side state (k x dim floats): each build
+  writes them to a CONTENT-ADDRESSED sidecar (_index/centroids-<sha>
+  .json, immutable) and commits the sidecar's name as a table
+  PROPERTY in the same atomic manifest as the assignments — so a
+  reader resolving version V always loads the centroids that V's
+  assignments were computed against. There is no window where new
+  assignments pair with old centroids (the race ADVICE r6 flagged):
+  a crash between sidecar write and commit leaves only an orphan
+  sidecar; a concurrent reader keeps resolving the old commit and
+  its old property.
 
 Incremental adds assign to the FROZEN centroids — standard IVF
 practice: cells drift as the distribution moves, recall decays
 gracefully, and a periodic rebuild() recenters; the imbalance metric
-(max cell share) tells the scheduler when.
+(max cell share) tells the scheduler when. An add racing a REBUILD
+conflicts (SnapshotConflict) instead of committing rows assigned to
+superseded centroids: the commit loop re-checks the centroid
+property against the one the batch was assigned with.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -43,25 +53,51 @@ from data_engineering_pipeline_spark.operators.similarity import (
     train_ivf_centroids,
 )
 from data_engineering_pipeline_spark.sources.snapshot_table import (
+    SnapshotConflict,
     SnapshotTable,
 )
 
-
-def _centroids_path(path: str) -> str:
-    return os.path.join(path, "_index", "centroids.json")
+CENTROIDS_PROP = "ann.centroids"
 
 
-def _write_centroids(path: str, cents: list[list[float]]) -> None:
-    d = os.path.dirname(_centroids_path(path))
+def _sidecar_dir(path: str) -> str:
+    return os.path.join(path, "_index")
+
+
+def _write_centroids(path: str, cents: list[list[float]]) -> str:
+    """Write the centroid sidecar content-addressed and return its
+    name. Immutable by construction: the same centroids always map to
+    the same file, so a rewrite (or a crashed writer's replay) is a
+    byte-identical no-op and concurrent readers can never observe a
+    sidecar changing under a name they already resolved."""
+    blob = json.dumps(cents, sort_keys=True).encode()
+    name = f"centroids-{hashlib.sha256(blob).hexdigest()[:16]}.json"
+    d = _sidecar_dir(path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".cent-{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(cents, fh)
-    os.rename(tmp, _centroids_path(path))
+    dst = os.path.join(d, name)
+    if not os.path.exists(dst):
+        tmp = dst + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, dst)
+    return name
 
 
-def load_centroids(path: str) -> list[list[float]]:
-    with open(_centroids_path(path)) as fh:
+def load_centroids(path: str, version: int | None = None,
+                   ) -> list[list[float]]:
+    """Centroids AS OF a committed version (head by default): resolve
+    the sidecar name from the table property committed with the
+    assignments, then read that immutable sidecar. Falls back to the
+    legacy un-versioned centroids.json for pre-property indexes."""
+    t = SnapshotTable(None, path)
+    name = t.properties_at(version).get(CENTROIDS_PROP)
+    if name is None:
+        legacy = os.path.join(_sidecar_dir(path), "centroids.json")
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                return json.load(fh)
+        return []
+    with open(os.path.join(_sidecar_dir(path), name)) as fh:
         return json.load(fh)
 
 
@@ -94,7 +130,10 @@ def build_ann_index(
     """Build (or atomically REPLACE) the index: train centroids on the
     corpus (or use a caller-supplied deterministic `cell_of` quantizer
     — the oracle-gradeable config), assign every vector, and overwrite
-    the snapshot table with the cell-clustered layout."""
+    the snapshot table with the cell-clustered layout. The centroid
+    sidecar is written FIRST (content-addressed, invisible until
+    referenced) and its name rides the same manifest as the
+    assignments, so assignments and centroids swap as one atom."""
     t = SnapshotTable(spark, path, stat_cols=["cell"])
     v = _as_double(F.col(vec_col))
     if cell_of is not None:
@@ -110,8 +149,10 @@ def build_ann_index(
         v.alias("embedding"),
         cell.alias("cell"),
     )
-    t.overwrite(_clustered(rows, n_cells))
-    _write_centroids(path, cents)
+    name = _write_centroids(path, cents)
+    t.overwrite(
+        _clustered(rows, n_cells), properties={CENTROIDS_PROP: name}
+    )
     return t
 
 
@@ -127,12 +168,18 @@ def ann_index_add(
     """Incremental add: assign to the FROZEN centroids (or the same
     deterministic quantizer) and append cell-clustered files. Rides
     the table's txn protocol, so a streaming foreachBatch add is
-    exactly-once."""
+    exactly-once. A concurrent REBUILD that swaps the centroids makes
+    this add's assignments stale — the commit loop re-checks the
+    centroid property each retry and raises SnapshotConflict so the
+    caller re-assigns against the new centroids, instead of silently
+    committing rows the new probe would map to wrong cells."""
     t = SnapshotTable(spark, path, stat_cols=["cell"])
     if cell_of is not None:
         cell = cell_of(F.col(vec_col))
         n_cells = 32
+        assigned_with = None
     else:
+        assigned_with = t.properties_at().get(CENTROIDS_PROP)
         cents = load_centroids(path)
         cell = _assign_cell(F.col(vec_col), cents)
         n_cells = len(cents)
@@ -141,7 +188,23 @@ def ann_index_add(
         _as_double(F.col(vec_col)).alias("embedding"),
         cell.alias("cell"),
     )
-    return t.append(_clustered(rows, n_cells), txn=txn)
+    clustered = _clustered(rows, n_cells)
+    if assigned_with is None:
+        return t.append(clustered, txn=txn)
+    if txn is not None and t.txn_version(txn[0]) >= txn[1]:
+        return t.latest_version()  # replayed add: no-op
+    adds = t._stage(clustered)
+
+    def removes(live: dict) -> list[str]:
+        if t.properties_at().get(CENTROIDS_PROP) != assigned_with:
+            raise SnapshotConflict(
+                "index rebuilt while this add was assigning; re-run "
+                "against the new centroids"
+            )
+        return []
+
+    return t._commit_loop("append", adds, removes,
+                          schema=clustered.schema, txn=txn)
 
 
 def ann_index_search(
@@ -163,7 +226,15 @@ def ann_index_search(
 
     Returns (query_id, corpus_id, cos_sim, rank<=k), cosine rounded
     4dp with corpus_id tie-break (the engine-independent ordering the
-    oracle reproduces)."""
+    oracle reproduces).
+
+    Consistency: the search resolves ONE table version up front and
+    uses that version's centroids AND files — a rebuild committing
+    mid-search cannot pair new assignments with old centroids (or
+    vice versa); the search just serves the slightly older snapshot,
+    which is the snapshot-isolation answer."""
+    t = SnapshotTable(spark, path, stat_cols=["cell"])
+    version = t.latest_version()
     if cell_of is not None:
         probes = queries.select(
             F.col(query_id),
@@ -171,7 +242,7 @@ def ann_index_search(
             cell_of(F.col(vec_col)).alias("cell"),
         )
     else:
-        cents = load_centroids(path)
+        cents = load_centroids(path, version=version)
         scores = _cell_scores(F.col(vec_col), cents)
         ranked = F.slice(
             F.reverse(F.array_sort(scores)), 1, n_probe
@@ -183,7 +254,6 @@ def ann_index_search(
                 F.transform(ranked, lambda s: s["idx"].cast("long"))
             ).alias("cell"),
         )
-    t = SnapshotTable(spark, path, stat_cols=["cell"])
     # one driver-side pass collects the DISTINCT probed cells (bounded
     # by n_cells, tiny); the point-set prune then keeps only files
     # whose cell range can hold one of them — a min..max range would
@@ -192,7 +262,7 @@ def ann_index_search(
         r["cell"]
         for r in probes.select("cell").distinct().collect()
     ]
-    idx = t.read(prune=[("cell", cells)])
+    idx = t.read(version=version, prune=[("cell", cells)])
     # a CONCENTRATED query batch prunes down to very few files, and one
     # parquet file is one scan task — the whole candidate join would
     # run on one core. Re-spread the (small, pruned) index side so the

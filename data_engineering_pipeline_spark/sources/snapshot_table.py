@@ -256,6 +256,7 @@ class SnapshotTable:
             "version": version,
             "live": self._live_files(version),
             "txns": self._txns_through(version),
+            "props": self.properties_at(version),
         }
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
         with open(tmp, "w") as fh:
@@ -339,7 +340,8 @@ class SnapshotTable:
     def _commit_loop(self, op: str, adds: list[dict],
                      removes_fn, schema=None,
                      replace_schema: bool = False,
-                     txn: tuple[str, int] | None = None) -> int:
+                     txn: tuple[str, int] | None = None,
+                     properties: dict | None = None) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -363,6 +365,8 @@ class SnapshotTable:
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
+            if properties is not None:
+                manifest["properties"] = properties
             if schema is not None:
                 eff = schema
                 if not replace_schema and head is not None:
@@ -375,7 +379,8 @@ class SnapshotTable:
             # lost the race: loop re-reads the new head and re-validates
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None,
-               expect: list[Expectation] | None = None) -> int:
+               expect: list[Expectation] | None = None,
+               properties: dict | None = None) -> int:
         """Blind append: stages data, commits against whatever head
         wins. Never conflicts (removes nothing).
 
@@ -415,6 +420,8 @@ class SnapshotTable:
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
+            if properties is not None:
+                manifest["properties"] = properties
             if report is not None:
                 manifest["expectations"] = report
             if self._try_commit(next_v, manifest):
@@ -431,6 +438,38 @@ class SnapshotTable:
         if head is None:
             return -1
         return self._txns_through(head).get(app_id, -1)
+
+    def properties_at(self, version: int | None = None) -> dict:
+        """Table PROPERTIES as of `version`: free-form key->value
+        metadata committed atomically WITH a write (append/overwrite
+        `properties=`), newest value per key wins. This is how side
+        state that must stay consistent with the data (e.g. the ANN
+        index's centroid sidecar name) rides the snapshot: a reader
+        that resolves version V gets exactly the properties committed
+        at or before V — never a newer sidecar paired with older
+        files. Seeded from checkpoints, so properties survive
+        retention like txn marks do."""
+        head = self.latest_version()
+        if head is None:
+            return {}
+        if version is None:
+            version = head
+        if version > head or version < 0:
+            raise ValueError(f"version {version} not in log (head {head})")
+        props: dict = {}
+        start = 0
+        for cv in reversed(self._checkpoints()):
+            if cv <= version:
+                with open(self._checkpoint_path(cv)) as fh:
+                    props = dict(json.load(fh).get("props", {}))
+                start = cv + 1
+                break
+        for v in self._versions():
+            if start <= v <= version:
+                p = self._read_manifest(v).get("properties")
+                if p:
+                    props.update(p)
+        return props
 
     def _txns_through(self, version: int) -> dict[str, int]:
         """Per-app txn high-water marks over versions 0..version,
@@ -451,7 +490,8 @@ class SnapshotTable:
         return txns
 
     def overwrite(self, df: DataFrame,
-                  txn: tuple[str, int] | None = None) -> int:
+                  txn: tuple[str, int] | None = None,
+                  properties: dict | None = None) -> int:
         """Replace the table's full contents atomically. Readers see
         the old snapshot until the commit instant, then the new one.
         `txn` carries the same idempotence protocol as append — a
@@ -464,6 +504,7 @@ class SnapshotTable:
         return self._commit_loop(
             "overwrite", adds, lambda live: sorted(live),
             schema=df.schema, replace_schema=True, txn=txn,
+            properties=properties,
         )
 
     def upsert(self, df: DataFrame, keys: list[str], order_col: str) -> int:

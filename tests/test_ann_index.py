@@ -153,3 +153,89 @@ def test_ann_index_sink_streaming_exactly_once(spark, tmp_path):
     )
     got = ann_index_search(spark, q, path, k=1, n_probe=1)
     assert all(r.corpus_id == r.query_id + 50_000 for r in got.collect())
+
+
+def test_centroids_versioned_with_snapshot(spark, tmp_path):
+    """ADVICE r6: assignments and centroids must swap as one atom. A
+    rebuild changes both in a single commit; load_centroids(version=)
+    resolves the centroids each version's assignments were computed
+    with, and a search issued against the pre-rebuild version stays
+    internally consistent."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    rows = _clustered_vecs(600)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "vc")
+    build_ann_index(spark, df, path, n_cells=4, seed=7)
+    t = SnapshotTable(spark, path)
+    v0 = t.latest_version()
+    c0 = load_centroids(path, version=v0)
+    assert len(c0) == 4
+
+    # rebuild with different geometry: one commit swaps both
+    build_ann_index(spark, df, path, n_cells=8, seed=11)
+    v1 = t.latest_version()
+    assert v1 > v0
+    c1 = load_centroids(path)  # head
+    assert len(c1) == 8 and c1 != c0
+    # time travel: the old version still pairs with the OLD centroids
+    assert load_centroids(path, version=v0) == c0
+    # and both sidecars exist immutably (content-addressed)
+    assert t.properties_at(v0) != t.properties_at(v1)
+
+    # search after the rebuild serves the new index coherently: every
+    # query finds a same-blob neighbour (self excluded; blob noise is
+    # tiny, so the nearest other member is still near-parallel)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ann_index_search(spark, q, path, k=1, n_probe=2).collect()
+    assert len(hits) == 5
+    assert all(r.cos_sim > 0.95 for r in hits)
+
+
+def test_add_conflicts_with_concurrent_rebuild(spark, tmp_path):
+    """An incremental add whose assignment centroids were superseded
+    by a rebuild mid-flight must raise SnapshotConflict, never commit
+    rows the new probe would map to wrong cells."""
+    import pytest
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotConflict,
+        SnapshotTable,
+    )
+
+    rows = _clustered_vecs(400)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "cr")
+    build_ann_index(spark, df, path, n_cells=4, seed=7)
+
+    t = SnapshotTable(spark, path, stat_cols=["cell"])
+    orig_stage = SnapshotTable._stage
+    fired = {}
+
+    def hooked(self, frame):
+        staged = orig_stage(self, frame)
+        if not fired and os.path.abspath(self.path) == os.path.abspath(path):
+            fired["x"] = True
+            # a rebuild lands between the add's staging and its commit
+            build_ann_index(spark, df, path, n_cells=8, seed=11)
+        return staged
+
+    import os
+
+    SnapshotTable._stage = hooked
+    try:
+        new = df.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+        )
+        with pytest.raises(SnapshotConflict, match="rebuilt"):
+            ann_index_add(spark, new, path)
+    finally:
+        SnapshotTable._stage = orig_stage
+    # the conflicted add left nothing visible; the re-run succeeds
+    assert index_stats(spark, path)["rows"] == 400
+    ann_index_add(spark, new, path)
+    assert index_stats(spark, path)["rows"] == 403
