@@ -1446,3 +1446,157 @@ def op_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-merge-mor",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+    ),
+    src AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    ),
+    kept AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END, 2) AS price
+    FROM kept ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + DELETE + UPDATE in MERGE-ON-READ mode
+    (sources/snapshot_table.py mode='mor'): the same relational
+    semantics as the copy-on-write twins, but no data file is ever
+    rewritten — matched/deleted rows are masked by (file, position)
+    deletion vectors applied at read time, and postimages/inserts
+    append. Three stacked DV commits on the same files exercise DV
+    accumulation; the oracle recomputes the final state relationally,
+    so a mask hitting the wrong position, a survivor double-read, or
+    a postimage lost under a later DV all break the hash. Doubling a
+    2-dp double is exact, so round(.,2) is cross-engine safe."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_mor_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge_into(src, ["o_orderkey"], when_matched="update", mode="mor")
+    t.delete_where("o_orderkey % 5 = 0", mode="mor")
+    t.update_where(
+        "o_orderkey % 3 = 0", {"o_totalprice": "o_totalprice * 2"},
+        mode="mor",
+    )
+    return (
+        t.read()
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "op-snapshot-cdf-mor",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+    ),
+    src AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    ),
+    kept AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM kept
+    )
+    SELECT f.o_orderkey AS o_orderkey, 'insert' AS _change_type,
+           round(f.o_totalprice, 2) AS price
+    FROM final f
+    WHERE f.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+    UNION ALL
+    SELECT t.o_orderkey, 'delete', round(t.o_totalprice, 2)
+    FROM tgt t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM final)
+    UNION ALL
+    SELECT t.o_orderkey, 'update_preimage', round(t.o_totalprice, 2)
+    FROM tgt t JOIN final f USING (o_orderkey)
+    WHERE t.o_totalprice <> f.o_totalprice
+    UNION ALL
+    SELECT f.o_orderkey, 'update_postimage', round(f.o_totalprice, 2)
+    FROM tgt t JOIN final f USING (o_orderkey)
+    WHERE t.o_totalprice <> f.o_totalprice
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def op_snapshot_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed ACROSS merge-on-read commits
+    (sources/snapshot_table.py changes over dv_adds): version 0 = 'F'
+    orders, then a MoR merge, a MoR delete, and a MoR update stack
+    three deletion-vector commits; the net CDC from v0 to head must be
+    exactly the inserts / deletes / update pairs the oracle derives
+    from the final relational state — rows whose file gained a DV but
+    which themselves survived unchanged must cancel in the struct
+    compare. Exercises the dv-diff path where the file SET is
+    unchanged between versions but effective contents differ."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_cdfm_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    v0 = t.latest_version()
+    src = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2)
+                .alias("o_totalprice"))
+    )
+    t.merge_into(src, ["o_orderkey"], when_matched="update", mode="mor")
+    t.delete_where("o_orderkey % 5 = 0", mode="mor")
+    t.update_where(
+        "o_orderkey % 3 = 0", {"o_totalprice": "o_totalprice * 2"},
+        mode="mor",
+    )
+    return (
+        t.changes(v0, t.latest_version(), ["o_orderkey"])
+        .select(
+            "o_orderkey",
+            "_change_type",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey", "_change_type")
+    )

@@ -296,6 +296,16 @@ class SnapshotTable:
                 live.pop(r, None)
             for a in m["adds"]:
                 live[a["path"]] = a
+            # merge-on-read: a deletion-vector commit attaches dv files
+            # to still-live targets; a target's DVs die with it (the
+            # pop above) — compaction implicitly retires them
+            for d in m.get("dv_adds", []):
+                for tgt in d["targets"]:
+                    e = live.get(tgt)
+                    if e is not None:
+                        live[tgt] = {
+                            **e, "dvs": [*e.get("dvs", []), d["path"]]
+                        }
         return live
 
     def _stage(self, df: DataFrame) -> list[dict]:
@@ -315,6 +325,40 @@ class SnapshotTable:
                 moved.append(dst)
         shutil.rmtree(tmp)
         return _file_stats(moved, self.stat_cols)
+
+    def _stage_dv(self, dv: DataFrame) -> list[dict]:
+        """Stage a DELETION VECTOR file: (target data-file name, row
+        position) pairs marking rows logically deleted from still-live
+        files. DV files are tiny (the batch's footprint, keys-only
+        narrow) and live in data/ beside the files they mask — one
+        parquet per commit, invisible until its manifest lands, exactly
+        like data files. Returns manifest dv_adds entries."""
+        import pyarrow.parquet as pq
+
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".stage-{token}")
+        dv.select("target", "pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        data = os.path.join(self.path, "data")
+        os.makedirs(data, exist_ok=True)
+        out = []
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(data, f"dv-{token}-{i:05d}.parquet")
+            os.rename(os.path.join(tmp, f), dst)
+            tbl = pq.read_table(dst, columns=["target"])
+            targets = sorted(set(tbl.column("target").to_pylist()))
+            out.append(
+                {
+                    "path": os.path.basename(dst),
+                    "targets": targets,
+                    "rows": tbl.num_rows,
+                }
+            )
+        shutil.rmtree(tmp)
+        return out
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """The atomic heart: exactly one writer creates the version
@@ -341,7 +385,8 @@ class SnapshotTable:
                      removes_fn, schema=None,
                      replace_schema: bool = False,
                      txn: tuple[str, int] | None = None,
-                     properties: dict | None = None) -> int:
+                     properties: dict | None = None,
+                     dv_adds: list[dict] | None = None) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -367,6 +412,8 @@ class SnapshotTable:
                 manifest["txn"] = [txn[0], txn[1]]
             if properties is not None:
                 manifest["properties"] = properties
+            if dv_adds:
+                manifest["dv_adds"] = dv_adds
             if schema is not None:
                 eff = schema
                 if not replace_schema and head is not None:
@@ -521,18 +568,20 @@ class SnapshotTable:
         read_files = self._live_files() if head is not None else {}
         cur_schema = self._schema_at(head) if head is not None else None
         old = (
-            self._df_for(read_files, cur_schema) if read_files else None
+            self._read_files(read_files, cur_schema) if read_files else None
         )
         merged = merge_last_write_wins(old, df, keys, order_col)
         adds = self._stage(merged)
 
-        basis = set(read_files)
+        basis = self._dv_state(read_files)
 
         def removes(live: dict[str, dict]) -> list[str]:
-            if not basis <= set(live):
+            now = self._dv_state(live)
+            if any(now.get(n) != v for n, v in basis.items()):
                 raise SnapshotConflict(
-                    "files read by this upsert were removed by a "
-                    "concurrent commit; re-run against fresh state"
+                    "files read by this upsert were removed (or gained "
+                    "deletion vectors) under a concurrent commit; re-run "
+                    "against fresh state"
                 )
             return sorted(basis)
 
@@ -567,7 +616,9 @@ class SnapshotTable:
             raise ValueError("cannot compact an empty table")
         read_files = self._live_files()
         cur_schema = self._schema_at(head)
-        df = self._df_for(read_files, cur_schema)
+        # DV-aware: compaction materializes the masked rows away — the
+        # rewrite retires every deletion vector on its source files
+        df = self._read_files(read_files, cur_schema)
         if cluster_by:
             bounds: dict[str, tuple[float, float]] = {}
             entries = list(read_files.values())
@@ -603,13 +654,14 @@ class SnapshotTable:
         else:
             df = df.coalesce(target_files)
         adds = self._stage(df)
-        basis = set(read_files)
+        basis = self._dv_state(read_files)
 
         def removes(live: dict[str, dict]) -> list[str]:
-            if not basis <= set(live):
+            now = self._dv_state(live)
+            if any(now.get(n) != v for n, v in basis.items()):
                 raise SnapshotConflict(
-                    "compaction source files were removed by a "
-                    "concurrent commit; re-run"
+                    "compaction source files were removed (or gained "
+                    "deletion vectors) under a concurrent commit; re-run"
                 )
             return sorted(basis)
 
@@ -625,16 +677,33 @@ class SnapshotTable:
         output_files: int | None = None,
         txn: tuple[str, int] | None = None,
         dedupe_source: str | None = None,
+        mode: str = "cow",
     ) -> int:
-        """MERGE INTO: copy-on-write merge that REWRITES ONLY THE FILES
-        CONTAINING MATCHED KEYS — the property that makes merge usable
-        on a 100 TB table where a batch touches a sliver of it.
+        """MERGE INTO: merge that touches ONLY THE FILES CONTAINING
+        MATCHED KEYS — the property that makes merge usable on a
+        100 TB table where a batch touches a sliver of it.
 
         Semantics (the Delta/Iceberg MERGE core):
           when_matched='update'  target row replaced by the source row
           when_matched='delete'  target row dropped
           insert_not_matched     source rows matching no target key
                                  are appended
+
+        Two write strategies with IDENTICAL read-side semantics:
+          mode='cow'  (copy-on-write, default): touched files are
+             rewritten without their matched rows. Best when a batch's
+             keys cluster in few files — the rewrite IS the footprint.
+          mode='mor'  (merge-on-read, deletion vectors): matched rows
+             are masked by a tiny (file, position) DV file applied at
+             read time via anti-join; NO data file is rewritten, new
+             rows (postimages + inserts) append. This bounds write IO
+             by the BATCH even when its keys scatter across every file
+             — the case where copy-on-write degenerates into a table
+             rewrite (a measured 64/64-file rewrite for a 1000-row
+             scattered merge, BASELINE addendum 5). Reads pay the
+             anti-join only on DV'd files until compact()/maintain()
+             materializes the masks away (Delta DVs / Iceberg
+             positional deletes, same lazy-compaction contract).
 
         Plan shape, in order of cheapness:
           1. manifest stat-prune: files whose [min,max] on keys[0]
@@ -645,8 +714,9 @@ class SnapshotTable:
              shuffle), yields the touched-file list — bounded by file
              count, same driver-side convention as
              operators/upsert.py's partition listing;
-          3. only touched files are read in full and rewritten;
-             untouched files stay byte-identical in the new version.
+          3. cow: only touched files are read in full and rewritten;
+             mor: only the DV and the new rows are written. Untouched
+             files stay byte-identical in the new version either way.
 
         Isolation is SERIALIZABLE: the commit is valid only if the
         candidate set it read is unchanged at commit time — a
@@ -669,6 +739,8 @@ class SnapshotTable:
 
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
+        if mode not in ("cow", "mor"):
+            raise ValueError("mode must be 'cow' or 'mor'")
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed merge: no-op
         if dedupe_source is not None:
@@ -727,21 +799,106 @@ class SnapshotTable:
         }
         src_keys = source.select(*keys)
         touched: set[str] = set()
+        matched_pos = None
         if candidates:
             # 2. keys-only semi-join to find files holding matched keys
-            tgt_keys = self._df_for(candidates, cur_schema).select(
-                *keys, F.input_file_name().alias("__file")
-            )
-            touched = {
-                os.path.basename(r["__file"])
-                for r in tgt_keys.join(src_keys, keys, "left_semi")
-                .select("__file").distinct().collect()
-            }
+            # (DV-aware: already-masked rows can't match again; the mor
+            # path keeps live-row coordinates to mint the new DV from)
+            tgt_keys = self._read_files(
+                candidates, cur_schema, with_pos=True
+            ).select(*keys, "__file", "__pos")
+            matched = tgt_keys.join(src_keys, keys, "left_semi")
+            if mode == "mor":
+                # pin the matched coordinates (batch-sized) so the DV
+                # stage and the touched-file listing share ONE scan of
+                # the candidate files instead of two
+                matched_pos = matched.select(
+                    F.col("__file").alias("target"),
+                    F.col("__pos").alias("pos"),
+                ).localCheckpoint()
+                touched = {
+                    r["target"] for r in
+                    matched_pos.select("target").distinct().collect()
+                }
+            else:
+                touched = {
+                    r["__file"]
+                    for r in matched.select("__file").distinct().collect()
+                }
 
-        # 3. rewrite touched files only
+        basis = self._dv_state(live)
+
+        def removes_guard(rm: list[str]):
+            def removes(live_now: dict[str, dict]) -> list[str]:
+                if self._dv_state(live_now) != basis:
+                    raise SnapshotConflict(
+                        "table changed since this merge read it "
+                        "(serializable merge conflicts even with "
+                        "concurrent appends or deletion-vector commits "
+                        "— either can invalidate the matched / "
+                        "not-matched sets); re-run"
+                    )
+                return rm
+
+            return removes
+
+        def inserts_of() -> DataFrame | None:
+            if not insert_not_matched:
+                return None
+            if not candidates:
+                return source
+            existing_keys = self._read_files(
+                candidates, cur_schema
+            ).select(*keys)
+            return source.join(existing_keys, keys, "left_anti")
+
+        if mode == "mor":
+            # 3b. write the DV + the new rows; rewrite NOTHING
+            parts = []
+            if touched and when_matched == "update":
+                existing_keys = self._read_files(
+                    candidates, cur_schema
+                ).select(*keys)
+                parts.append(source.join(existing_keys, keys, "left_semi"))
+            ins = inserts_of()
+            if ins is not None:
+                parts.append(ins)
+            adds: list[dict] = []
+            out_schema = source.schema
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                # cow coerces source types through its union with the
+                # table's own rows; mor has no table rows in its union,
+                # so align explicitly to the table schema (int source
+                # into a bigint column must not fork the file types)
+                if cur_schema is not None:
+                    tbl = {f.name: f.dataType for f in cur_schema.fields}
+                    out = out.select(
+                        *[
+                            F.col(c).cast(tbl[c]).alias(c)
+                            if c in tbl else F.col(c)
+                            for c in out.columns
+                        ]
+                    )
+                out = out.coalesce(output_files or 1)
+                adds = self._stage(out)
+                out_schema = out.schema
+            dv_adds = (
+                self._stage_dv(matched_pos) if touched else []
+            )
+            if not adds and not dv_adds:
+                return head  # nothing matched, nothing to insert
+            return self._commit_loop(
+                "merge", adds, removes_guard([]),
+                schema=out_schema, txn=txn, dv_adds=dv_adds,
+            )
+
+        # 3. cow: rewrite touched files only
         parts = []
         if touched:
-            touched_df = self._df_for(
+            touched_df = self._read_files(
                 {n: live[n] for n in touched}, cur_schema
             )
             kept = touched_df.join(src_keys, keys, "left_anti")
@@ -751,15 +908,9 @@ class SnapshotTable:
                     touched_df.select(*keys), keys, "left_semi"
                 )
                 parts.append(matched_src)
-        if insert_not_matched:
-            if candidates:
-                existing_keys = self._df_for(
-                    candidates, cur_schema
-                ).select(*keys)
-                inserts = source.join(existing_keys, keys, "left_anti")
-            else:
-                inserts = source
-            parts.append(inserts)
+        ins = inserts_of()
+        if ins is not None:
+            parts.append(ins)
         if not parts:
             return head  # delete-only merge with no matches: no-op
         out = parts[0]
@@ -772,62 +923,91 @@ class SnapshotTable:
         out = out.coalesce(output_files or max(1, len(touched)))
         adds = self._stage(out)
 
-        basis = set(live)
-
-        def removes(now: dict[str, dict]) -> list[str]:
-            if set(now) != basis:
-                raise SnapshotConflict(
-                    "table changed since this merge read it (serializable "
-                    "merge conflicts even with concurrent appends — a new "
-                    "file can invalidate the not-matched set); re-run"
-                )
-            return sorted(touched)
-
-        return self._commit_loop("merge", adds, removes,
-                                 schema=out.schema, txn=txn)
+        return self._commit_loop(
+            "merge", adds, removes_guard(sorted(touched)),
+            schema=out.schema, txn=txn,
+        )
 
     def delete_where(self, condition: str,
-                     output_files: int | None = None) -> int:
-        """DELETE WHERE: predicate delete that rewrites ONLY the
-        files actually containing matching rows — one column-pruned
-        pass with input_file_name finds them; every other file stays
-        byte-identical in the new version. Rows where the condition is
-        NULL are kept (SQL three-valued semantics); a no-match delete
-        commits nothing.
+                     output_files: int | None = None,
+                     mode: str = "cow") -> int:
+        """DELETE WHERE: predicate delete that touches ONLY the files
+        actually containing matching rows — one column-pruned pass
+        with the parquet metadata columns finds them; every other file
+        stays byte-identical in the new version. Rows where the
+        condition is NULL are kept (SQL three-valued semantics); a
+        no-match delete commits nothing.
+
+        mode='cow' rewrites the touched files without their matched
+        rows; mode='mor' writes one tiny (file, position) deletion
+        vector instead and rewrites NOTHING — the path for a
+        scattered-predicate delete on a huge table (write IO bounded
+        by matched rows, reads pay an anti-join on DV'd files until
+        compaction).
 
         Conflicts like compact: valid only if the files it read are
-        all still live at commit (concurrent appends rebase cleanly —
-        a predicate delete makes no claim about rows it never saw)."""
+        all still live — with unchanged DV sets — at commit
+        (concurrent appends rebase cleanly; a predicate delete makes
+        no claim about rows it never saw)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError("mode must be 'cow' or 'mor'")
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot delete from an empty table")
         live = self._live_files()
         schema = self._schema_at(head)
-        tagged = self._df_for(live, schema).withColumn(
-            "__file", F.input_file_name()
-        )
+        tagged = self._read_files(live, schema, with_pos=True)
+        matched = tagged.filter(condition)
+        if mode == "mor":
+            dv_adds = self._stage_dv(
+                matched.select(
+                    F.col("__file").alias("target"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+            if not dv_adds or not dv_adds[0]["rows"]:
+                return head  # nothing matches: no-op, no new version
+            basis = self._dv_state(live)
+
+            def removes_mor(now: dict[str, dict]) -> list[str]:
+                changed = {
+                    n for n, v in basis.items()
+                    if self._dv_state(now).get(n) != v
+                }
+                if changed & {
+                    t for d in dv_adds for t in d["targets"]
+                } or not set(basis) <= set(now):
+                    raise SnapshotConflict(
+                        "files masked by this delete changed under a "
+                        "concurrent commit; re-run"
+                    )
+                return []
+
+            return self._commit_loop("delete", [], removes_mor,
+                                     schema=schema, dv_adds=dv_adds)
+
         touched = {
-            os.path.basename(r["__file"])
-            for r in tagged.filter(condition)
-            .select("__file").distinct().collect()
+            r["__file"]
+            for r in matched.select("__file").distinct().collect()
         }
         if not touched:
             return head  # nothing matches: no-op, no new version
         kept = (
-            self._df_for({n: live[n] for n in touched}, schema)
+            self._read_files({n: live[n] for n in touched}, schema)
             .filter(f"NOT coalesce(({condition}), false)")
             .coalesce(output_files or max(1, len(touched)))
         )
         adds = self._stage(kept)
-        basis = set(touched)
+        basis = self._dv_state({n: live[n] for n in touched})
 
         def removes(now: dict[str, dict]) -> list[str]:
-            if not basis <= set(now):
+            now_dv = self._dv_state(now)
+            if any(now_dv.get(n) != v for n, v in basis.items()):
                 raise SnapshotConflict(
-                    "files read by this delete were removed by a "
-                    "concurrent commit; re-run"
+                    "files read by this delete were removed (or gained "
+                    "deletion vectors) under a concurrent commit; re-run"
                 )
             return sorted(basis)
 
@@ -835,15 +1015,23 @@ class SnapshotTable:
                                  schema=schema)
 
     def update_where(self, condition: str, assignments: dict[str, str],
-                     output_files: int | None = None) -> int:
-        """UPDATE ... SET ... WHERE: predicate update rewriting only
+                     output_files: int | None = None,
+                     mode: str = "cow") -> int:
+        """UPDATE ... SET ... WHERE: predicate update touching only
         the files containing matching rows (same file-confinement as
         delete_where). `assignments` maps column -> SQL expression,
         applied only where `condition` is TRUE; NULL/false rows keep
         their values. Assigned columns must already exist (schema
-        evolution happens through append/overwrite, not UPDATE)."""
+        evolution happens through append/overwrite, not UPDATE).
+
+        mode='cow' rewrites the touched files in place; mode='mor'
+        masks the matched rows with a deletion vector and APPENDS
+        their updated images — write IO bounded by matched rows even
+        when they scatter across the whole table."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError("mode must be 'cow' or 'mor'")
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot update an empty table")
@@ -856,31 +1044,79 @@ class SnapshotTable:
         if missing:
             raise ValueError(f"unknown columns in SET: {missing}")
         live = self._live_files()
-        tagged = self._df_for(live, schema).withColumn(
-            "__file", F.input_file_name()
-        )
+        tagged = self._read_files(live, schema, with_pos=True)
+        matched = tagged.filter(condition)
+
+        if mode == "mor":
+            # pin the matched rows (batch-sized) so postimage staging
+            # and DV staging share one scan of the table
+            matched = matched.localCheckpoint()
+            post = matched
+            for c, expr in assignments.items():
+                post = post.withColumn(c, F.expr(expr))
+            post = post.drop("__file", "__pos")
+            if schema is not None:
+                # a SET expression must not fork the column's type
+                # across files (e.g. int arithmetic widening to bigint)
+                tbl = {f.name: f.dataType for f in schema.fields}
+                post = post.select(
+                    *[
+                        F.col(c).cast(tbl[c]).alias(c)
+                        if c in tbl else F.col(c)
+                        for c in post.columns
+                    ]
+                )
+            post = post.coalesce(output_files or 1)
+            adds = self._stage(post)
+            dv_adds = self._stage_dv(
+                matched.select(
+                    F.col("__file").alias("target"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+            if not dv_adds or not dv_adds[0]["rows"]:
+                return head  # no match: the staged empties are garbage
+            basis = self._dv_state(live)
+
+            def removes_mor(now: dict[str, dict]) -> list[str]:
+                now_dv = self._dv_state(now)
+                changed = {
+                    n for n, v in basis.items() if now_dv.get(n) != v
+                }
+                if changed & {
+                    t for d in dv_adds for t in d["targets"]
+                }:
+                    raise SnapshotConflict(
+                        "files masked by this update changed under a "
+                        "concurrent commit; re-run"
+                    )
+                return []
+
+            return self._commit_loop("update", adds, removes_mor,
+                                     schema=schema, dv_adds=dv_adds)
+
         touched = {
-            os.path.basename(r["__file"])
-            for r in tagged.filter(condition)
-            .select("__file").distinct().collect()
+            r["__file"]
+            for r in matched.select("__file").distinct().collect()
         }
         if not touched:
             return head
         cond = F.expr(f"coalesce(({condition}), false)")
-        df = self._df_for({n: live[n] for n in touched}, schema)
+        df = self._read_files({n: live[n] for n in touched}, schema)
         for c, expr in assignments.items():
             df = df.withColumn(
                 c, F.when(cond, F.expr(expr)).otherwise(F.col(c))
             )
         df = df.coalesce(output_files or max(1, len(touched)))
         adds = self._stage(df)
-        basis = set(touched)
+        basis = self._dv_state({n: live[n] for n in touched})
 
         def removes(now: dict[str, dict]) -> list[str]:
-            if not basis <= set(now):
+            now_dv = self._dv_state(now)
+            if any(now_dv.get(n) != v for n, v in basis.items()):
                 raise SnapshotConflict(
-                    "files read by this update were removed by a "
-                    "concurrent commit; re-run"
+                    "files read by this update were removed (or gained "
+                    "deletion vectors) under a concurrent commit; re-run"
                 )
             return sorted(basis)
 
@@ -896,11 +1132,14 @@ class SnapshotTable:
         within each snapshot (CDC is only well-defined over a key).
 
         Scale: reads ONLY the symmetric difference of the two
-        versions' file sets — files live in both versions cannot
-        contribute a change and are never opened, so the cost tracks
-        the churn between versions, not table size. Rows rewritten
-        byte-identically inside a touched file (copy-on-write
-        survivors) are cancelled by a null-safe struct compare."""
+        versions' EFFECTIVE file sets — a file live in both versions
+        with the same deletion vectors cannot contribute a change and
+        is never opened, so the cost tracks the churn between
+        versions, not table size. A file whose DV set changed between
+        the versions (a merge-on-read delete/update/merge) is read on
+        both sides — each under its own version's masks — and its
+        unchanged rows are cancelled by the null-safe struct compare,
+        same as copy-on-write survivors."""
         from pyspark.sql import functions as F
 
         if v_from > v_to:
@@ -909,15 +1148,23 @@ class SnapshotTable:
             )
         a = self._live_files(v_from)
         b = self._live_files(v_to)
-        removed = {n: e for n, e in a.items() if n not in b}
-        added = {n: e for n, e in b.items() if n not in a}
+        dv_changed = {
+            n for n in set(a) & set(b)
+            if tuple(a[n].get("dvs", ())) != tuple(b[n].get("dvs", ()))
+        }
+        removed = {
+            n: e for n, e in a.items() if n not in b or n in dv_changed
+        }
+        added = {
+            n: e for n, e in b.items() if n not in a or n in dv_changed
+        }
         # both sides read under v_to's schema: columns added between
         # the versions diff as null -> value transitions
         sch = self._schema_at(v_to)
         proto = self._df_for(a if a else b, sch)
         cols = [c for c in proto.columns if c not in keys]
-        old = self._df_for(removed, sch) if removed else proto.limit(0)
-        new = self._df_for(added, sch) if added else proto.limit(0)
+        old = self._read_files(removed, sch) if removed else proto.limit(0)
+        new = self._read_files(added, sch) if added else proto.limit(0)
         o = old.select(*keys, F.struct(*cols).alias("__o"))
         n = new.select(*keys, F.struct(*cols).alias("__n"))
         j = o.join(n, keys, "full_outer")
@@ -972,16 +1219,18 @@ class SnapshotTable:
             return {"expired": [], "deleted_files": []}
         cutoff = vs[-keep_last]  # oldest retained version
         self._write_checkpoint(cutoff)
-        reachable = set(self._live_files(cutoff))
+        reachable = _all_refs(self._live_files(cutoff))
         ever: set[str] = set()
         for v in vs:
-            adds = {a["path"] for a in self._read_manifest(v)["adds"]}
-            ever |= adds
+            m = self._read_manifest(v)
+            refs = {a["path"] for a in m["adds"]}
+            refs |= {d["path"] for d in m.get("dv_adds", [])}
+            ever |= refs
             if v > cutoff:
-                reachable |= adds
+                reachable |= refs
         for cv in self._checkpoints():
             with open(self._checkpoint_path(cv)) as fh:
-                ever |= set(json.load(fh)["live"])
+                ever |= _all_refs(json.load(fh)["live"])
         expired = [v for v in vs if v < cutoff]
         for v in expired:
             os.remove(_manifest_path(self.path, v))
@@ -1027,13 +1276,16 @@ class SnapshotTable:
         expire_versions)."""
         ever: set[str] = set()
         for v in self._versions():
-            for a in self._read_manifest(v)["adds"]:
+            m = self._read_manifest(v)
+            for a in m["adds"]:
                 ever.add(a["path"])
+            for d in m.get("dv_adds", []):
+                ever.add(d["path"])
         # after retention, a live file's adding manifest may be gone:
         # checkpoints are then the only reference keeping it alive
         for cv in self._checkpoints():
             with open(self._checkpoint_path(cv)) as fh:
-                ever |= set(json.load(fh)["live"])
+                ever |= _all_refs(json.load(fh)["live"])
         return self._sweep_data(
             keep=ever, known=ever, grace_seconds=grace_seconds
         )
@@ -1093,6 +1345,78 @@ class SnapshotTable:
             return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
+    def _read_files(self, files: dict[str, dict], schema=None,
+                    with_pos: bool = False) -> DataFrame:
+        """The DV-AWARE read every content consumer goes through:
+        files carrying deletion vectors get their masked rows dropped
+        by a (file, position) anti-join; files without DVs take the
+        plain path untouched. A table that has never seen a
+        merge-on-read commit pays NOTHING — no metadata columns, no
+        union, byte-identical plan to the pre-DV reader.
+
+        Scale: the anti-join's left side is only the DV'd files' rows
+        (bounded by churn since the last compaction, not table size)
+        and the right side is the DV rows themselves (batch-sized);
+        position comes from the parquet reader's `_metadata.row_index`
+        — generated metadata, zero extra IO.
+
+        `with_pos=True` additionally exposes `__file`/`__pos` (the
+        LIVE rows' coordinates) so DML can mint new DVs."""
+        from pyspark.sql import functions as F
+
+        dvd = {n: e for n, e in files.items() if e.get("dvs")}
+        if not dvd and not with_pos:
+            return self._df_for(files, schema)
+
+        def tagged(sub: dict[str, dict]) -> DataFrame:
+            return self._df_for(sub, schema).select(
+                "*",
+                F.col("_metadata.file_name").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+
+        plain = {n: e for n, e in files.items() if n not in dvd}
+        parts = []
+        if plain:
+            parts.append(
+                tagged(plain) if with_pos else self._df_for(plain, schema)
+            )
+        if dvd:
+            dv_paths = sorted(
+                {p for e in dvd.values() for p in e["dvs"]}
+            )
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, "data", p) for p in dv_paths]
+            ).select(
+                F.col("target").alias("__file"),
+                F.col("pos").alias("__pos"),
+            )
+            kept = tagged(dvd).join(dv, ["__file", "__pos"], "left_anti")
+            parts.append(
+                kept if with_pos else kept.drop("__file", "__pos")
+            )
+        if not parts:
+            empty = self._df_for(files, schema).limit(0)
+            if with_pos:
+                empty = empty.select(
+                    "*",
+                    F.col("_metadata.file_name").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _dv_state(files: dict[str, dict]) -> dict[str, tuple]:
+        """The conflict premise for DV-writing transactions: file set
+        AND per-file DV lists — a concurrent merge-on-read commit
+        changes no file names, only DV attachments, and must still
+        conflict with a transaction that read the pre-DV rows."""
+        return {n: tuple(e.get("dvs", ())) for n, e in files.items()}
+
     def read(
         self,
         version: int | None = None,
@@ -1132,7 +1456,7 @@ class SnapshotTable:
                 # every file pruned: empty frame with the right schema
                 any_files = self._live_files(version)
                 return self._df_for(any_files, schema).limit(0)
-        return self._df_for(files, schema)
+        return self._read_files(files, schema)
 
     def history(self) -> list[dict]:
         """The committed log, oldest first: version, op, files added /
@@ -1147,9 +1471,21 @@ class SnapshotTable:
                     "n_added": len(m["adds"]),
                     "n_removed": len(m["removes"]),
                     "rows_added": sum(a["rows"] for a in m["adds"]),
+                    "rows_dv_masked": sum(
+                        d["rows"] for d in m.get("dv_adds", [])
+                    ),
                 }
             )
         return out
+
+
+def _all_refs(live: dict[str, dict]) -> set[str]:
+    """Every physical file a live-file state references: the data
+    files themselves plus their attached deletion vectors."""
+    refs = set(live)
+    for e in live.values():
+        refs |= set(e.get("dvs", ()))
+    return refs
 
 
 def _may_contain(minmax: list | None, lo, hi) -> bool:

@@ -835,3 +835,175 @@ def test_refresh_aggregate_survives_expired_watermark(spark, tmp_path):
     assert got == {"a": 2, "b": 5}
     # watermark re-stamped: the next refresh is a clean no-op
     assert refresh_aggregate(src, agg, ["k"], ["val"], []) is None
+
+
+def _file_state(data_dir):
+    return {
+        f: (os.path.getmtime(os.path.join(data_dir, f)),
+            os.path.getsize(os.path.join(data_dir, f)))
+        for f in os.listdir(data_dir)
+    }
+
+
+def test_mor_merge_scattered_keys_rewrites_nothing(spark, tmp_path):
+    """The copy-on-write pathology: a small batch whose keys scatter
+    across EVERY file rewrites the whole table. mode='mor' must leave
+    every pre-existing data file byte-identical, write only the DV +
+    the new rows, and read back exactly what a cow merge of the same
+    batch produces."""
+    rows = [(i, f"v{i}") for i in range(400)]
+    src_rows = [(k, "upd") for k in range(0, 400, 50)] + [(9000, "new")]
+
+    paths = {}
+    for m in ("cow", "mor"):
+        t = SnapshotTable(spark, str(tmp_path / m), stat_cols=["k"])
+        # 8 files, keys striped so every file holds keys from the
+        # whole range — the scatter that defeats stat pruning
+        t.append(_kv(spark, rows).repartition(8, "k"))
+        paths[m] = t
+
+    data_dir = os.path.join(str(tmp_path / "mor"), "data")
+    before = _file_state(data_dir)
+    src = _kv(spark, src_rows)
+    paths["mor"].merge_into(src, ["k"], mode="mor")
+    paths["cow"].merge_into(src, ["k"], mode="cow")
+
+    after = _file_state(data_dir)
+    # every pre-existing file byte-identical; only new files appeared
+    for f, st in before.items():
+        assert after[f] == st, f
+    new_files = set(after) - set(before)
+    assert new_files and any(f.startswith("dv-") for f in new_files)
+
+    a = sorted(tuple(r) for r in paths["mor"].read().collect())
+    b = sorted(tuple(r) for r in paths["cow"].read().collect())
+    assert a == b
+    # history records the masked rows
+    assert paths["mor"].history()[-1]["rows_dv_masked"] == 8
+    # CDC across the MoR commit == CDC across the cow commit
+    ca = sorted(tuple(r) for r in
+                paths["mor"].changes(0, 1, ["k"]).collect())
+    cb = sorted(tuple(r) for r in
+                paths["cow"].changes(0, 1, ["k"]).collect())
+    assert ca == cb
+    # a second merge re-matching a DV'd key must hit the POSTIMAGE
+    paths["mor"].merge_into(
+        _kv(spark, [(0, "upd2")]), ["k"], mode="mor"
+    )
+    got = {r.k: r.val for r in paths["mor"].read().collect()}
+    assert got[0] == "upd2" and len(got) == 401
+
+
+def test_mor_delete_update_and_time_travel(spark, tmp_path):
+    """MoR DELETE/UPDATE: no data file rewritten, semantics identical
+    to cow, time travel shows the pre-DV snapshot, a deleted key can
+    re-insert, and a delete matching nothing commits nothing."""
+    t = SnapshotTable(spark, str(tmp_path / "md"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "a") for i in range(20)]).repartition(4, "k"))
+    data_dir = os.path.join(str(tmp_path / "md"), "data")
+    before = _file_state(data_dir)
+
+    v1 = t.delete_where("k % 5 = 0", mode="mor")
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(20) if i % 5
+    ]
+    assert t.read(version=v1 - 1).count() == 20  # time travel intact
+    for f, st in before.items():
+        assert _file_state(data_dir)[f] == st
+
+    v2 = t.update_where("k = 1", {"val": "'upd'"}, mode="mor")
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[1] == "upd" and got[2] == "a"
+    assert t.read().count() == 16
+    # the updated row is one row, not a duplicate
+    assert t.read().filter("k = 1").count() == 1
+
+    # no-match MoR delete: no new version
+    assert t.delete_where("k > 10000", mode="mor") == v2
+    # deleted key re-inserts through a merge
+    t.merge_into(_kv(spark, [(0, "back")]), ["k"], mode="mor")
+    assert {r.val for r in t.read().filter("k = 0").collect()} == {"back"}
+    # CDC over the whole MoR history equals the final-state diff
+    cdc = t.changes(0, t.latest_version(), ["k"])
+    ins = {r.k for r in cdc.filter("_change_type = 'delete'").collect()}
+    assert ins == {5, 10, 15}  # 0 was deleted then re-inserted -> update
+
+
+def test_mor_compact_materializes_dvs_away(spark, tmp_path):
+    """compact() must fold the DV masks into real files: afterwards no
+    live file carries DVs, contents are unchanged, and once history
+    expires the DV files are physically reclaimed."""
+    t = SnapshotTable(spark, str(tmp_path / "mc"))
+    t.append(_kv(spark, [(i, "x") for i in range(30)]).repartition(3, "k"))
+    t.delete_where("k < 10", mode="mor")
+    live = t._live_files()
+    assert any(e.get("dvs") for e in live.values())
+    want = sorted(tuple(r) for r in t.read().collect())
+
+    t.compact(target_files=2)
+    live2 = t._live_files()
+    assert not any(e.get("dvs") for e in live2.values())
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+
+    data_dir = os.path.join(str(tmp_path / "mc"), "data")
+    assert any(f.startswith("dv-") for f in os.listdir(data_dir))
+    t.expire_versions(keep_last=1, grace_seconds=0.0)
+    assert not any(f.startswith("dv-") for f in os.listdir(data_dir))
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+
+
+def test_mor_concurrent_dv_commit_conflicts_cow_merge(spark, tmp_path):
+    """A deletion-vector commit changes rows WITHOUT changing the file
+    set — a concurrent read-modify-write that read the pre-DV rows
+    must still conflict (the r6 file-set-only premise would miss it
+    and resurrect the deleted rows)."""
+    path = str(tmp_path / "cc")
+    t = SnapshotTable(spark, path)
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+
+    orig_stage = SnapshotTable._stage
+    fired = {}
+
+    def hooked(self, frame):
+        staged = orig_stage(self, frame)
+        if not fired:
+            fired["x"] = True
+            SnapshotTable(spark, path).delete_where("k = 3", mode="mor")
+        return staged
+
+    SnapshotTable._stage = hooked
+    try:
+        with pytest.raises(SnapshotConflict):
+            t.merge_into(_kv(spark, [(1, "upd")]), ["k"])
+    finally:
+        SnapshotTable._stage = orig_stage
+    # the DV delete won; re-running the merge applies cleanly
+    t.merge_into(_kv(spark, [(1, "upd")]), ["k"])
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got == {1: "upd", 2: "b"}
+
+
+def test_refresh_aggregate_over_mor_commits(spark, tmp_path):
+    """The incremental materialization consumes the change feed across
+    merge-on-read commits and still equals a full recompute — the
+    downstream-consumer guarantee that makes MoR a drop-in."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_aggregate,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "ms"))
+    agg = SnapshotTable(spark, str(tmp_path / "ma"))
+    src.append(_kv(spark, [(i, "g1" if i < 6 else "g2")
+                           for i in range(10)]))
+    refresh_aggregate(src, agg, ["k"], ["val"], [])
+    src.delete_where("k IN (0, 7)", mode="mor")
+    src.update_where("k = 1", {"val": "'g2'"}, mode="mor")  # group move
+    src.merge_into(_kv(spark, [(100, "g1")]), ["k"], mode="mor")
+    refresh_aggregate(src, agg, ["k"], ["val"], [])
+    got = {r.val: r.cnt for r in agg.read().collect()}
+    full = {
+        r.val: r.cnt
+        for r in src.read().groupBy("val").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == full == {"g1": 5, "g2": 4}
