@@ -16,7 +16,10 @@ per-file row counts and column min/max stats (read locally from parquet
 footers — no data scan). The live snapshot at version V is the replay
 of manifests 0..V; data files are invisible until a manifest references
 them, so writers can stage data at leisure and COMMIT is exactly one
-atomic file creation: os.open(_log/<next>.json, O_CREAT|O_EXCL).
+atomic put-if-absent of _log/<next>.json, through a pluggable
+CommitBackend: O_CREAT|O_EXCL by default (POSIX/HDFS), or a
+coordination-service mutex with crash-completion for object stores
+whose PUT is not atomic-if-absent (the Delta-on-S3 LogStore split).
 
 Concurrency (optimistic, like Delta's mutual-exclusion-on-log-entry):
 two writers racing for the same version — exactly one O_EXCL create
@@ -52,6 +55,109 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitBackend:
+    """The one primitive the whole commit protocol rests on: an atomic
+    put-if-absent of the version's manifest. Everything else (staging,
+    replay, conflicts) is backend-agnostic. Local filesystems and
+    HDFS-like stores get it from O_EXCL / create(overwrite=false);
+    object stores without an atomic create (classic S3) plug in a
+    coordination-service backend instead — the same split as Delta's
+    LogStore abstraction, where S3 commits go through a DynamoDB
+    mutex. Implementations must be safe across processes racing on
+    the same path."""
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """Create `path` with `payload` iff it does not exist. Returns
+        True when this caller created it, False when it already
+        existed (some other writer won). Must be atomic: two racing
+        callers see exactly one True."""
+        raise TypeError(
+            "CommitBackend is an interface; use LocalFSCommitBackend "
+            "or a store-specific implementation"
+        )
+
+
+class LocalFSCommitBackend(CommitBackend):
+    """O_CREAT|O_EXCL — atomic on POSIX local filesystems and on
+    HDFS-semantics stores. The default."""
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return True
+
+
+class MutexCommitBackend(CommitBackend):
+    """Put-if-absent via an EXTERNAL mutex for stores whose plain PUT
+    is not atomic-if-absent (classic S3): the claim on the path is
+    taken in the coordination service first (DynamoDB conditional
+    write, a database unique insert...), and only the claim winner
+    writes the object — losers never even attempt the PUT, so a
+    non-atomic store can't produce two manifests for one version.
+
+    `claims` is the coordination handle: any object with a
+    `claim(key, payload) -> bytes | None` method that atomically
+    records first ownership WITH the winner's payload (None = this
+    caller won; otherwise the recorded winner's payload comes back).
+    Recording the payload closes the crash window: a winner dying
+    between its claim and its PUT cannot wedge the version — the next
+    writer of that path fails its claim, COMPLETES the crashed
+    winner's write from the recorded payload (idempotent: same bytes,
+    tmp+replace), and then reports the loss, exactly the
+    commit-completion step of the S3+DynamoDB LogStore protocol.
+    InMemoryClaims below implements the handle for tests and
+    single-process multi-threaded writers; a DynamoDB/ZooKeeper/DB
+    unique-insert implementation drops in for real object stores."""
+
+    def __init__(self, claims):
+        self.claims = claims
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        if os.path.exists(path):
+            return False  # fast path: a prior winner's object landed
+        prior = self.claims.claim(path, payload)
+        if prior is None:
+            self._write(path, payload)
+            return True
+        if not os.path.exists(path):
+            # complete a crashed winner's commit so the log never
+            # wedges on a claimed-but-missing version
+            self._write(path, prior)
+        return False
+
+    @staticmethod
+    def _write(path: str, payload: bytes) -> None:
+        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+
+
+class InMemoryClaims:
+    """Process-local coordination for MutexCommitBackend: a lock and a
+    claim->payload map — the in-memory stand-in for a DynamoDB
+    conditional write, sufficient for tests and single-process
+    multi-threaded writers."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._claims: dict[str, bytes] = {}
+
+    def claim(self, key: str, payload: bytes) -> bytes | None:
+        with self._lock:
+            prior = self._claims.get(key)
+            if prior is not None:
+                return prior
+            self._claims[key] = payload
+            return None
 
 
 class SnapshotConflict(Exception):
@@ -198,10 +304,15 @@ class SnapshotTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  stat_cols: list[str] | None = None,
-                 checkpoint_every: int = 16):
+                 checkpoint_every: int = 16,
+                 commit_backend: CommitBackend | None = None):
         self.spark = spark
         self.path = path
         self.stat_cols = stat_cols or []
+        # the atomic put-if-absent provider; swap in MutexCommitBackend
+        # (with a real coordination service) for object stores whose
+        # plain PUT is not atomic-if-absent
+        self.commit_backend = commit_backend or LocalFSCommitBackend()
         # every Nth commit also writes a log CHECKPOINT (the fully
         # replayed live-file state + txn high-water marks), so snapshot
         # resolution is O(N) tail manifests instead of O(versions) —
@@ -362,19 +473,17 @@ class SnapshotTable:
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """The atomic heart: exactly one writer creates the version
-        file. O_EXCL is atomic on POSIX local and on HDFS-like stores'
-        create(overwrite=false); object stores need a DynamoDB-style
-        mutex service, same as Delta on S3 (documented limit)."""
+        file, through the pluggable CommitBackend — O_EXCL by default
+        (POSIX local, HDFS-like create(overwrite=false)); object
+        stores without an atomic create swap in MutexCommitBackend
+        over a real coordination service."""
         os.makedirs(_log_dir(self.path), exist_ok=True)
-        try:
-            fd = os.open(
-                _manifest_path(self.path, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        won = self.commit_backend.put_if_absent(
+            _manifest_path(self.path, version),
+            json.dumps(manifest).encode(),
+        )
+        if not won:
             return False
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return True

@@ -1079,3 +1079,74 @@ def test_merge_sparse_scattered_batch_end_to_end(spark, tmp_path):
     got = {r.k: r.val for r in t.read().collect()}
     assert got[5] == "upd" and got[750] == "upd" and got[6] == "x"
     assert len(got) == 800
+
+
+def test_commit_backends_contention(spark, tmp_path):
+    """VERDICT r6 item 5: the commit protocol must hold under racing
+    writers on BOTH backends — the default O_EXCL filesystem backend
+    and the object-store mutex backend (put-if-absent via an external
+    claims service). Each backend: 4 threads x appends, every append
+    commits a distinct version, no rows lost."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        InMemoryClaims,
+        LocalFSCommitBackend,
+        MutexCommitBackend,
+    )
+
+    backends = {
+        "excl": LocalFSCommitBackend(),
+        "mutex": MutexCommitBackend(InMemoryClaims()),
+    }
+    for name, be in backends.items():
+        path = str(tmp_path / name)
+        t = SnapshotTable(spark, path, commit_backend=be)
+        t.append(_df(spark, 0, 1, "seed"))
+        errs = []
+
+        def worker(i, path=path, be=be):
+            try:
+                SnapshotTable(spark, path, commit_backend=be).append(
+                    _df(spark, 100 * i, 100 * i + 10, f"w{i}")
+                )
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(1, 5)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, (name, errs)
+        assert t.latest_version() == 4, name
+        assert t.read().count() == 41, name
+
+
+def test_mutex_backend_completes_crashed_winner(tmp_path):
+    """A mutex-backend writer dying between its claim and its object
+    write must not wedge the version: the next writer of that path
+    completes the crashed winner's commit from the recorded payload
+    and correctly reports itself the loser."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        InMemoryClaims,
+        MutexCommitBackend,
+    )
+
+    claims = InMemoryClaims()
+    be = MutexCommitBackend(claims)
+    path = str(tmp_path / "00000003.json")
+
+    # simulate the crash: the claim lands, the write never happens
+    assert claims.claim(path, b'{"version": 3, "op": "crashed"}') is None
+    assert not os.path.exists(path)
+
+    # the next writer loses — but the crashed commit completes
+    assert be.put_if_absent(path, b'{"version": 3, "op": "mine"}') is False
+    with open(path, "rb") as fh:
+        assert fh.read() == b'{"version": 3, "op": "crashed"}'
+    # idempotent on further losers
+    assert be.put_if_absent(path, b"whatever") is False
+    with open(path, "rb") as fh:
+        assert fh.read() == b'{"version": 3, "op": "crashed"}'
