@@ -453,6 +453,7 @@ def incremental_embedding_dedup(
     probe_radius: int = 0,
     scale: int = 4,
     state_mode: str = "full",
+    pin_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingestion embedding near-dup: test a NEW batch against
     everything already indexed without re-scoring the corpus — the
@@ -486,8 +487,21 @@ def incremental_embedding_dedup(
     the first element instead of existing+fresh — for append-organized
     state stores (streaming/sinks.py) where persisting the full union
     every batch would make the state write O(corpus) instead of
-    O(batch). The pair computation is identical either way."""
+    O(batch). The pair computation is identical either way.
+
+    pin_batch=True localCheckpoints the batch's signed index rows
+    (batch-sized: rows x tables) before anything derives from them.
+    The hyperplane signature expression compiles n_tables x bits x dim
+    double literals into the plan, so EVERY action whose lineage
+    contains it pays seconds of re-analysis + codegen; a streaming
+    sink runs 3+ such actions per micro-batch (pairs, state append,
+    output append), which made the constant ~25 s/batch (BASELINE.md
+    addendum 4). Pinning evaluates the signatures exactly once per
+    batch and every downstream plan references the materialized rows
+    instead of the literal forest."""
     new_idx = embedding_index(new_vecs, id_col, vec_col, dim, bits, n_tables)
+    if pin_batch:
+        new_idx = new_idx.localCheckpoint()
     if existing_index is None:
         fresh_idx = new_idx
         all_idx = new_idx

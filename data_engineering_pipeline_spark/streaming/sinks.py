@@ -204,6 +204,10 @@ def embedding_near_dedup_sink(
     )
 
     def _pairs(batch_df, existing):
+        # pin_batch: the signature expression (tables x bits x dim
+        # literals) is evaluated ONCE per micro-batch instead of once
+        # per action — the ~25 s/batch re-plan/codegen constant
+        # BASELINE.md addendum 4 measured is mostly this
         return incremental_embedding_dedup(
             batch_df,
             existing,
@@ -215,6 +219,7 @@ def embedding_near_dedup_sink(
             n_tables,
             probe_radius,
             state_mode="delta",
+            pin_batch=True,
         )
 
     return _incremental_dedup_sink(
