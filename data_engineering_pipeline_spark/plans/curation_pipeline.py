@@ -209,12 +209,19 @@ def curate_increment(
         surv = _filter_quality(surv, min_quality)
         surv = _apply_frozen_rates(surv, rates)
         stats["batch_survivors"] = surv.count()
-        curated.merge_into(surv, ["doc_id"], when_matched="update")
+        # merge-on-read: the increment's write cost is the batch's
+        # rows (postimages/inserts + a tiny deletion vector), never a
+        # rewrite of the curated files its keys happen to land in —
+        # the O(batch) claim this mode exists for. maintain() folds
+        # the accumulated masks away on the normal compaction cadence.
+        curated.merge_into(
+            surv, ["doc_id"], when_matched="update", mode="mor"
+        )
         n_retract = retract.count()
         if n_retract:
             curated.merge_into(
                 retract, ["doc_id"], when_matched="delete",
-                insert_not_matched=False,
+                insert_not_matched=False, mode="mor",
             )
         stats["retracted"] = n_retract
         stats["curated"] = curated.read().count()

@@ -889,6 +889,7 @@ class SnapshotTable:
         rng = source.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
+            F.count(F.lit(1)).alias("n_rows"),
             F.count(
                 F.when(
                     F.expr(" AND ".join(f"({k} IS NOT NULL)" for k in keys)),
@@ -897,6 +898,8 @@ class SnapshotTable:
             ).alias("n_keyed"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("n_dist"),
         ).collect()[0]
+        if rng["n_rows"] == 0:
+            return head  # empty source (e.g. a replayed increment): no-op
         if dedupe_source is None and rng["n_keyed"] != rng["n_dist"]:
             raise ValueError(
                 "duplicate keys in merge source "
