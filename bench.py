@@ -49,6 +49,15 @@ HEADLINE = [
     # tracked round-over-round (baselines start this round)
     "op-snapshot-merge",
     "text-bigram-ppl",
+    # round 7 promotions (VERDICT r6 item 7): the rest of the round-6
+    # capability tier gets round-over-round tracking, plus this
+    # round's merge-on-read path
+    "op-snapshot-cdf",
+    "op-snapshot-incr-agg",
+    "ann-index-table",
+    "op-graph-pagerank",
+    "curation-shards",
+    "op-snapshot-merge-mor",
 ]
 
 TIMED_RUNS = 3
