@@ -120,6 +120,10 @@ def pagerank_quantized(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # pinned like the edge list: every iteration left-joins the
+        # node frame, and the count below materializes it anyway —
+        # without this the union+distinct shuffle re-runs per round
+        .localCheckpoint()
     )
     n_nodes = nodes.count()
     base = ((damp_den - damp_num) * scale // damp_den) // n_nodes

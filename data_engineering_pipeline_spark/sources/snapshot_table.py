@@ -777,6 +777,40 @@ class SnapshotTable:
         return self._commit_loop("compact", adds, removes,
                                  schema=df.schema)
 
+    def purge_dvs(self, output_files: int | None = None) -> int | None:
+        """Materialize deletion-vector masks away by rewriting ONLY
+        the files that carry DVs — the targeted half of compact() for
+        merge-on-read tables: a 100 TB table with masks on 0.1% of its
+        files rewrites that 0.1%, not the table (Delta's REORG TABLE
+        ... APPLY (PURGE)). Returns the committed version, or None if
+        no live file carries a DV. Conflicts like compact, scoped to
+        the DV'd files: concurrent appends and DML on OTHER files
+        rebase cleanly."""
+        head = self.latest_version()
+        if head is None:
+            return None
+        live = self._live_files()
+        dvd = {n: e for n, e in live.items() if e.get("dvs")}
+        if not dvd:
+            return None
+        schema = self._schema_at(head)
+        clean = self._read_files(dvd, schema).coalesce(
+            output_files or max(1, len(dvd))
+        )
+        adds = self._stage(clean)
+        basis = self._dv_state(dvd)
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            now_dv = self._dv_state(now)
+            if any(now_dv.get(n) != v for n, v in basis.items()):
+                raise SnapshotConflict(
+                    "files being purged changed under a concurrent "
+                    "commit; re-run"
+                )
+            return sorted(basis)
+
+        return self._commit_loop("purge", adds, removes, schema=schema)
+
     def merge_into(
         self,
         source: DataFrame,
@@ -1373,16 +1407,29 @@ class SnapshotTable:
 
     def maintain(self, max_files: int = 64, keep_versions: int = 30,
                  cluster_by: list[str] | None = None,
-                 grace_seconds: float = 3600.0) -> dict:
+                 grace_seconds: float = 3600.0,
+                 max_dv_files: int = 8) -> dict:
         """One-call housekeeping — the routine a scheduler runs
-        nightly: compact when the live file count exceeds `max_files`
-        (optionally Z-ordering via `cluster_by`), expire history past
-        `keep_versions`, vacuum crash garbage. Each step is the
-        already-tested primitive; this just sequences them with
-        sensible triggers so append-heavy tables do not decay into
-        small-file soup or unbounded logs."""
-        out: dict = {"compacted": False, "expired": [], "vacuumed": []}
-        if len(self._live_files()) > max_files:
+        nightly: purge deletion-vector masks once more than
+        `max_dv_files` live files carry them (bounding the read-time
+        anti-join merge-on-read DML accumulates), compact when the
+        live file count exceeds `max_files` (optionally Z-ordering via
+        `cluster_by`), expire history past `keep_versions`, vacuum
+        crash garbage. Each step is the already-tested primitive; this
+        just sequences them with sensible triggers so append-heavy
+        tables do not decay into small-file soup, mask soup, or
+        unbounded logs."""
+        out: dict = {"compacted": False, "purged": False,
+                     "expired": [], "vacuumed": []}
+        live = self._live_files()
+        n_dvd = sum(1 for e in live.values() if e.get("dvs"))
+        will_compact = len(live) > max_files
+        if n_dvd > max_dv_files and not will_compact:
+            # compaction below materializes masks anyway; purge only
+            # when the table is otherwise healthy
+            self.purge_dvs()
+            out["purged"] = True
+        if will_compact:
             self.compact(target_files=max_files, cluster_by=cluster_by)
             out["compacted"] = True
         res = self.expire_versions(
@@ -1514,12 +1561,21 @@ class SnapshotTable:
             dv_paths = sorted(
                 {p for e in dvd.values() for p in e["dvs"]}
             )
-            dv = self.spark.read.parquet(
-                *[os.path.join(self.path, "data", p) for p in dv_paths]
-            ).select(
+            full = [os.path.join(self.path, "data", p) for p in dv_paths]
+            dv = self.spark.read.parquet(*full).select(
                 F.col("target").alias("__file"),
                 F.col("pos").alias("__pos"),
             )
+            # DV sets are churn-sized; when their physical footprint is
+            # small, broadcast so the anti-join never shuffles the
+            # (possibly huge) masked files' rows (decided driver-side
+            # from the actual file sizes, not estimator stats)
+            try:
+                dv_bytes = sum(os.path.getsize(p) for p in full)
+            except OSError:
+                dv_bytes = None
+            if dv_bytes is not None and dv_bytes < 64 * 1024 * 1024:
+                dv = F.broadcast(dv)
             kept = tagged(dvd).join(dv, ["__file", "__pos"], "left_anti")
             parts.append(
                 kept if with_pos else kept.drop("__file", "__pos")

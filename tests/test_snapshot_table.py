@@ -641,7 +641,8 @@ def test_maintain_housekeeping(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == list(range(6))
     # second run: already healthy
     out2 = t.maintain(max_files=2, keep_versions=1, grace_seconds=0.0)
-    assert out2 == {"compacted": False, "expired": [], "vacuumed": []}
+    assert out2 == {"compacted": False, "purged": False,
+                    "expired": [], "vacuumed": []}
 
 
 def test_compaction_is_cdc_invisible(spark, tmp_path):
@@ -1150,3 +1151,55 @@ def test_mutex_backend_completes_crashed_winner(tmp_path):
     assert be.put_if_absent(path, b"whatever") is False
     with open(path, "rb") as fh:
         assert fh.read() == b'{"version": 3, "op": "crashed"}'
+
+
+def test_purge_dvs_rewrites_only_masked_files(spark, tmp_path):
+    """purge_dvs materializes masks by rewriting ONLY the files that
+    carry DVs: clean files stay live and byte-identical, masked rows
+    are gone for real, and maintain() triggers the purge once enough
+    files carry masks."""
+    t = SnapshotTable(spark, str(tmp_path / "pg"), stat_cols=["k"])
+    t.append(_kv(spark, [(i, "lo") for i in range(10)]).coalesce(1))
+    t.append(_kv(spark, [(i, "hi") for i in range(100, 110)]).coalesce(1))
+    t.delete_where("k IN (1, 3)", mode="mor")  # masks the lo file only
+    want = sorted(tuple(r) for r in t.read().collect())
+    live_before = t._live_files()
+    clean = {n for n, e in live_before.items() if not e.get("dvs")}
+    assert clean and len(clean) < len(live_before)
+
+    v = t.purge_dvs()
+    assert v == t.latest_version()
+    live = t._live_files()
+    assert not any(e.get("dvs") for e in live.values())
+    assert clean <= set(live)  # clean files carried over untouched
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+    # nothing left to purge
+    assert t.purge_dvs() is None
+
+    # maintain() purges when many files carry masks (and the table is
+    # not otherwise fragmented enough to compact)
+    t2 = SnapshotTable(spark, str(tmp_path / "pg2"))
+    for i in range(3):
+        t2.append(
+            _kv(spark, [(100 * i + j, "x") for j in range(5)]).coalesce(1)
+        )
+        t2.delete_where(f"k = {100 * i}", mode="mor")
+    out = t2.maintain(max_files=64, keep_versions=100,
+                      grace_seconds=0.0, max_dv_files=2)
+    assert out["purged"] is True and out["compacted"] is False
+    assert not any(e.get("dvs") for e in t2._live_files().values())
+    assert t2.read().count() == 12
+
+
+def test_dv_free_read_plan_has_no_join(spark, tmp_path):
+    """The DV fast path: a table that never saw a merge-on-read commit
+    must read through a plain scan — no anti-join, no metadata
+    columns — byte-identical plan to the pre-DV reader."""
+    t = SnapshotTable(spark, str(tmp_path / "fp"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "row_index" not in plan
+    # and a DV'd table does use the anti-join
+    t.delete_where("k = 1", mode="mor")
+    plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan2
