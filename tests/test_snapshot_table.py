@@ -1203,3 +1203,27 @@ def test_dv_free_read_plan_has_no_join(spark, tmp_path):
     t.delete_where("k = 1", mode="mor")
     plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan2
+
+
+def test_properties_survive_retention(spark, tmp_path):
+    """Table properties must stay resolvable after expire_versions
+    removes the manifest that set them — the checkpoint carries them,
+    exactly like txn high-water marks."""
+    t = SnapshotTable(spark, str(tmp_path / "props"))
+    t.append(_kv(spark, [(1, "a")]), properties={"owner": "alice"})
+    t.append(_kv(spark, [(2, "b")]), properties={"fmt": "v1"})
+    t.overwrite(_kv(spark, [(3, "c")]), properties={"fmt": "v2"})
+    for i in range(4):
+        t.append(_kv(spark, [(10 + i, "x")]))
+    assert t.properties_at() == {"owner": "alice", "fmt": "v2"}
+    # per-version resolution before retention
+    assert t.properties_at(0) == {"owner": "alice"}
+    assert t.properties_at(1) == {"owner": "alice", "fmt": "v1"}
+
+    t.expire_versions(keep_last=2, grace_seconds=0.0)
+    # the setting manifests (v0-v2) are gone; the checkpoint at the
+    # retention cutoff still resolves the accumulated properties
+    assert t.properties_at() == {"owner": "alice", "fmt": "v2"}
+    # and a post-retention update still wins
+    t.append(_kv(spark, [(99, "z")]), properties={"fmt": "v3"})
+    assert t.properties_at()["fmt"] == "v3"
