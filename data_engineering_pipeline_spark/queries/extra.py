@@ -1185,10 +1185,18 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # co-occurrence pairs via ONE shuffle (group per order, explode the
+    # in-order part list twice map-side) instead of a self-join that
+    # shuffles two full scans — measured 5.7 -> 4.9 s at sf0.1,
+    # bit-identical output. Per-order lists are tiny (<=7 lines); a
+    # graph with huge groups would blow up the self-join quadratically
+    # too, so the list carries no new risk.
+    grp = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
     edges = (
-        a.join(b, "l_orderkey")
+        grp.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
