@@ -1608,3 +1608,59 @@ def op_snapshot_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+@_register(
+    "op-snapshot-prune-box",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 50000 AND 150000
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_prune_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER + box-pruned read end-to-end (operators/zorder.py via
+    SnapshotTable.compact(cluster_by), read(prune=ranges)): load
+    orders, Z-order-compact on (o_custkey, o_totalprice), then read
+    with BOTH columns' ranges as manifest prune predicates plus the
+    exact filter on top. File pruning is an over-approximation (a
+    file is skipped only when its [min,max] provably misses the box),
+    so the exact filter makes the result identical to the oracle's
+    plain box scan — a prune that wrongly drops a file surfaces as
+    missing rows, which is precisely the bug class this query grades.
+    The Z-order clustering is what makes the prune EFFECTIVE in both
+    dimensions at once (multi-dim data skipping); effectiveness is
+    asserted by the plan-level unit tests, correctness here."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_zb_q_")
+    t = SnapshotTable(
+        spark, os.path.join(base, "t"),
+        stat_cols=["o_custkey", "o_totalprice"],
+    )
+    t.append(orders.repartition(8))
+    t.compact(target_files=8,
+              cluster_by=["o_custkey", "o_totalprice"])
+    pruned = t.read(
+        prune=[("o_custkey", 100, 400),
+               ("o_totalprice", 50000.0, 150000.0)]
+    )
+    return (
+        pruned.filter(
+            (F.col("o_custkey").between(100, 400))
+            & (F.col("o_totalprice").between(50000.0, 150000.0))
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
