@@ -460,7 +460,12 @@ class SnapshotTable:
             dst = os.path.join(data, f"dv-{token}-{i:05d}.parquet")
             os.rename(os.path.join(tmp, f), dst)
             tbl = pq.read_table(dst, columns=["target"])
-            targets = sorted(set(tbl.column("target").to_pylist()))
+            # arrow-side unique: the python list is file-count bounded,
+            # never row-count bounded (a wide delete masks many rows
+            # but only ever as many files as the table has)
+            targets = sorted(
+                tbl.column("target").unique().to_pylist()
+            )
             out.append(
                 {
                     "path": os.path.basename(dst),

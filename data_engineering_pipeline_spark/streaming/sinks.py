@@ -429,6 +429,9 @@ def snapshot_merge_sink(
     app_id: str,
     keys: list[str],
     dedupe_source: str | None = None,
+    mode: str = "cow",
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming MERGE into the snapshot table: each
     micro-batch upserts by key through the file-pruned copy-on-write
@@ -442,7 +445,15 @@ def snapshot_merge_sink(
     A micro-batch that updates the same key twice would be rejected by
     the merge's duplicate-source guard; pass `dedupe_source=<order
     col>` (event time, offset) to collapse in-batch updates
-    last-write-wins before the merge."""
+    last-write-wins before the merge.
+
+    `mode='mor'` is the long-running-stream configuration: each
+    micro-batch writes its rows plus a deletion vector instead of
+    rewriting every file its keys land in — per-batch write IO stays
+    O(batch) no matter how the keys scatter. Pair it with
+    `maintain_every=N` to run the table's housekeeping (DV purge /
+    compaction / retention / vacuum) every N batches from inside the
+    sink, so masks and small files never accumulate unboundedly."""
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
     )
@@ -452,7 +463,10 @@ def snapshot_merge_sink(
             return
         t = SnapshotTable(batch_df.sparkSession, path)
         t.merge_into(batch_df, keys, txn=(app_id, batch_id),
-                     dedupe_source=dedupe_source)
+                     dedupe_source=dedupe_source, mode=mode)
+        if maintain_every and batch_id > 0 and \
+                batch_id % maintain_every == 0:
+            t.maintain(**(maintain_kwargs or {}))
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

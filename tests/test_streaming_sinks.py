@@ -527,3 +527,57 @@ def test_snapshot_merge_sink_exactly_once_upserts(spark, tmp_path):
     run("ck2")  # replay everything
     assert t.latest_version() == v
     assert {r.k: r.val for r in t.read().collect()} == rows
+
+
+def test_snapshot_merge_sink_mor_mode(spark, tmp_path):
+    """Streaming MERGE in merge-on-read mode: micro-batches mask +
+    append instead of rewriting, the replayed stream is still a
+    no-op, results equal the cow sink, and in-sink maintenance
+    (maintain_every) purges the accumulated masks."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        snapshot_merge_sink,
+    )
+
+    land = tmp_path / "in"
+    land.mkdir()
+    batches = [
+        [(1, "a1"), (2, "b1"), (3, "c1")],
+        [(2, "b2"), (4, "d2")],
+        [(1, "a3"), (4, "d3"), (5, "e3")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long, val string").coalesce(
+            1
+        ).write.parquet(str(land / "files" / f"b{i}"))
+    tbl = str(tmp_path / "tbl_mor")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, val string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(land / "files"))
+        )
+        snapshot_merge_sink(
+            stream, tbl, str(tmp_path / ck), "merge-app", ["k"],
+            mode="mor", maintain_every=2,
+            maintain_kwargs={"max_dv_files": 0, "keep_versions": 100},
+        ).awaitTermination()
+
+    run("ck1")
+    t = SnapshotTable(spark, tbl)
+    want = {1: "a3", 2: "b2", 3: "c1", 4: "d3", 5: "e3"}
+    assert {r.k: r.val for r in t.read().collect()} == want
+    # batch 2 triggered maintain(max_dv_files=0) AFTER its merge: no
+    # live file carries a mask any more, and the purge shows in history
+    masked = [e for e in t._live_files().values() if e.get("dvs")]
+    assert masked == []
+    assert any(h["op"] == "purge" for h in t.history())
+
+    v = t.latest_version()
+    run("ck2")  # full replay: txn-stamped no-ops
+    assert t.latest_version() == v
+    assert {r.k: r.val for r in t.read().collect()} == want
