@@ -123,3 +123,74 @@ def test_snapshot_merge_matches_dict_model(
     )
     got = {r.k: r.v for r in t.read().collect()}
     assert got == _snap_model(tgt, src, when_matched, insert)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-50, max_value=50),
+        min_size=1, max_size=10,
+    ),
+    steps=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=-50, max_value=50),
+                max_size=8,
+            ),
+            st.sampled_from(["update", "delete"]),
+            st.booleans(),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_cow_and_mor_merge_sequences_equivalent(
+    spark, tmp_path_factory, tgt, steps
+):
+    """COW and MoR are two WRITE strategies for one read-side contract:
+    for ANY random sequence of merges, a copy-on-write table and a
+    deletion-vector table fed the same batches must read identically —
+    and both must equal the dict-semantics model — after EVERY step,
+    and after compact() materializes the MoR masks away."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    base = tmp_path_factory.mktemp("cowmor")
+    init = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()], "k long, v long"
+    )
+    tables = {}
+    for mode in ("cow", "mor"):
+        t = SnapshotTable(spark, str(base / mode))
+        t.append(init)
+        tables[mode] = t
+
+    model = dict(tgt)
+    for src, when_matched, insert in steps:
+        if when_matched == "delete" and not insert and not src:
+            continue
+        src_df = spark.createDataFrame(
+            [(k, v) for k, v in src.items()], "k long, v long"
+        ) if src else spark.createDataFrame([], "k long, v long")
+        for mode, t in tables.items():
+            t.merge_into(
+                src_df, ["k"], when_matched=when_matched,
+                insert_not_matched=insert, mode=mode,
+            )
+        model = _snap_model(model, src, when_matched, insert)
+        got = {
+            mode: {r.k: r.v for r in t.read().collect()}
+            for mode, t in tables.items()
+        }
+        assert got["cow"] == model
+        assert got["mor"] == model
+
+    # Materializing the deletion vectors must not change the data.
+    tables["mor"].compact()
+    assert {r.k: r.v for r in tables["mor"].read().collect()} == model
