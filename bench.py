@@ -7,6 +7,18 @@ median of 3 timed runs. The headline metric is the sum of per-query
 medians; a parallel "spread" dict carries each query's median absolute
 deviation (MAD) across the timed runs, so a reader can tell machine
 noise from a real regression mechanically (|delta| >> MAD = real).
+
+Two execution modes (same queries, same JSON contract):
+  default            each run .collect()s — measures compute + the
+                     executor->driver result path (the driver's
+                     round-over-round series uses this mode);
+  SPARK_GRAFT_BENCH_WRITE=1
+                     each run writes the result to parquet in a temp
+                     dir instead — measures compute + the distributed
+                     WRITE path (file commit, no driver funnel), which
+                     is what a 100 TB pipeline actually pays. Output
+                     carries "mode": "write" so the two series are
+                     never conflated.
 """
 
 from __future__ import annotations
@@ -73,6 +85,22 @@ def main() -> None:
 
     from data_engineering_pipeline_spark.queries import collect_registry
 
+    write_mode = os.environ.get("SPARK_GRAFT_BENCH_WRITE", "") == "1"
+    if write_mode:
+        import shutil
+        import tempfile
+
+        out_root = tempfile.mkdtemp(prefix="bench_write_")
+
+    def run_once(fn, name: str) -> None:
+        df = fn(spark, sf_dir)
+        if write_mode:
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_root, name)
+            )
+        else:
+            df.collect()
+
     queries, _ = collect_registry()
     timings: dict[str, object] = {}
     spread: dict[str, float] = {}
@@ -85,11 +113,11 @@ def main() -> None:
         # rest of the bench still produces numbers (a crashed bench is a
         # blind round).
         try:
-            fn(spark, sf_dir).collect()  # warm-up
+            run_once(fn, name)  # warm-up
             runs = []
             for _ in range(TIMED_RUNS):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
+                run_once(fn, name)
                 runs.append(time.perf_counter() - t0)
             med = statistics.median(runs)
             timings[name] = round(med, 4)
@@ -112,6 +140,9 @@ def main() -> None:
         "spread": spread,
         "sf": sf,
     }
+    if write_mode:
+        out["mode"] = "write"
+        shutil.rmtree(out_root, ignore_errors=True)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
