@@ -1664,3 +1664,56 @@ def op_snapshot_prune_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-bloom-read",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point read end-to-end
+    (sources/snapshot_table.py bloom_cols / read(bloom=...)): orders
+    land UNSORTED across 8 files, so every file's o_custkey [min,max]
+    spans the domain and stat pruning can skip nothing — the layout
+    where only the per-file bloom sidecars can prove absence. The
+    probe keys (custkeys divisible by 97) are collected driver-side
+    (probe-bounded), the read prunes files through the blooms, and
+    the exact predicate goes on top: a bloom false NEGATIVE (a
+    wrongly skipped file) surfaces as missing rows vs the oracle's
+    plain filter, which is exactly the bug class this query grades.
+    False positives only cost IO and cancel under the exact filter."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="snap_bloom_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      bloom_cols=["o_custkey"])
+    t.append(orders.repartition(8))
+    keys = [
+        r.o_custkey
+        for r in orders.select("o_custkey")
+        .where(F.col("o_custkey") % 97 == 0)
+        .distinct()
+        .collect()
+    ]
+    pruned = t.read(bloom=[("o_custkey", keys)])
+    return (
+        pruned.where(F.col("o_custkey") % 97 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

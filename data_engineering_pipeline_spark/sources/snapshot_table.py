@@ -297,6 +297,17 @@ def _file_stats(files: list[str], stat_cols: list[str]) -> list[dict]:
     return out
 
 
+_BLOOM_DIR = "_bloom"
+_BLOOM_K = 7  # hash probes per value (optimal for ~10 bits/element)
+_BLOOM_BITS_PER_ROW = 10  # sizing target => ~1% false-positive rate
+
+
+def _bloom_path(table_path: str, data_file: str) -> str:
+    return os.path.join(
+        table_path, "data", _BLOOM_DIR, data_file + ".bloom"
+    )
+
+
 class SnapshotTable:
     """Handle on a snapshot table directory. Stateless between calls —
     every operation re-reads the log head, which is what makes the
@@ -305,10 +316,27 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str,
                  stat_cols: list[str] | None = None,
                  checkpoint_every: int = 16,
-                 commit_backend: CommitBackend | None = None):
+                 commit_backend: CommitBackend | None = None,
+                 bloom_cols: list[str] | None = None):
         self.spark = spark
         self.path = path
         self.stat_cols = stat_cols or []
+        # bloom_cols: columns that get a per-file BLOOM FILTER sidecar
+        # at write time, enabling equality file-skipping on
+        # high-cardinality UNSORTED columns — exactly where min/max
+        # stat pruning is useless because every file's range spans the
+        # whole domain (Delta's bloom filter index / Iceberg puffin
+        # sidecars, same contract: a miss proves absence, a hit means
+        # "must open"). Like stat_cols, a handle-level convention.
+        self.bloom_cols = bloom_cols or []
+        # probe positions are computed by a tiny Spark job (the only
+        # way to reproduce xxhash64 exactly); memoized per
+        # (col, m, type, values) so repeated point lookups — the
+        # bloom workload — pay it once, not per read. Parsed sidecars
+        # are cached too (they are immutable once written; a data
+        # file's bloom never changes).
+        self._bloom_pos_memo: dict = {}
+        self._bloom_sidecar_cache: dict = {}
         # the atomic put-if-absent provider; swap in MutexCommitBackend
         # (with a real coordination service) for object stores whose
         # plain PUT is not atomic-if-absent
@@ -435,7 +463,208 @@ class SnapshotTable:
                 os.rename(os.path.join(tmp, f), dst)
                 moved.append(dst)
         shutil.rmtree(tmp)
-        return _file_stats(moved, self.stat_cols)
+        stats = _file_stats(moved, self.stat_cols)
+        if self.bloom_cols and moved:
+            self._write_blooms(moved, stats)
+        return stats
+
+    def _write_blooms(self, moved: list[str], stats: list[dict]) -> None:
+        """Write one bloom-filter sidecar per staged data file, built in
+        ONE distributed pass over ONLY the new files: each value sets
+        k = 7 bit positions (xxhash64(value, seed) mod m), OR-folded
+        into 64-bit words JVM-side via a bit_or aggregate (map-side
+        combined, so at most m/64 sparse (file, word) rows per file
+        leave the shuffle — never anything row-count-shaped), then
+        PACKED INTO THE DENSE BITSET EXECUTOR-SIDE (Arrow-batched
+        applyInPandas): the driver collects exactly one m/8-byte blob
+        per file, not word rows. m is sized to ~10 bits per row of the
+        batch's largest file (~1% false positives).
+
+        Sidecar format is binary — a one-line JSON header
+        {"m","k","cols":{col:[offset,len]}} followed by the raw
+        bitsets — because readers parse EVERY candidate's sidecar:
+        a point lookup over 64 files must cost 64 header reads + bit
+        probes, not 64 multi-MB JSON decodes. Sidecars land in
+        data/_bloom/ BEFORE the manifest commits, so a crash strands
+        only invisible sidecars (swept with their data files); a
+        missing or column-less sidecar makes reads keep the file —
+        pruning is only ever an over-approximation of "might
+        contain"."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        max_rows = max((e["rows"] for e in stats), default=0)
+        if max_rows == 0:
+            return
+        m = 1024
+        while m < _BLOOM_BITS_PER_ROW * max_rows:
+            m *= 2
+        base = self.spark.read.parquet(*moved)
+        cols = [c for c in self.bloom_cols if c in base.columns]
+        if not cols:
+            return
+        base = base.select(
+            F.col("_metadata.file_name").alias("__f"),
+            *[F.col(c) for c in cols],
+        )
+        n_words = m // 64
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            arr = np.zeros(n_words, dtype="<i8")
+            arr[pdf["w"].to_numpy(dtype="int64")] = (
+                pdf["b"].to_numpy(dtype="int64")
+            )
+            return pd.DataFrame(
+                {"f": [pdf["__f"].iloc[0]], "bits": [arr.tobytes()]}
+            )
+
+        per_file: dict[str, dict[str, bytes]] = {}
+        for c in cols:
+            rows = (
+                base.where(F.col(c).isNotNull())
+                .select(
+                    "__f",
+                    F.explode(F.array(*[
+                        F.pmod(F.xxhash64(F.col(c), F.lit(s)), F.lit(m))
+                        for s in range(_BLOOM_K)
+                    ])).alias("p"),
+                )
+                .groupBy(
+                    "__f",
+                    F.expr("shiftright(p, 6)").alias("w"),
+                )
+                .agg(F.bit_or(F.expr(
+                    "shiftleft(1L, cast(pmod(p, 64) as int))"
+                )).alias("b"))
+                .groupBy("__f")
+                .applyInPandas(pack, "f string, bits binary")
+                .collect()
+            )
+            for r in rows:
+                per_file.setdefault(r["f"], {})[c] = bytes(r["bits"])
+        bdir = os.path.join(self.path, "data", _BLOOM_DIR)
+        os.makedirs(bdir, exist_ok=True)
+        zero = b"\x00" * (m // 8)  # all-null column: proves absence
+        for f in moved:
+            name = os.path.basename(f)
+            header: dict = {"m": m, "k": _BLOOM_K, "cols": {}}
+            blobs = b""
+            for c in cols:
+                bts = per_file.get(name, {}).get(c, zero)
+                header["cols"][c] = [len(blobs), len(bts)]
+                blobs += bts
+            tmp = _bloom_path(self.path, name) + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(json.dumps(header).encode() + b"\n" + blobs)
+            os.replace(tmp, _bloom_path(self.path, name))
+
+    def _bloom_probe_positions(
+        self, col: str, values: list, m: int, dtype
+    ) -> list[tuple[int, ...]]:
+        """k bit positions per probe value, computed by SPARK ITSELF
+        with the identical expression the writer used — xxhash64's
+        output depends on the value's physical type, so driver-side
+        reimplementation would be a silent-corruption trap; a tiny
+        local job on the probe values (bounded by the probe, never the
+        table) is exact by construction."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            StructType([StructField("v", dtype)]),
+        )
+        rows = df.select(F.array(*[
+            F.pmod(F.xxhash64(F.col("v"), F.lit(s)), F.lit(m))
+            for s in range(_BLOOM_K)
+        ]).alias("ps")).collect()
+        return [tuple(int(p) for p in r["ps"]) for r in rows]
+
+    def _load_bloom(self, name: str) -> dict | None:
+        """Parse (and cache) one sidecar: {"m", "k", "cols": {col:
+        bitset bytes}}. Sidecars are write-once, so caching by file
+        name is safe; the cache is capped like the position memo."""
+        cache = self._bloom_sidecar_cache
+        if name in cache:
+            return cache[name]
+        sp = _bloom_path(self.path, name)
+        if not os.path.exists(sp):
+            doc = None
+        else:
+            with open(sp, "rb") as fh:
+                header_line = fh.readline()
+                blobs = fh.read()
+            header = json.loads(header_line)
+            doc = {
+                "m": header["m"],
+                "k": header["k"],
+                "cols": {
+                    c: blobs[off:off + ln]
+                    for c, (off, ln) in header["cols"].items()
+                },
+            }
+        if len(cache) > 512:
+            cache.clear()
+        cache[name] = doc
+        return doc
+
+    def _bloom_keep_files(
+        self, files: dict[str, dict],
+        preds: list[tuple[str, list]],
+        version: int | None,
+    ) -> dict[str, dict]:
+        """Drop candidate files whose bloom sidecar PROVES they contain
+        none of the probe values for some predicate. Conservative on
+        every gap: no sidecar, un-indexed column, or unknown column
+        type all keep the file. Probe positions are computed once per
+        (column, m, values) across the candidate set and memoized on
+        the handle."""
+        v = self.latest_version() if version is None else version
+        schema = self._schema_at(v)
+        pos_cache = self._bloom_pos_memo
+
+        def might_contain(doc: dict, col: str, values: list) -> bool:
+            cols = doc["cols"]
+            if col not in cols:
+                return True
+            if schema is None or col not in schema.fieldNames():
+                return True
+            dtype = schema[col].dataType
+            key = (col, doc["m"], str(dtype), tuple(values))
+            if key not in pos_cache:
+                if len(pos_cache) > 256:
+                    pos_cache.clear()
+                pos_cache[key] = self._bloom_probe_positions(
+                    col, values, doc["m"], dtype
+                )
+            bits = cols[col]
+            for ps in pos_cache[key]:
+                hit = True
+                for p in ps:
+                    word = int.from_bytes(
+                        bits[8 * (p >> 6):8 * (p >> 6) + 8], "little"
+                    )
+                    if not (word >> (p & 63)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    return True
+            return False
+
+        out = {}
+        for name, e in files.items():
+            doc = self._load_bloom(name)
+            if doc is None:
+                out[name] = e
+                continue
+            if all(
+                might_contain(doc, col, list(values))
+                for col, values in preds
+            ):
+                out[name] = e
+        return out
 
     def _stage_dv(self, dv: DataFrame) -> list[dict]:
         """Stage a DELETION VECTOR file: (target data-file name, row
@@ -1494,6 +1723,10 @@ class SnapshotTable:
                 if age < grace_seconds:
                     continue  # possibly an in-flight writer's staging
             os.remove(p)
+            # a data file's bloom sidecar dies with it
+            bp = _bloom_path(self.path, f)
+            if os.path.exists(bp):
+                os.remove(bp)
             dropped.append(f)
         return dropped
 
@@ -1649,6 +1882,7 @@ class SnapshotTable:
         self,
         version: int | None = None,
         prune: list[tuple[str, object, object]] | None = None,
+        bloom: list[tuple[str, list]] | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally at a past version (time travel)
         and optionally file-pruned: prune entries are either
@@ -1658,7 +1892,14 @@ class SnapshotTable:
         would defeat a single min..max range). Either way files drop
         BEFORE Spark plans the scan — file-level skipping on any
         stats column, complementing parquet's row-group stats which
-        Spark only consults after opening the file."""
+        Spark only consults after opening the file.
+
+        `bloom` entries are (col, values) EQUALITY predicates tested
+        against the per-file bloom sidecars (bloom_cols): the prune
+        for point lookups on high-cardinality UNSORTED columns, where
+        every file's [min,max] spans the domain and stat pruning keeps
+        everything. Both prunes over-approximate "might contain" —
+        callers still apply the exact filter on the returned frame."""
         files = self._live_files(version)
         if not files:
             raise ValueError("empty table (no committed version)")
@@ -1680,10 +1921,12 @@ class SnapshotTable:
                 for name, e in files.items()
                 if all(keep(e, pred) for pred in prune)
             }
-            if not files:
-                # every file pruned: empty frame with the right schema
-                any_files = self._live_files(version)
-                return self._df_for(any_files, schema).limit(0)
+        if bloom and files:
+            files = self._bloom_keep_files(files, bloom, version)
+        if not files:
+            # every file pruned: empty frame with the right schema
+            any_files = self._live_files(version)
+            return self._df_for(any_files, schema).limit(0)
         return self._read_files(files, schema)
 
     def history(self) -> list[dict]:

@@ -1227,3 +1227,87 @@ def test_properties_survive_retention(spark, tmp_path):
     # and a post-retention update still wins
     t.append(_kv(spark, [(99, "z")]), properties={"fmt": "v3"})
     assert t.properties_at()["fmt"] == "v3"
+
+
+# ---------------- bloom-filter file index ----------------
+
+
+def test_bloom_prune_point_lookup(spark, tmp_path):
+    """Equality file-skipping on a high-cardinality column where
+    min/max stats are useless: a point probe keeps ~1 of 8 files
+    (plus at most a couple of false positives), and an absent key
+    prunes everything while preserving the schema."""
+    t = SnapshotTable(spark, str(tmp_path / "tb"), bloom_cols=["k"])
+    for lo in (0, 1000, 2000, 3000):
+        t.append(_df(spark, lo, lo + 500).repartition(2))
+    live = t._live_files()
+    assert len(live) == 8
+    kept = t._bloom_keep_files(live, [("k", [2123])], None)
+    assert 1 <= len(kept) <= 3
+    rows = t.read(bloom=[("k", [2123])]).where(F.col("k") == 2123)
+    assert rows.count() == 1
+    absent = t.read(bloom=[("k", [999_999])])
+    assert absent.count() == 0
+    assert absent.columns == ["k", "tag"]
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    """The index contract: a miss PROVES absence, so a pruned read +
+    exact filter must equal a full read + exact filter for every
+    present key — including string columns and multi-value probes."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "tb2"), bloom_cols=["k", "tag"]
+    )
+    t.append(_df(spark, 0, 300, "a").repartition(3))
+    t.append(_df(spark, 300, 600, "b").repartition(3))
+    for k in (0, 17, 299, 300, 599):
+        got = t.read(bloom=[("k", [k])]).where(F.col("k") == k)
+        assert got.count() == 1, k
+    multi = t.read(bloom=[("k", [5, 305])]).where(
+        F.col("k").isin(5, 305)
+    )
+    assert multi.count() == 2
+    tag_b = t.read(bloom=[("tag", ["b"])]).where(F.col("tag") == "b")
+    assert tag_b.count() == 300
+
+
+def test_bloom_sidecar_lifecycle(spark, tmp_path):
+    """Sidecars are per-data-file, files written by a handle WITHOUT
+    bloom_cols stay un-indexed and are kept conservatively, and a
+    vacuumed data file takes its sidecar with it."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        _bloom_path,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tb3"), bloom_cols=["k"])
+    t.append(_df(spark, 0, 100))
+    bdir = tmp_path / "tb3" / "data" / "_bloom"
+    assert len(list(bdir.glob("*.bloom"))) == len(t._live_files())
+    # un-indexed append via a bloom-less handle: reads must keep it
+    t2 = SnapshotTable(spark, str(tmp_path / "tb3"))
+    t2.append(_df(spark, 100, 200))
+    hit = t.read(bloom=[("k", [150])]).where(F.col("k") == 150)
+    assert hit.count() == 1
+    # retention: dead files' sidecars die with them (expire_versions
+    # sweeps immediately through the same path vacuum uses)
+    before = set(t._live_files())
+    t.overwrite(_df(spark, 0, 10))
+    t.expire_versions(keep_last=1, grace_seconds=0.0)
+    t.vacuum(grace_seconds=0.0)
+    dead = before - set(t._live_files())
+    assert dead
+    for f in dead:
+        assert not os.path.exists(_bloom_path(str(tmp_path / "tb3"), f))
+
+
+def test_bloom_read_respects_deletion_vectors(spark, tmp_path):
+    """Bloom pruning composes with merge-on-read: a row masked by a
+    deletion vector stays invisible in a bloom-pruned point read (the
+    stale bloom bit is an over-approximation, never a resurrection)."""
+    t = SnapshotTable(spark, str(tmp_path / "tb4"), bloom_cols=["k"])
+    t.append(_df(spark, 0, 200).repartition(2))
+    t.delete_where("k = 42", mode="mor")
+    gone = t.read(bloom=[("k", [42])]).where(F.col("k") == 42)
+    assert gone.count() == 0
+    kept = t.read(bloom=[("k", [43])]).where(F.col("k") == 43)
+    assert kept.count() == 1
