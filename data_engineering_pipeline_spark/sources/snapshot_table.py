@@ -1194,6 +1194,27 @@ class SnapshotTable:
 
         ranges = {k: (rng[f"lo_{k}"], rng[f"hi_{k}"]) for k in keys}
         candidates = _prune_candidates(live, keys, ranges, points)
+        if points and candidates:
+            # bloom pre-prune (no-op without sidecars): on an
+            # UNCLUSTERED table every file's [min,max] spans the key
+            # domain and the stat prune keeps everything — the bloom
+            # sidecars then drop files that provably hold NONE of the
+            # batch's keys BEFORE the keys-only candidate scan below,
+            # which is otherwise the dominant cost of a sparse merge.
+            # Conservative exactly like the stat test: masked rows and
+            # false positives only re-enter the semi-join, never the
+            # result. All-null key columns are excluded (they cannot
+            # equi-match, and an empty probe set proves nothing).
+            candidates = self._bloom_keep_files(
+                candidates,
+                [(k, points[k]) for k in keys if points.get(k)],
+                head,
+            )
+        # observability for tests and probes: how far metadata alone
+        # narrowed this merge before any data was scanned
+        self.last_merge_stats = {
+            "live": len(live), "candidates": len(candidates),
+        }
         src_keys = source.select(*keys)
         touched: set[str] = set()
         matched_pos = None

@@ -1311,3 +1311,27 @@ def test_bloom_read_respects_deletion_vectors(spark, tmp_path):
     assert gone.count() == 0
     kept = t.read(bloom=[("k", [43])]).where(F.col("k") == 43)
     assert kept.count() == 1
+
+
+def test_bloom_prunes_merge_candidates(spark, tmp_path):
+    """A sparse scattered-key MERGE on an UNCLUSTERED table: min/max
+    stats keep every file (each spans the key domain), but the bloom
+    sidecars narrow the candidate scan to the batch's footprint —
+    with results identical to the un-indexed twin."""
+    data = _df(spark, 0, 4000).repartition(8)
+    t_b = SnapshotTable(spark, str(tmp_path / "mb"),
+                        stat_cols=["k"], bloom_cols=["k"])
+    t_p = SnapshotTable(spark, str(tmp_path / "mp"), stat_cols=["k"])
+    t_b.append(data)
+    t_p.append(data)
+    src = spark.createDataFrame(
+        [(7, "upd"), (3777, "upd")], "k long, tag string"
+    )
+    for t in (t_b, t_p):
+        t.merge_into(src, ["k"], when_matched="update")
+    assert t_p.last_merge_stats["candidates"] == 8  # stats prune nothing
+    assert t_b.last_merge_stats["candidates"] <= 4  # blooms find the footprint
+    rows_b = sorted((r.k, r.tag) for r in t_b.read().collect())
+    rows_p = sorted((r.k, r.tag) for r in t_p.read().collect())
+    assert rows_b == rows_p
+    assert dict(rows_b)[7] == "upd" and dict(rows_b)[3777] == "upd"
