@@ -70,6 +70,12 @@ HEADLINE = [
     "op-graph-pagerank",
     "curation-shards",
     "op-snapshot-merge-mor",
+    # round 7 late additions: the two new metadata-pruned read paths
+    # (Z-order box prune; bloom-indexed point read) — tracked from
+    # this round so regressions in the prune planners show up as
+    # wall-time, not just as test failures
+    "op-snapshot-prune-box",
+    "op-snapshot-bloom-read",
 ]
 
 TIMED_RUNS = 3
