@@ -26,6 +26,7 @@ _CHECK_FIRST = [
     "op-snapshot-cdf-mor",  # new: CDC across DV-only commits
     "op-snapshot-prune-box",  # new: Z-order + box-pruned read
     "op-snapshot-bloom-read",  # new: bloom-indexed point read
+    "op-snapshot-incr-join",  # new: CDC-maintained join view
     "op-snapshot-merge",  # dup-source guard + composite-key pruning
     "op-snapshot-delete",  # MoR deletion-vector read path shared
     "op-snapshot-update",

@@ -1717,3 +1717,115 @@ def op_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-incr-join",
+    """
+    WITH a0 AS (
+      SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    a1 AS (
+      SELECT o_orderkey, custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM a0 WHERE o_orderkey % 11 <> 0
+    ),
+    a2 AS (
+      SELECT o_orderkey, custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM a1
+    ),
+    b0 AS (SELECT c_custkey AS custkey, c_acctbal FROM customer),
+    b1 AS (
+      SELECT custkey,
+             CASE WHEN custkey % 5 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal
+      FROM b0 WHERE custkey % 13 <> 0
+    )
+    SELECT a2.o_orderkey AS o_orderkey, a2.custkey AS custkey,
+           round(a2.o_totalprice, 2) AS price,
+           round(b1.c_acctbal, 2) AS acctbal
+    FROM a2 JOIN b1 USING (custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental JOIN materialization
+    (sources/snapshot_table.py refresh_join): a fact table (orders)
+    and a dimension (customer) each live in a snapshot table; their
+    inner join is materialized once, then maintained from BOTH change
+    feeds across two refresh cycles — fact update+delete first, then
+    a second fact update arriving together with a dimension
+    update+delete (the both-sides-changed overlap). The oracle
+    recomputes the final join relationally, so a stale pair surviving
+    deletion, a postimage lost in the delta union, or a double-counted
+    both-changed pair all break the hash. Doubling and adding integers
+    to 2-dp doubles is exact, so round(.,2) is cross-engine safe."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="snap_ij_q_")
+    a = SnapshotTable(spark, os.path.join(base, "a"),
+                      stat_cols=["o_orderkey"])
+    b = SnapshotTable(spark, os.path.join(base, "b"))
+    view = SnapshotTable(spark, os.path.join(base, "v"))
+
+    a0 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            "o_totalprice",
+        )
+    )
+    b0 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    a.append(a0)
+    b.append(b0)
+    refresh_join(a, b, view, ["o_orderkey"], ["custkey"], ["custkey"])
+
+    # cycle 1: fact churn only
+    a.merge_into(
+        a0.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    a.delete_where("o_orderkey % 11 = 0")
+    refresh_join(a, b, view, ["o_orderkey"], ["custkey"], ["custkey"])
+
+    # cycle 2: fact AND dimension churn between refreshes
+    a.merge_into(
+        a.read().filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10
+        ),
+        ["o_orderkey"],
+    )
+    b.merge_into(
+        b0.filter(F.col("custkey") % 5 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        ),
+        ["custkey"],
+    )
+    b.delete_where("custkey % 13 = 0")
+    refresh_join(a, b, view, ["o_orderkey"], ["custkey"], ["custkey"])
+
+    return (
+        view.read()
+        .select(
+            "o_orderkey", "custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -2106,3 +2106,113 @@ def refresh_aggregate(
             .filter(F.col("cnt") > 0)
         )
     return agg.overwrite(fresh, txn=(app, head))
+
+
+def refresh_join(
+    a: SnapshotTable,
+    b: SnapshotTable,
+    view: SnapshotTable,
+    a_keys: list[str],
+    b_keys: list[str],
+    on: list[str],
+) -> int | None:
+    """Incrementally maintain a materialized INNER EQUI-JOIN of two
+    snapshot tables inside `view`, driven by BOTH change data feeds —
+    refresh_aggregate's sibling for the other big warehouse
+    materialization. Non-join columns of `a` and `b` must be disjoint
+    (the usual materialized-join contract); rows of `view` are keyed
+    by a_keys + b_keys (the pair key).
+
+    Delta rule (exact): the pairs affected by a refresh are those
+    touching a changed a-key or a changed b-key. Stale pairs are
+    dropped with a merge-on-read MERGE DELETE (write IO bounded by
+    churn, never view size); the replacement slice is
+
+        dA_post JOIN b_head            (changed-a pairs), union
+        (a_head MINUS changed-a keys) JOIN dB_post   (changed-b-only)
+
+    — the postimages already carry the new rows, so neither source is
+    rescanned for its own changes; the cross terms read the OTHER
+    side's head snapshot, a read that stat/bloom prunes to the
+    matching footprint when `on` is indexed (bloom_cols) on both
+    tables. Refresh cost therefore tracks CHURN, not source or view
+    size, and the result equals a full a JOIN b recompute EXACTLY.
+
+    Exactly-once: both applied head versions ride ONE txn watermark,
+    encoded ha * 2^31 + hb (monotone — heads only grow; version
+    counts are nowhere near 2^31). A crash between the delete commit
+    and the txn-stamped append replays convergently: the watermark
+    has not advanced, the re-run's stale set simply finds the
+    already-deleted pairs gone (merge-delete no-op) and the slice is
+    recomputed and appended once. Readers wanting a consistent view
+    mid-refresh pin a version — snapshot isolation is the table
+    format's own contract. If retention expired a watermark's CDC
+    range, the view falls back to one full recompute and re-stamps
+    (same rule as refresh_aggregate)."""
+    from pyspark.sql import functions as F
+
+    ha, hb = a.latest_version(), b.latest_version()
+    if ha is None or hb is None:
+        return None
+    app = (
+        f"incr-join:{os.path.abspath(a.path)}:{os.path.abspath(b.path)}"
+    )
+    enc_applied = view.txn_version(app)
+    enc_new = ha * (1 << 31) + hb
+    if enc_applied >= enc_new:
+        return None
+    if enc_applied < 0:
+        return view.overwrite(a.read().join(b.read(), on),
+                              txn=(app, enc_new))
+    wa, wb = divmod(enc_applied, 1 << 31)
+    try:
+        cdc_a = a.changes(wa, ha, a_keys) if ha > wa else None
+        cdc_b = b.changes(wb, hb, b_keys) if hb > wb else None
+    except ValueError:
+        # a watermark's CDC range fell to retention: recompute once
+        return view.overwrite(a.read().join(b.read(), on),
+                              txn=(app, enc_new))
+    post = ("insert", "update_postimage")
+    pair = a_keys + b_keys
+
+    changed_a = (
+        cdc_a.select(*a_keys).distinct() if cdc_a is not None else None
+    )
+    changed_b = (
+        cdc_b.select(*b_keys).distinct() if cdc_b is not None else None
+    )
+    vw = view.read().select(*pair)
+    stale_parts = []
+    if changed_a is not None:
+        stale_parts.append(vw.join(changed_a, a_keys, "left_semi"))
+    if changed_b is not None:
+        stale_parts.append(vw.join(changed_b, b_keys, "left_semi"))
+    stale = stale_parts[0]
+    for p in stale_parts[1:]:
+        # by NAME: a USING join reorders output columns (join keys
+        # first), so the two semi-joins disagree on column order
+        stale = stale.unionByName(p)
+    view.merge_into(
+        stale.distinct(), pair,
+        when_matched="delete", insert_not_matched=False, mode="mor",
+    )
+
+    fresh_parts = []
+    if cdc_a is not None:
+        a_post = cdc_a.filter(
+            F.col("_change_type").isin(*post)
+        ).drop("_change_type")
+        fresh_parts.append(a_post.join(b.read(), on))
+    if cdc_b is not None:
+        b_post = cdc_b.filter(
+            F.col("_change_type").isin(*post)
+        ).drop("_change_type")
+        a_side = a.read()
+        if changed_a is not None:
+            # changed-a pairs are already covered by the first term
+            a_side = a_side.join(changed_a, a_keys, "left_anti")
+        fresh_parts.append(a_side.join(b_post, on))
+    fresh = fresh_parts[0]
+    for p in fresh_parts[1:]:
+        fresh = fresh.unionByName(p)
+    return view.append(fresh, txn=(app, enc_new))

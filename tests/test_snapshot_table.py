@@ -1335,3 +1335,114 @@ def test_bloom_prunes_merge_candidates(spark, tmp_path):
     rows_p = sorted((r.k, r.tag) for r in t_p.read().collect())
     assert rows_b == rows_p
     assert dict(rows_b)[7] == "upd" and dict(rows_b)[3777] == "upd"
+
+
+# ---------------- incremental join materialization ----------------
+
+
+def _join_fixture(spark, tmp_path):
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_join,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "ja"))
+    b = SnapshotTable(spark, str(tmp_path / "jb"))
+    view = SnapshotTable(spark, str(tmp_path / "jv"))
+    a.append(spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(40)],
+        "ak long, j long, aval long",
+    ))
+    b.append(spark.createDataFrame(
+        [(j, f"dim{j}") for j in range(5)], "j long, bval string"
+    ))
+    return a, b, view, refresh_join
+
+
+def _full(a, b):
+    return sorted(
+        tuple(r) for r in
+        a.read().join(b.read(), ["j"])
+        .select("j", "ak", "aval", "bval").collect()
+    )
+
+
+def _view_rows(view):
+    return sorted(
+        tuple(r) for r in
+        view.read().select("j", "ak", "aval", "bval").collect()
+    )
+
+
+def test_refresh_join_incremental_equals_full(spark, tmp_path):
+    """Bootstrap, then churn BOTH sides (update/insert/delete on the
+    fact, update/delete on the dim): every refresh must leave the view
+    exactly equal to a full join recompute, and a no-change refresh
+    must be a no-op."""
+    a, b, view, refresh_join = _join_fixture(spark, tmp_path)
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) == 0
+    assert _view_rows(view) == _full(a, b)
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is None
+
+    # churn side A: update, insert, delete
+    a.merge_into(
+        spark.createDataFrame(
+            [(3, 3 % 5, 999), (100, 2, 1000)], "ak long, j long, aval long"
+        ),
+        ["ak"],
+    )
+    a.delete_where("ak % 7 = 0")
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is not None
+    assert _view_rows(view) == _full(a, b)
+
+    # churn side B: dim update + dim delete (kills that key's pairs)
+    b.merge_into(
+        spark.createDataFrame([(2, "DIM2")], "j long, bval string"), ["j"]
+    )
+    b.delete_where("j = 4")
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is not None
+    got = _view_rows(view)
+    assert got == _full(a, b)
+    assert all(r[0] != 4 for r in got)
+    assert {r[3] for r in got if r[0] == 2} == {"DIM2"}
+
+    # churn BOTH sides between refreshes (the double-changed overlap)
+    a.merge_into(
+        spark.createDataFrame([(200, 1, 7)], "ak long, j long, aval long"),
+        ["ak"],
+    )
+    b.merge_into(
+        spark.createDataFrame([(1, "DIM1")], "j long, bval string"), ["j"]
+    )
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is not None
+    assert _view_rows(view) == _full(a, b)
+
+
+def test_refresh_join_replay_and_churn_bounded_writes(spark, tmp_path):
+    """A replayed refresh (same heads) is a no-op; incremental commits
+    add O(churn) rows, not O(view); a retention-expired watermark falls
+    back to one full recompute instead of wedging."""
+    a, b, view, refresh_join = _join_fixture(spark, tmp_path)
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    n_boot = view.read().count()
+    a.merge_into(
+        spark.createDataFrame([(0, 0, -1)], "ak long, j long, aval long"),
+        ["ak"],
+    )
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    assert _view_rows(view) == _full(a, b)
+    # the incremental append touched one pair, not the whole view
+    h = view.history()
+    assert h[-1]["op"] == "append" and h[-1]["rows_added"] == 1
+    assert n_boot > 1
+    # replay with unchanged heads: no commit
+    v_before = view.latest_version()
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is None
+    assert view.latest_version() == v_before
+    # expire A's history past the watermark: refresh must fall back
+    for i in range(6):
+        a.append(spark.createDataFrame(
+            [(300 + i, 1, i)], "ak long, j long, aval long"
+        ))
+    a.expire_versions(keep_last=1, grace_seconds=0.0)
+    assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is not None
+    assert _view_rows(view) == _full(a, b)
