@@ -422,6 +422,58 @@ def aggregate_refresh_sink(
     )
 
 
+def join_refresh_sink(
+    stream_df: DataFrame,
+    fact_path: str,
+    dim_path: str,
+    view_path: str,
+    checkpoint: str,
+    app_id: str,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    on: list[str],
+    dedupe_source: str | None = None,
+) -> StreamingQuery:
+    """Bronze -> silver for the JOIN materialization: each micro-batch
+    MERGEs into the snapshot FACT table (txn exactly-once, file-pruned
+    upsert), then the materialized fact-dim join refreshes from BOTH
+    change feeds (sources/snapshot_table.py refresh_join) — dimension
+    updates committed by other writers between batches are folded in
+    on the same cadence, without the stream ever scanning the
+    dimension for its own sake. Crash/replay anywhere in the chain
+    converges: the merge is (app, batch)-stamped and the refresh is
+    watermarked by the encoded pair of applied head versions, so a
+    replayed batch is a log-checked no-op at every layer. Per-batch
+    cost tracks the batch and the dimension churn, never the fact or
+    view size."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_join,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fact = SnapshotTable(spark, fact_path)
+        fact.merge_into(
+            batch_df, fact_keys, txn=(app_id, batch_id),
+            dedupe_source=dedupe_source,
+        )
+        refresh_join(
+            fact, SnapshotTable(spark, dim_path),
+            SnapshotTable(spark, view_path),
+            fact_keys, dim_keys, on,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def snapshot_merge_sink(
     stream_df: DataFrame,
     path: str,

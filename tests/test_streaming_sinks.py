@@ -581,3 +581,83 @@ def test_snapshot_merge_sink_mor_mode(spark, tmp_path):
     run("ck2")  # full replay: txn-stamped no-ops
     assert t.latest_version() == v
     assert {r.k: r.val for r in t.read().collect()} == want
+
+
+def test_join_refresh_sink_fact_dim_materialization(spark, tmp_path):
+    """Streamed fact batches merge into the fact table and the
+    materialized fact-dim join refreshes from both change feeds per
+    batch; a dimension update landing between runs is folded in; a
+    full replay changes no layer."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        join_refresh_sink,
+    )
+
+    land = tmp_path / "in"
+    land.mkdir()
+    fact_df = spark.range(90).select(
+        F.col("id").alias("ak"),
+        (F.col("id") % 4).alias("j"),
+        (F.col("id") * 10).alias("aval"),
+    )
+    fact_df.repartition(3).write.parquet(str(land / "files"))
+    dim_p = str(tmp_path / "dim")
+    dim = SnapshotTable(spark, dim_p)
+    dim.append(spark.createDataFrame(
+        [(j, f"dim{j}") for j in range(4)], "j long, bval string"
+    ))
+    fact_p, view_p = str(tmp_path / "fact"), str(tmp_path / "view")
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "ak long, j long, aval long"
+        ).option("maxFilesPerTrigger", "1").parquet(str(land / "files"))
+        join_refresh_sink(
+            stream, fact_p, dim_p, view_p, str(tmp_path / ck),
+            "jrs", ["ak"], ["j"], ["j"],
+        ).awaitTermination()
+
+    def recompute():
+        return sorted(
+            tuple(r) for r in
+            SnapshotTable(spark, fact_p).read()
+            .join(dim.read(), ["j"])
+            .select("j", "ak", "aval", "bval").collect()
+        )
+
+    def view_rows():
+        return sorted(
+            tuple(r) for r in
+            SnapshotTable(spark, view_p).read()
+            .select("j", "ak", "aval", "bval").collect()
+        )
+
+    run("ck1")
+    assert view_rows() == recompute()
+    # a dimension writer updates between batches: next run folds it in
+    dim.merge_into(
+        spark.createDataFrame([(2, "DIM2")], "j long, bval string"), ["j"]
+    )
+    spark.createDataFrame(
+        [(1000, 2, -5), (45, 1, -6)], "ak long, j long, aval long"
+    ).coalesce(1).write.mode("append").parquet(str(land / "files"))
+    run("ck1")  # same checkpoint: only the new file is a new batch
+    got = view_rows()
+    assert got == recompute()
+    assert {r[3] for r in got if r[0] == 2} == {"DIM2"}
+    assert (2, 1000, -5, "DIM2") in got and (1, 45, -6, "dim1") in got
+
+    v = tuple(
+        SnapshotTable(spark, p).latest_version()
+        for p in (fact_p, view_p)
+    )
+    run("ck2")  # full replay from a fresh checkpoint: all no-ops
+    assert tuple(
+        SnapshotTable(spark, p).latest_version()
+        for p in (fact_p, view_p)
+    ) == v
+    assert view_rows() == recompute()
