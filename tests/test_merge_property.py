@@ -194,3 +194,92 @@ def test_cow_and_mor_merge_sequences_equivalent(
     # Materializing the deletion vectors must not change the data.
     tables["mor"].compact()
     assert {r.k: r.v for r in tables["mor"].read().collect()} == model
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a0=st.dictionaries(
+        st.integers(min_value=0, max_value=20),  # ak
+        st.tuples(st.integers(min_value=0, max_value=3),   # j
+                  st.integers(min_value=-9, max_value=9)),  # aval
+        min_size=1, max_size=10,
+    ),
+    b0=st.dictionaries(
+        st.integers(min_value=0, max_value=3),  # j
+        st.integers(min_value=-9, max_value=9),  # bval
+        min_size=1, max_size=4,
+    ),
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["a_merge", "a_delete", "b_merge", "b_delete"]),
+            st.dictionaries(
+                st.integers(min_value=0, max_value=20),
+                st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=-9, max_value=9)),
+                min_size=1, max_size=4,
+            ),
+            st.booleans(),  # refresh after this step?
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_refresh_join_matches_full_recompute(
+    spark, tmp_path_factory, a0, b0, steps
+):
+    """For ANY random interleaving of fact/dim merges and deletes —
+    with refreshes landing after arbitrary subsets of the churn — the
+    maintained view must equal a full join recompute at every refresh
+    point, including the final one."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable, refresh_join,
+    )
+
+    base = tmp_path_factory.mktemp("rj")
+    a = SnapshotTable(spark, str(base / "a"))
+    b = SnapshotTable(spark, str(base / "b"))
+    view = SnapshotTable(spark, str(base / "v"))
+    a.append(spark.createDataFrame(
+        [(k, j, v) for k, (j, v) in a0.items()], "ak long, j long, aval long"
+    ))
+    b.append(spark.createDataFrame(
+        [(j, v) for j, v in b0.items()], "j long, bval long"
+    ))
+
+    def check():
+        refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+        got = sorted(
+            tuple(r) for r in
+            view.read().select("j", "ak", "aval", "bval").collect()
+        )
+        want = sorted(
+            tuple(r) for r in
+            a.read().join(b.read(), ["j"])
+            .select("j", "ak", "aval", "bval").collect()
+        )
+        assert got == want
+
+    check()
+    for op, payload, do_refresh in steps:
+        if op == "a_merge":
+            a.merge_into(spark.createDataFrame(
+                [(k, j, v) for k, (j, v) in payload.items()],
+                "ak long, j long, aval long",
+            ), ["ak"])
+        elif op == "a_delete":
+            ks = ",".join(str(k) for k in payload)
+            a.delete_where(f"ak IN ({ks})")
+        elif op == "b_merge":
+            b.merge_into(spark.createDataFrame(
+                [(j % 4, v) for j, (_, v) in payload.items()][:4],
+                "j long, bval long",
+            ), ["j"], dedupe_source="bval")
+        else:
+            js = ",".join(str(j % 4) for j in payload)
+            b.delete_where(f"j IN ({js})")
+        if do_refresh:
+            check()
+    check()
