@@ -2172,8 +2172,41 @@ def refresh_join(
         # a watermark's CDC range fell to retention: recompute once
         return view.overwrite(a.read().join(b.read(), on),
                               txn=(app, enc_new))
+    # pin each diff once (it is churn-sized): the refresh consumes it
+    # from several actions (key collects, the stale semi-joins, both
+    # delta terms) and re-deriving the multi-scan diff plan each time
+    # would dominate the per-batch constant
+    if cdc_a is not None:
+        cdc_a = cdc_a.localCheckpoint(eager=True)
+    if cdc_b is not None:
+        cdc_b = cdc_b.localCheckpoint(eager=True)
     post = ("insert", "update_postimage")
     pair = a_keys + b_keys
+
+    # every read below is FOOTPRINT-BOUNDED when the churn is sparse:
+    # the changed key / join-value sets (capped at the same 1024 the
+    # merge planner uses) become point-set stat + bloom prunes on the
+    # view and on the cross-term source reads, so a small batch opens
+    # only the files that can hold affected rows. Pruning is always a
+    # superset of the matching rows; the joins on top keep exactness.
+    point_cap = 1024
+
+    def small_vals(df: DataFrame, cols: list[str]) -> list | None:
+        rows = (
+            df.select(*cols).distinct().limit(point_cap + 1).collect()
+        )
+        if len(rows) > point_cap:
+            return None
+        preds = [
+            (c, sorted({r[c] for r in rows if r[c] is not None}))
+            for c in cols
+        ]
+        return [(c, v) for c, v in preds if v]
+
+    def pruned_read(t: SnapshotTable, preds: list | None) -> DataFrame:
+        if not preds:
+            return t.read()
+        return t.read(prune=preds, bloom=preds)
 
     changed_a = (
         cdc_a.select(*a_keys).distinct() if cdc_a is not None else None
@@ -2181,12 +2214,17 @@ def refresh_join(
     changed_b = (
         cdc_b.select(*b_keys).distinct() if cdc_b is not None else None
     )
-    vw = view.read().select(*pair)
     stale_parts = []
     if changed_a is not None:
-        stale_parts.append(vw.join(changed_a, a_keys, "left_semi"))
+        vw_a = pruned_read(view, small_vals(changed_a, a_keys))
+        stale_parts.append(
+            vw_a.select(*pair).join(changed_a, a_keys, "left_semi")
+        )
     if changed_b is not None:
-        stale_parts.append(vw.join(changed_b, b_keys, "left_semi"))
+        vw_b = pruned_read(view, small_vals(changed_b, b_keys))
+        stale_parts.append(
+            vw_b.select(*pair).join(changed_b, b_keys, "left_semi")
+        )
     stale = stale_parts[0]
     for p in stale_parts[1:]:
         # by NAME: a USING join reorders output columns (join keys
@@ -2202,12 +2240,13 @@ def refresh_join(
         a_post = cdc_a.filter(
             F.col("_change_type").isin(*post)
         ).drop("_change_type")
-        fresh_parts.append(a_post.join(b.read(), on))
+        b_read = pruned_read(b, small_vals(a_post, on))
+        fresh_parts.append(a_post.join(b_read, on))
     if cdc_b is not None:
         b_post = cdc_b.filter(
             F.col("_change_type").isin(*post)
         ).drop("_change_type")
-        a_side = a.read()
+        a_side = pruned_read(a, small_vals(b_post, on))
         if changed_a is not None:
             # changed-a pairs are already covered by the first term
             a_side = a_side.join(changed_a, a_keys, "left_anti")
