@@ -933,10 +933,17 @@ class SnapshotTable:
 
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None,
-                bits: int = 8) -> int:
+                bits: int = 8,
+                target_bytes: int | None = None) -> int:
         """Rewrite the current snapshot into `target_files` files —
         the small-file cure for append-heavy tables. Conflicts like
         upsert: commits only if its source files are all still live.
+
+        `target_bytes` sizes the rewrite by DATA instead: the file
+        count becomes ceil(live bytes / target_bytes) — the way a
+        100 TB table is actually compacted (aim at ~1 GiB files, not a
+        count that goes stale as the table grows). Sizes come from the
+        live files' on-disk footprint, driver-side, no scan.
 
         `cluster_by` additionally Z-ORDERS the rewrite (Delta's
         OPTIMIZE ZORDER BY): rows are range-partitioned and sorted on
@@ -958,6 +965,16 @@ class SnapshotTable:
         if head is None:
             raise ValueError("cannot compact an empty table")
         read_files = self._live_files()
+        if target_bytes is not None:
+            total = 0
+            for name in read_files:
+                try:
+                    total += os.path.getsize(
+                        os.path.join(self.path, "data", name)
+                    )
+                except OSError:
+                    pass
+            target_files = max(1, -(-total // target_bytes))
         cur_schema = self._schema_at(head)
         # DV-aware: compaction materializes the masked rows away — the
         # rewrite retires every deletion vector on its source files
@@ -1663,7 +1680,8 @@ class SnapshotTable:
     def maintain(self, max_files: int = 64, keep_versions: int = 30,
                  cluster_by: list[str] | None = None,
                  grace_seconds: float = 3600.0,
-                 max_dv_files: int = 8) -> dict:
+                 max_dv_files: int = 8,
+                 target_bytes: int | None = None) -> dict:
         """One-call housekeeping — the routine a scheduler runs
         nightly: purge deletion-vector masks once more than
         `max_dv_files` live files carry them (bounding the read-time
@@ -1685,7 +1703,11 @@ class SnapshotTable:
             self.purge_dvs()
             out["purged"] = True
         if will_compact:
-            self.compact(target_files=max_files, cluster_by=cluster_by)
+            # target_bytes sizes the rewrite by data volume (the
+            # steady-state policy); the max_files count is the
+            # fallback when no byte target is set
+            self.compact(target_files=max_files, cluster_by=cluster_by,
+                         target_bytes=target_bytes)
             out["compacted"] = True
         res = self.expire_versions(
             keep_versions, grace_seconds=grace_seconds

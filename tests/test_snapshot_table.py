@@ -1446,3 +1446,23 @@ def test_refresh_join_replay_and_churn_bounded_writes(spark, tmp_path):
     a.expire_versions(keep_last=1, grace_seconds=0.0)
     assert refresh_join(a, b, view, ["ak"], ["j"], ["j"]) is not None
     assert _view_rows(view) == _full(a, b)
+
+
+def test_compact_by_target_bytes(spark, tmp_path):
+    """Size-targeted compaction: the output file count follows the
+    live data volume (ceil(bytes / target)), so the same maintenance
+    call keeps producing right-sized files as the table grows."""
+    t = SnapshotTable(spark, str(tmp_path / "cb"))
+    for i in range(6):
+        t.append(_df(spark, 1000 * i, 1000 * i + 1000).repartition(4))
+    live = t._live_files()
+    assert len(live) == 24
+    total = sum(
+        os.path.getsize(os.path.join(str(tmp_path / "cb"), "data", f))
+        for f in live
+    )
+    target = total // 3  # expect ~3-4 output files
+    t.compact(target_bytes=target)
+    n = len(t._live_files())
+    assert 2 <= n <= 5
+    assert t.read().count() == 6000
