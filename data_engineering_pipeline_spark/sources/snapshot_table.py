@@ -2276,4 +2276,23 @@ def refresh_join(
     fresh = fresh_parts[0]
     for p in fresh_parts[1:]:
         fresh = fresh.unionByName(p)
-    return view.append(fresh, txn=(app, enc_new))
+
+    adds = view._stage(fresh)
+
+    def guard(live_now: dict) -> list:
+        # commit-time premise, re-checked inside the retry loop: the
+        # watermark this refresh READ must still be current. Without
+        # it, two racing refreshes over overlapping CDC ranges could
+        # both append their slices (the delete leg's serializable
+        # conflict does not fire when the stale sets are empty — e.g.
+        # pure-insert churn) and double-apply the overlap.
+        if view.txn_version(app) != enc_applied:
+            raise SnapshotConflict(
+                "join view advanced past this refresh's watermark "
+                "(concurrent refresh committed); re-run"
+            )
+        return []
+
+    return view._commit_loop(
+        "append", adds, guard, schema=fresh.schema, txn=(app, enc_new)
+    )

@@ -1466,3 +1466,55 @@ def test_compact_by_target_bytes(spark, tmp_path):
     n = len(t._live_files())
     assert 2 <= n <= 5
     assert t.read().count() == 6000
+
+
+def test_refresh_join_concurrent_refreshers_serialize(spark, tmp_path):
+    """Two racing refreshes of the same view: at most one applies;
+    the loser aborts with SnapshotConflict (delete-leg dv premise or
+    append-leg watermark premise) and a re-run converges to the full
+    recompute — never a double-applied slice, never a lost pair."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_join,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "ca"))
+    b = SnapshotTable(spark, str(tmp_path / "cb2"))
+    view = SnapshotTable(spark, str(tmp_path / "cv"))
+    a.append(spark.createDataFrame(
+        [(i, i % 3, i) for i in range(30)], "ak long, j long, aval long"
+    ))
+    b.append(spark.createDataFrame(
+        [(j, j * 100) for j in range(3)], "j long, bval long"
+    ))
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    # pure-insert churn: the delete leg commits nothing, so only the
+    # append-leg watermark premise can serialize the race
+    a.append(spark.createDataFrame(
+        [(100 + i, i % 3, -i) for i in range(5)], "ak long, j long, aval long"
+    ))
+    errs = []
+
+    def worker():
+        try:
+            refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+        except SnapshotConflict as exc:
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    # whatever the interleaving, a final refresh leaves exact state
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    got = sorted(
+        tuple(r) for r in
+        view.read().select("j", "ak", "aval", "bval").collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        a.read().join(b.read(), ["j"])
+        .select("j", "ak", "aval", "bval").collect()
+    )
+    assert got == want
+    assert len(got) == len({(r[0], r[1]) for r in got})  # no dup pairs
