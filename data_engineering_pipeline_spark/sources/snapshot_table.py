@@ -973,7 +973,7 @@ class SnapshotTable:
                         os.path.join(self.path, "data", name)
                     )
                 except OSError:
-                    pass
+                    continue  # concurrently vacuumed: size unknown, skip
             target_files = max(1, -(-total // target_bytes))
         cur_schema = self._schema_at(head)
         # DV-aware: compaction materializes the masked rows away — the
@@ -1971,6 +1971,17 @@ class SnapshotTable:
             any_files = self._live_files(version)
             return self._df_for(any_files, schema).limit(0)
         return self._read_files(files, schema)
+
+    def register_view(self, name: str,
+                      version: int | None = None) -> None:
+        """Expose the snapshot (optionally a past version — time
+        travel in SQL) as a temp view, so `spark.sql` queries the
+        table like any other relation: the ad-hoc surface
+        sources/catalog.py gives the plain parquet tables, extended to
+        the transactional format. The view pins the file list resolved
+        NOW (snapshot isolation for its readers); re-register after
+        new commits to see them."""
+        self.read(version=version).createOrReplaceTempView(name)
 
     def history(self) -> list[dict]:
         """The committed log, oldest first: version, op, files added /

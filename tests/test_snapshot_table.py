@@ -1518,3 +1518,21 @@ def test_refresh_join_concurrent_refreshers_serialize(spark, tmp_path):
     )
     assert got == want
     assert len(got) == len({(r[0], r[1]) for r in got})  # no dup pairs
+
+
+def test_register_view_sql_with_time_travel(spark, tmp_path):
+    """spark.sql over the snapshot table, including a past version:
+    the SQL surface the catalog gives plain parquet, on the
+    transactional format."""
+    t = SnapshotTable(spark, str(tmp_path / "sqlv"))
+    t.append(_df(spark, 0, 10, "a"))
+    t.overwrite(_df(spark, 100, 105, "b"))
+    t.register_view("snap_now")
+    t.register_view("snap_v0", version=0)
+    assert spark.sql("SELECT count(*) AS n FROM snap_now").first().n == 5
+    assert spark.sql("SELECT count(*) AS n FROM snap_v0").first().n == 10
+    # view pins its snapshot: a later append is invisible until re-registration
+    t.append(_df(spark, 200, 203, "c"))
+    assert spark.sql("SELECT count(*) AS n FROM snap_now").first().n == 5
+    t.register_view("snap_now")
+    assert spark.sql("SELECT count(*) AS n FROM snap_now").first().n == 8
