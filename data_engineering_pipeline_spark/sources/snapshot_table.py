@@ -1165,6 +1165,25 @@ class SnapshotTable:
 
         live = self._live_files()
         cur_schema = self._schema_at(head)
+        if cur_schema is not None and (
+            when_matched == "update" or insert_not_matched
+        ):
+            # when source rows get WRITTEN, they must carry every
+            # target column: a narrower source would silently null the
+            # columns it lacks on matched rows (rejected, like Delta's
+            # UPDATE SET *). Extra source columns are fine — additive
+            # schema evolution, target rows read them as null.
+            lacking = [
+                c for c in cur_schema.fieldNames()
+                if c not in source.columns
+            ]
+            if lacking:
+                raise SchemaConflict(
+                    f"merge source lacks target columns {lacking}; "
+                    "a written source row must carry every target "
+                    "column (extra source columns evolve the schema "
+                    "additively)"
+                )
         # 1. stat-prune candidates by the source's keys — on EVERY key
         # column (composite keys and Z-ordered tables prune on all
         # dimensions at once, not just keys[0]); the same single pass
@@ -1350,7 +1369,13 @@ class SnapshotTable:
             return head  # delete-only merge with no matches: no-op
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: an EVOLVED source (extra columns)
+            # merges additively — kept target rows read the new
+            # columns as null, the same contract append evolution
+            # gives. The reverse (source LACKING target columns when
+            # its rows are written) is rejected up front, never
+            # silently nulled.
+            out = out.unionByName(p, allowMissingColumns=True)
         # the rewrite is sized like its input: a merge that touched 2
         # files writes ~2 files, not one per shuffle partition (which
         # turns every small merge into a small-file factory).

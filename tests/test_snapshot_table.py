@@ -1536,3 +1536,79 @@ def test_register_view_sql_with_time_travel(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM snap_now").first().n == 5
     t.register_view("snap_now")
     assert spark.sql("SELECT count(*) AS n FROM snap_now").first().n == 8
+
+
+def test_refresh_join_dim_schema_evolution(spark, tmp_path):
+    """The dimension gains a column mid-stream: the next refresh folds
+    the evolved postimages in, the view schema evolves additively, and
+    pre-evolution view rows read the new column as null — the same
+    contract the table format gives plain reads."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        refresh_join,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "ea"))
+    b = SnapshotTable(spark, str(tmp_path / "eb"))
+    view = SnapshotTable(spark, str(tmp_path / "ev"))
+    a.append(spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "ak long, j long, aval long"
+    ))
+    b.append(spark.createDataFrame(
+        [(0, "d0"), (1, "d1")], "j long, bval string"
+    ))
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    # evolution: j=1's row gains a region column via merge of an
+    # evolved source (append-merge schema contract)
+    b.merge_into(
+        spark.createDataFrame(
+            [(1, "D1", "emea")], "j long, bval string, region string"
+        ),
+        ["j"],
+    )
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    got = {
+        (r.j, r.ak): (r.bval, r.region)
+        for r in view.read().collect()
+    }
+    full = {
+        (r.j, r.ak): (r.bval, r.region)
+        for r in a.read().join(b.read(), ["j"]).collect()
+    }
+    assert got == full
+    assert got[(1, 1)] == ("D1", "emea")
+    assert got[(0, 0)] == ("d0", None)
+
+
+def test_merge_schema_evolution_cow_and_guard(spark, tmp_path):
+    """An evolved merge source (extra column) evolves the table
+    additively in copy-on-write mode — kept rows read the new column
+    as null; a source LACKING a target column is rejected up front
+    (never silently nulled), except for delete-only merges, whose
+    source rows are never written."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SchemaConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "ev2"))
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_into(
+        spark.createDataFrame(
+            [(2, "B", "x"), (9, "I", "y")],
+            "k long, val string, extra string",
+        ),
+        ["k"],
+    )
+    rows = {r.k: (r.val, r.extra) for r in t.read().collect()}
+    assert rows == {
+        1: ("a", None), 2: ("B", "x"), 3: ("c", None), 9: ("I", "y"),
+    }
+    with pytest.raises(SchemaConflict):
+        t.merge_into(
+            spark.createDataFrame([(1,)], "k long"), ["k"],
+        )
+    # delete-only merges need only the key columns
+    t.merge_into(
+        spark.createDataFrame([(3,)], "k long"), ["k"],
+        when_matched="delete", insert_not_matched=False,
+    )
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 9]
