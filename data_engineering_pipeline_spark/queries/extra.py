@@ -1829,3 +1829,107 @@ def op_snapshot_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-star-agg",
+    """
+    WITH a0 AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    a1 AS (
+      SELECT o_orderkey, custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN cents * 2
+                  ELSE cents END AS cents
+      FROM a0 WHERE o_orderkey % 11 <> 0
+    ),
+    b0 AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer),
+    b1 AS (
+      SELECT custkey,
+             CASE WHEN custkey % 5 = 0 THEN 'REMAPPED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM b0
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM a1 JOIN b1 USING (custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def op_snapshot_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental STAR-SCHEMA chain end to end
+    (sources/snapshot_table.py refresh_join + refresh_aggregate):
+    fact (orders, exact cents) and dimension (customer segment) land
+    in snapshot tables; their join is materialized, and a per-segment
+    rollup is maintained FROM THE JOIN VIEW'S OWN CHANGE FEED (keyed
+    by the pair key). Fact churn (price doubling, deletions) and a
+    dimension re-segmentation then flow fact -> view -> rollup through
+    two CDC-driven refreshes — no layer rescans its source. The
+    oracle recomputes the final rollup relationally over the mutated
+    inputs: a lost pair, a stale segment, or a double-counted delta
+    anywhere in the chain breaks the count or the exact integer sum."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_aggregate,
+        refresh_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="snap_star_q_")
+    a = SnapshotTable(spark, os.path.join(base, "a"),
+                      stat_cols=["o_orderkey"])
+    b = SnapshotTable(spark, os.path.join(base, "b"))
+    view = SnapshotTable(spark, os.path.join(base, "v"))
+    agg = SnapshotTable(spark, os.path.join(base, "g"))
+
+    a0 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").alias("cents"),
+        )
+    )
+    b0 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a.append(a0)
+    b.append(b0)
+
+    def refresh_all():
+        refresh_join(a, b, view, ["o_orderkey"], ["custkey"],
+                     ["custkey"])
+        refresh_aggregate(view, agg, ["o_orderkey", "custkey"],
+                          ["c_mktsegment"], ["cents"])
+
+    refresh_all()
+    a.merge_into(
+        a0.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        ["o_orderkey"],
+    )
+    a.delete_where("o_orderkey % 11 = 0")
+    b.merge_into(
+        b0.filter(F.col("custkey") % 5 == 0).withColumn(
+            "c_mktsegment", F.lit("REMAPPED")
+        ),
+        ["custkey"],
+    )
+    refresh_all()
+
+    return (
+        agg.read()
+        .select(
+            "c_mktsegment",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
