@@ -1390,7 +1390,8 @@ class SnapshotTable:
 
     def delete_where(self, condition: str,
                      output_files: int | None = None,
-                     mode: str = "cow") -> int:
+                     mode: str = "cow",
+                     prune_hint: list | None = None) -> int:
         """DELETE WHERE: predicate delete that touches ONLY the files
         actually containing matching rows — one column-pruned pass
         with the parquet metadata columns finds them; every other file
@@ -1405,6 +1406,15 @@ class SnapshotTable:
         by matched rows, reads pay an anti-join on DV'd files until
         compaction).
 
+        `prune_hint`: optional (col, values) / (col, lo, hi)
+        predicates that must be IMPLIED by `condition` (every matching
+        row satisfies them). They drive manifest stat + bloom
+        file-pruning so the match scan opens only candidate files —
+        the point-delete path on a huge table. CONTRACT (the same one
+        Delta's replaceWhere carries): a hint the condition does not
+        imply can silently skip matching rows; the hint narrows IO,
+        the condition alone decides semantics.
+
         Conflicts like compact: valid only if the files it read are
         all still live — with unchanged DV sets — at commit
         (concurrent appends rebase cleanly; a predicate delete makes
@@ -1418,6 +1428,14 @@ class SnapshotTable:
             raise ValueError("cannot delete from an empty table")
         live = self._live_files()
         schema = self._schema_at(head)
+        if prune_hint:
+            live = self._apply_prunes(live, prune_hint, prune_hint,
+                                      head)
+        self.last_dml_stats = {
+            "live": len(self._live_files()), "scanned": len(live),
+        }
+        if not live:
+            return head  # hint proves no file can match: no-op
         tagged = self._read_files(live, schema, with_pos=True)
         matched = tagged.filter(condition)
         if mode == "mor":
@@ -1476,7 +1494,8 @@ class SnapshotTable:
 
     def update_where(self, condition: str, assignments: dict[str, str],
                      output_files: int | None = None,
-                     mode: str = "cow") -> int:
+                     mode: str = "cow",
+                     prune_hint: list | None = None) -> int:
         """UPDATE ... SET ... WHERE: predicate update touching only
         the files containing matching rows (same file-confinement as
         delete_where). `assignments` maps column -> SQL expression,
@@ -1487,7 +1506,12 @@ class SnapshotTable:
         mode='cow' rewrites the touched files in place; mode='mor'
         masks the matched rows with a deletion vector and APPENDS
         their updated images — write IO bounded by matched rows even
-        when they scatter across the whole table."""
+        when they scatter across the whole table.
+
+        `prune_hint`: same contract as delete_where — predicates the
+        condition IMPLIES, used for stat + bloom file-pruning of the
+        match scan; an unimplied hint can silently skip matching
+        rows."""
         from pyspark.sql import functions as F
 
         if mode not in ("cow", "mor"):
@@ -1504,6 +1528,14 @@ class SnapshotTable:
         if missing:
             raise ValueError(f"unknown columns in SET: {missing}")
         live = self._live_files()
+        if prune_hint:
+            live = self._apply_prunes(live, prune_hint, prune_hint,
+                                      head)
+        self.last_dml_stats = {
+            "live": len(self._live_files()), "scanned": len(live),
+        }
+        if not live:
+            return head  # hint proves no file can match: no-op
         tagged = self._read_files(live, schema, with_pos=True)
         matched = tagged.filter(condition)
 
@@ -1973,6 +2005,23 @@ class SnapshotTable:
             raise ValueError("empty table (no committed version)")
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
+        files = self._apply_prunes(files, prune, bloom, version)
+        if not files:
+            # every file pruned: empty frame with the right schema
+            any_files = self._live_files(version)
+            return self._df_for(any_files, schema).limit(0)
+        return self._read_files(files, schema)
+
+    def _apply_prunes(
+        self,
+        files: dict[str, dict],
+        prune: list | None,
+        bloom: list | None,
+        version: int | None,
+    ) -> dict[str, dict]:
+        """The shared file-pruning ladder: manifest stat predicates
+        (range or point-set), then bloom sidecars — both conservative
+        over-approximations of "might contain"."""
         if prune:
             def keep(e, pred) -> bool:
                 if len(pred) == 3:
@@ -1989,13 +2038,12 @@ class SnapshotTable:
                 for name, e in files.items()
                 if all(keep(e, pred) for pred in prune)
             }
+        # blooms answer equality only: range predicates (3-tuples,
+        # legal in prune/prune_hint lists) are stat-territory
+        bloom = [p for p in (bloom or []) if len(p) == 2]
         if bloom and files:
             files = self._bloom_keep_files(files, bloom, version)
-        if not files:
-            # every file pruned: empty frame with the right schema
-            any_files = self._live_files(version)
-            return self._df_for(any_files, schema).limit(0)
-        return self._read_files(files, schema)
+        return files
 
     def register_view(self, name: str,
                       version: int | None = None) -> None:

@@ -1674,3 +1674,39 @@ def test_incremental_star_schema_chain(spark, tmp_path):
     # the rollup refresh consumed the view's CDC, not a view rescan:
     # its last commit is an overwrite sized by groups (3 segments)
     assert agg.history()[-1]["rows_added"] <= 3
+
+
+def test_dml_prune_hint_bounds_the_match_scan(spark, tmp_path):
+    """A point DELETE/UPDATE with a prune_hint opens only the files
+    the stats + blooms cannot exclude (last_dml_stats witness), with
+    results identical to the unhinted predicate; a hint proving no
+    file can match is a version-free no-op."""
+    t = SnapshotTable(spark, str(tmp_path / "dh"),
+                      stat_cols=["k"], bloom_cols=["k"])
+    for lo in (0, 1000, 2000, 3000):
+        t.append(_df(spark, lo, lo + 500).coalesce(1))
+    assert len(t._live_files()) == 4
+
+    t.delete_where("k = 2123", prune_hint=[("k", [2123])], mode="mor")
+    assert t.last_dml_stats == {"live": 4, "scanned": 1}
+    assert t.read().where(F.col("k") == 2123).count() == 0
+    assert t.read().count() == 1999
+
+    t.update_where("k = 77", {"tag": "'hit'"},
+                   prune_hint=[("k", [77])])
+    assert t.last_dml_stats["scanned"] == 1
+    assert {r.tag for r in t.read().where(F.col("k") == 77).collect()} \
+        == {"hit"}
+
+    # range hints prune on stats (disjoint append ranges)
+    v = t.latest_version()
+    t.delete_where("k BETWEEN 400 AND 420",
+                   prune_hint=[("k", 400, 420)])
+    assert t.last_dml_stats["scanned"] == 1
+    assert t.read().where(F.col("k").between(400, 420)).count() == 0
+
+    # a hint excluding every file: no new version at all
+    v = t.latest_version()
+    t.delete_where("k = 999999", prune_hint=[("k", [999999])])
+    assert t.latest_version() == v
+    assert t.last_dml_stats["scanned"] == 0
