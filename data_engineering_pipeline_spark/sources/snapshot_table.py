@@ -2045,6 +2045,35 @@ class SnapshotTable:
             files = self._bloom_keep_files(files, bloom, version)
         return files
 
+    def restore(self, version: int) -> int:
+        """RESTORE TO VERSION: make a past snapshot the head again
+        with ONE metadata commit — no data movement (Delta's RESTORE,
+        the operational undo for a bad batch). The restored manifest
+        re-adds the old version's file entries VERBATIM, deletion-
+        vector attachments included, so a merge-on-read snapshot
+        restores bit-exactly; replay resets each re-added entry, so
+        masks landed after `version` do not leak in. The undone
+        versions stay readable (time travel), their files stay
+        vacuum-protected (ever-referenced), and the change feed across
+        the restore commit is the honest rollback diff. Head
+        replacement rebases like overwrite — always cleanly. Raises
+        if `version` fell to retention."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot restore an empty table")
+        if version == head:
+            return head  # already there: no-op, no empty commit
+        old = self._live_files(version)  # raises if expired/unknown
+        adds = [dict(e) for e in old.values()]
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            return sorted(now)
+
+        return self._commit_loop(
+            "restore", adds, removes,
+            schema=self._schema_at(version), replace_schema=True,
+        )
+
     def register_view(self, name: str,
                       version: int | None = None) -> None:
         """Expose the snapshot (optionally a past version — time

@@ -1710,3 +1710,39 @@ def test_dml_prune_hint_bounds_the_match_scan(spark, tmp_path):
     t.delete_where("k = 999999", prune_hint=[("k", [999999])])
     assert t.latest_version() == v
     assert t.last_dml_stats["scanned"] == 0
+
+
+def test_restore_rolls_back_with_one_metadata_commit(spark, tmp_path):
+    """RESTORE: a bad batch is undone by re-committing the old file
+    entries — no data rewrite; MoR masks restore bit-exactly; the
+    undone versions stay time-travel readable; the CDC across the
+    restore is the rollback diff; vacuum spares every referenced
+    file."""
+    t = SnapshotTable(spark, str(tmp_path / "rst"))
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where("k = 2", mode="mor")       # v1: masked snapshot
+    good = sorted((r.k, r.val) for r in t.read().collect())
+    v_good = t.latest_version()
+    # the bad batch: merge mangles values, a delete drops a row
+    t.merge_into(_kv(spark, [(1, "MANGLED"), (9, "junk")]), ["k"])
+    t.delete_where("k = 3")
+    n_files_before = len(os.listdir(tmp_path / "rst" / "data"))
+
+    v_r = t.restore(v_good)
+    assert v_r == t.latest_version()
+    assert sorted((r.k, r.val) for r in t.read().collect()) == good
+    # metadata-only: no new data files were written by the restore
+    assert len(os.listdir(tmp_path / "rst" / "data")) == n_files_before
+    # the mangled versions remain readable history
+    assert {r.val for r in t.read(version=v_r - 1).collect()} \
+        == {"MANGLED", "junk"}
+    # CDC across the restore = the rollback diff
+    cdc = t.changes(v_r - 1, v_r, ["k"])
+    types = {(r.k, r._change_type) for r in cdc.collect()}
+    assert (9, "delete") in types and (3, "insert") in types
+    assert (1, "update_postimage") in types
+    # restoring the head again is a no-op commit-wise
+    assert t.restore(t.latest_version()) == v_r
+    # vacuum never touches referenced files; reads stay intact after
+    t.vacuum(grace_seconds=0.0)
+    assert sorted((r.k, r.val) for r in t.read().collect()) == good
