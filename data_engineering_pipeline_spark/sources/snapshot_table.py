@@ -464,11 +464,26 @@ class SnapshotTable:
                 moved.append(dst)
         shutil.rmtree(tmp)
         stats = _file_stats(moved, self.stat_cols)
-        if self.bloom_cols and moved:
-            self._write_blooms(moved, stats)
+        bloom_cols = self._effective_bloom_cols()
+        if bloom_cols and moved:
+            self._write_blooms(moved, stats, bloom_cols)
         return stats
 
-    def _write_blooms(self, moved: list[str], stats: list[dict]) -> None:
+    def _effective_bloom_cols(self) -> list[str]:
+        """The indexed columns this table maintains: the handle's own
+        bloom_cols, else the `bloom_cols` TABLE PROPERTY a previous
+        indexing writer stamped — so a bloom-unaware handle (a nightly
+        maintain() job, a generic sink) keeps the index alive through
+        its rewrites instead of silently shedding sidecars."""
+        if self.bloom_cols:
+            return self.bloom_cols
+        if self.latest_version() is None:
+            return []
+        prop = self.properties_at().get("bloom_cols", "")
+        return [c for c in prop.split(",") if c]
+
+    def _write_blooms(self, moved: list[str], stats: list[dict],
+                      bloom_cols: list[str] | None = None) -> None:
         """Write one bloom-filter sidecar per staged data file, built in
         ONE distributed pass over ONLY the new files: each value sets
         k = 7 bit positions (xxhash64(value, seed) mod m), OR-folded
@@ -500,7 +515,10 @@ class SnapshotTable:
         while m < _BLOOM_BITS_PER_ROW * max_rows:
             m *= 2
         base = self.spark.read.parquet(*moved)
-        cols = [c for c in self.bloom_cols if c in base.columns]
+        cols = [
+            c for c in (bloom_cols or self.bloom_cols)
+            if c in base.columns
+        ]
         if not cols:
             return
         base = base.select(
@@ -739,6 +757,14 @@ class SnapshotTable:
         HEAD's schema on every retry, so rebasing over a concurrent
         commit that evolved the schema cannot silently hide that
         commit's new columns."""
+        if self.bloom_cols:
+            # an indexing handle advertises its columns as a table
+            # property, so bloom-unaware handles keep the index alive
+            # through their rewrites (see _effective_bloom_cols)
+            properties = {
+                **(properties or {}),
+                "bloom_cols": ",".join(self.bloom_cols),
+            }
         while True:
             head = self.latest_version()
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
@@ -790,6 +816,13 @@ class SnapshotTable:
             # quality gate BEFORE staging: a failing batch stages
             # nothing (no garbage), a drop batch stages only survivors
             df, report = enforce_expectations(df, expect)
+        if self.bloom_cols:
+            # same property stamp as _commit_loop (append has its own
+            # commit loop): advertise the indexed columns
+            properties = {
+                **(properties or {}),
+                "bloom_cols": ",".join(self.bloom_cols),
+            }
         adds = self._stage(df)
         while True:
             head = self.latest_version()

@@ -1746,3 +1746,25 @@ def test_restore_rolls_back_with_one_metadata_commit(spark, tmp_path):
     # vacuum never touches referenced files; reads stay intact after
     t.vacuum(grace_seconds=0.0)
     assert sorted((r.k, r.val) for r in t.read().collect()) == good
+
+
+def test_bloom_cols_persist_as_table_property(spark, tmp_path):
+    """The indexing writer stamps bloom_cols as a table property, so
+    a bloom-UNAWARE handle (a generic maintenance job) rebuilds
+    sidecars when it rewrites files instead of silently shedding the
+    index — and the index still prunes through that plain handle."""
+    path = str(tmp_path / "bp")
+    t = SnapshotTable(spark, path, bloom_cols=["k"])
+    for lo in (0, 1000, 2000, 3000):
+        t.append(_df(spark, lo, lo + 400).coalesce(1))
+    assert t.properties_at()["bloom_cols"] == "k"
+    plain = SnapshotTable(spark, path)
+    plain.compact(target_files=2)
+    live = plain._live_files()
+    assert len(live) == 2
+    bdir = tmp_path / "bp" / "data" / "_bloom"
+    assert all((bdir / (f + ".bloom")).exists() for f in live)
+    kept = plain._bloom_keep_files(live, [("k", [2123])], None)
+    assert 1 <= len(kept) <= 2
+    hit = plain.read(bloom=[("k", [2123])]).where(F.col("k") == 2123)
+    assert hit.count() == 1
