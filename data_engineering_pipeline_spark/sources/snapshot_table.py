@@ -463,24 +463,29 @@ class SnapshotTable:
                 os.rename(os.path.join(tmp, f), dst)
                 moved.append(dst)
         shutil.rmtree(tmp)
-        stats = _file_stats(moved, self.stat_cols)
+        stats = _file_stats(moved, self._effective_stat_cols())
         bloom_cols = self._effective_bloom_cols()
         if bloom_cols and moved:
             self._write_blooms(moved, stats, bloom_cols)
         return stats
 
-    def _effective_bloom_cols(self) -> list[str]:
-        """The indexed columns this table maintains: the handle's own
-        bloom_cols, else the `bloom_cols` TABLE PROPERTY a previous
-        indexing writer stamped — so a bloom-unaware handle (a nightly
-        maintain() job, a generic sink) keeps the index alive through
-        its rewrites instead of silently shedding sidecars."""
-        if self.bloom_cols:
-            return self.bloom_cols
+    def _effective_cols(self, own: list[str], prop_key: str) -> list[str]:
+        """The handle's own column list, else the table property a
+        previous writer stamped — so a stats/bloom-unaware handle (a
+        nightly maintain() job, a generic sink) keeps the metadata
+        alive through its rewrites instead of silently shedding it."""
+        if own:
+            return own
         if self.latest_version() is None:
             return []
-        prop = self.properties_at().get("bloom_cols", "")
+        prop = self.properties_at().get(prop_key, "")
         return [c for c in prop.split(",") if c]
+
+    def _effective_stat_cols(self) -> list[str]:
+        return self._effective_cols(self.stat_cols, "stat_cols")
+
+    def _effective_bloom_cols(self) -> list[str]:
+        return self._effective_cols(self.bloom_cols, "bloom_cols")
 
     def _write_blooms(self, moved: list[str], stats: list[dict],
                       bloom_cols: list[str] | None = None) -> None:
@@ -757,14 +762,15 @@ class SnapshotTable:
         HEAD's schema on every retry, so rebasing over a concurrent
         commit that evolved the schema cannot silently hide that
         commit's new columns."""
-        if self.bloom_cols:
-            # an indexing handle advertises its columns as a table
-            # property, so bloom-unaware handles keep the index alive
-            # through their rewrites (see _effective_bloom_cols)
-            properties = {
-                **(properties or {}),
-                "bloom_cols": ",".join(self.bloom_cols),
-            }
+        if self.bloom_cols or self.stat_cols:
+            # a stats/bloom-maintaining handle advertises its columns
+            # as table properties, so unaware handles keep the
+            # metadata alive through their rewrites (_effective_cols)
+            properties = dict(properties or {})
+            if self.bloom_cols:
+                properties["bloom_cols"] = ",".join(self.bloom_cols)
+            if self.stat_cols:
+                properties["stat_cols"] = ",".join(self.stat_cols)
         while True:
             head = self.latest_version()
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
@@ -816,13 +822,14 @@ class SnapshotTable:
             # quality gate BEFORE staging: a failing batch stages
             # nothing (no garbage), a drop batch stages only survivors
             df, report = enforce_expectations(df, expect)
-        if self.bloom_cols:
+        if self.bloom_cols or self.stat_cols:
             # same property stamp as _commit_loop (append has its own
-            # commit loop): advertise the indexed columns
-            properties = {
-                **(properties or {}),
-                "bloom_cols": ",".join(self.bloom_cols),
-            }
+            # commit loop): advertise the maintained columns
+            properties = dict(properties or {})
+            if self.bloom_cols:
+                properties["bloom_cols"] = ",".join(self.bloom_cols)
+            if self.stat_cols:
+                properties["stat_cols"] = ",".join(self.stat_cols)
         adds = self._stage(df)
         while True:
             head = self.latest_version()

@@ -1768,3 +1768,21 @@ def test_bloom_cols_persist_as_table_property(spark, tmp_path):
     assert 1 <= len(kept) <= 2
     hit = plain.read(bloom=[("k", [2123])]).where(F.col("k") == 2123)
     assert hit.count() == 1
+
+
+def test_stat_cols_persist_as_table_property(spark, tmp_path):
+    """Symmetric to the bloom property: a plain handle's compaction
+    keeps writing manifest min/max stats for the stamped stat_cols,
+    so stat pruning survives maintenance by a generic job."""
+    path = str(tmp_path / "sp2")
+    t = SnapshotTable(spark, path, stat_cols=["k"])
+    t.append(_df(spark, 0, 100, "lo").coalesce(1))
+    t.append(_df(spark, 1000, 1100, "hi").coalesce(1))
+    assert t.properties_at()["stat_cols"] == "k"
+    plain = SnapshotTable(spark, path)
+    plain.compact(target_files=2, cluster_by=["k"])
+    live = plain._live_files()
+    assert all("k" in e["stats"] for e in live.values())
+    lo = plain.read(prune=[("k", 0, 50)])
+    assert len(lo.inputFiles()) < 2
+    assert lo.where(F.col("k") <= 50).count() == 51
