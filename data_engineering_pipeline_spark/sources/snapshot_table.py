@@ -2085,6 +2085,41 @@ class SnapshotTable:
             files = self._bloom_keep_files(files, bloom, version)
         return files
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: the operational one-glance summary a table
+        owner checks before/after maintenance — all driver-side
+        metadata, no scan. num_dv_files / dv_masked_rows quantify the
+        merge-on-read debt compact()/purge_dvs() would retire;
+        size_bytes is the live on-disk footprint."""
+        head = self.latest_version()
+        if head is None:
+            return {"version": None, "num_files": 0, "num_rows": 0,
+                    "size_bytes": 0, "num_dv_files": 0,
+                    "properties": {}, "checkpoints": []}
+        live = self._live_files()
+        size = 0
+        for name in live:
+            try:
+                size += os.path.getsize(
+                    os.path.join(self.path, "data", name)
+                )
+            except OSError:
+                continue  # concurrently vacuumed
+        dv_paths = sorted(
+            {p for e in live.values() for p in e.get("dvs", ())}
+        )
+        return {
+            "version": head,
+            "num_files": len(live),
+            "num_rows": sum(e["rows"] for e in live.values()),
+            "size_bytes": size,
+            "num_dv_files": len(dv_paths),
+            "stat_cols": self._effective_stat_cols(),
+            "bloom_cols": self._effective_bloom_cols(),
+            "properties": self.properties_at(),
+            "checkpoints": self._checkpoints(),
+        }
+
     def restore(self, version: int) -> int:
         """RESTORE TO VERSION: make a past snapshot the head again
         with ONE metadata commit — no data movement (Delta's RESTORE,

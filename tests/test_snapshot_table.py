@@ -1786,3 +1786,25 @@ def test_stat_cols_persist_as_table_property(spark, tmp_path):
     lo = plain.read(prune=[("k", 0, 50)])
     assert len(lo.inputFiles()) < 2
     assert lo.where(F.col("k") <= 50).count() == 51
+
+
+def test_detail_reports_operational_state(spark, tmp_path):
+    """DESCRIBE DETAIL: live footprint, MoR debt, maintained columns,
+    properties — all from metadata, and consistent before/after a
+    mask-retiring compaction."""
+    t = SnapshotTable(spark, str(tmp_path / "dd"),
+                      stat_cols=["k"], bloom_cols=["k"])
+    assert t.detail()["num_files"] == 0
+    t.append(_df(spark, 0, 100).coalesce(1))
+    t.append(_df(spark, 100, 200).coalesce(1))
+    t.delete_where("k = 5", mode="mor")
+    d = t.detail()
+    assert d["version"] == 2 and d["num_files"] == 2
+    assert d["num_rows"] == 200  # physical rows; masks are separate
+    assert d["size_bytes"] > 0 and d["num_dv_files"] == 1
+    assert d["stat_cols"] == ["k"] and d["bloom_cols"] == ["k"]
+    assert d["properties"]["bloom_cols"] == "k"
+    t.compact(target_files=1)
+    d2 = t.detail()
+    assert d2["num_files"] == 1 and d2["num_dv_files"] == 0
+    assert d2["num_rows"] == 199  # the mask is materialized away
