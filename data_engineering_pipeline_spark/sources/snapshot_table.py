@@ -830,6 +830,7 @@ class SnapshotTable:
                 properties["bloom_cols"] = ",".join(self.bloom_cols)
             if self.stat_cols:
                 properties["stat_cols"] = ",".join(self.stat_cols)
+        self._constraint_gate(df)
         adds = self._stage(df)
         while True:
             head = self.latest_version()
@@ -930,6 +931,7 @@ class SnapshotTable:
         incremental refreshes)."""
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()
+        self._constraint_gate(df)
         adds = self._stage(df)
         return self._commit_loop(
             "overwrite", adds, lambda live: sorted(live),
@@ -1363,6 +1365,7 @@ class SnapshotTable:
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p)
+                self._constraint_gate(out)
                 # cow coerces source types through its union with the
                 # table's own rows; mor has no table rows in its union,
                 # so align explicitly to the table schema (int source
@@ -1407,6 +1410,15 @@ class SnapshotTable:
             parts.append(ins)
         if not parts:
             return head  # delete-only merge with no matches: no-op
+        # constraint gate on the NEW rows only (matched postimages +
+        # inserts); the kept rows pre-date the constraint's validated
+        # add and re-checking them would re-scan touched files
+        news = parts[1:] if touched else parts
+        if news:
+            gate = news[0]
+            for p in news[1:]:
+                gate = gate.unionByName(p, allowMissingColumns=True)
+            self._constraint_gate(gate)
         out = parts[0]
         for p in parts[1:]:
             # allowMissingColumns: an EVOLVED source (extra columns)
@@ -1583,9 +1595,15 @@ class SnapshotTable:
             # pin the matched rows (batch-sized) so postimage staging
             # and DV staging share one scan of the table
             matched = matched.localCheckpoint()
-            post = matched
-            for c, expr in assignments.items():
-                post = post.withColumn(c, F.expr(expr))
+            # one select: every SET expression evaluates against the
+            # PRE-update row (SQL UPDATE), never a half-assigned one
+            post = matched.select(
+                *[
+                    F.expr(assignments[c]).alias(c)
+                    if c in assignments else F.col(c)
+                    for c in matched.columns
+                ]
+            )
             post = post.drop("__file", "__pos")
             if schema is not None:
                 # a SET expression must not fork the column's type
@@ -1599,6 +1617,7 @@ class SnapshotTable:
                     ]
                 )
             post = post.coalesce(output_files or 1)
+            self._constraint_gate(post)
             adds = self._stage(post)
             dv_adds = self._stage_dv(
                 matched.select(
@@ -1635,11 +1654,30 @@ class SnapshotTable:
             return head
         cond = F.expr(f"coalesce(({condition}), false)")
         df = self._read_files({n: live[n] for n in touched}, schema)
-        for c, expr in assignments.items():
-            df = df.withColumn(
-                c, F.when(cond, F.expr(expr)).otherwise(F.col(c))
-            )
-        df = df.coalesce(output_files or max(1, len(touched)))
+        # SQL UPDATE semantics: the condition AND every SET expression
+        # evaluate against the PRE-update row. One select (not
+        # sequential withColumn) — otherwise an assignment to a column
+        # the condition or a later expression reads would feed them
+        # the new value (SET val = val + 1, tag = val-dependent...)
+        df = df.withColumn("__hit", cond)
+        base_cols = [c for c in df.columns if c != "__hit"]
+        df = df.select(
+            *[
+                (
+                    F.when(F.col("__hit"), F.expr(assignments[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in assignments else F.col(c)
+                )
+                for c in base_cols
+            ],
+            F.col("__hit"),
+        )
+        # gate only the SET results — the untouched rows of the
+        # rewritten files pre-date the constraint's validated add
+        self._constraint_gate(df.filter(F.col("__hit")).drop("__hit"))
+        df = df.drop("__hit").coalesce(
+            output_files or max(1, len(touched))
+        )
         adds = self._stage(df)
         basis = self._dv_state({n: live[n] for n in touched})
 
@@ -2084,6 +2122,70 @@ class SnapshotTable:
         if bloom and files:
             files = self._bloom_keep_files(files, bloom, version)
         return files
+
+    # ------------- table-level CHECK constraints -------------
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints, {name: predicate} — stored as
+        `constraint.<name>` table properties, so every handle of the
+        table enforces them (an empty value marks a drop)."""
+        if self.latest_version() is None:
+            return {}
+        pfx = "constraint."
+        return {
+            k[len(pfx):]: v
+            for k, v in self.properties_at().items()
+            if k.startswith(pfx) and v
+        }
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """ADD CONSTRAINT (Delta CHECK): validate the predicate over
+        the EXISTING rows first (one scan — adding a constraint a
+        table already violates is refused, so writers may trust that
+        pre-existing rows are valid), then stamp it as a versioned
+        property. From that commit on, EVERY write path on any handle
+        — append, overwrite, merge postimages/inserts, UPDATE SET
+        results — gates its new rows (rows where the predicate is
+        false OR null violate, the Expectation contract). DELETE needs
+        no gate (nothing new); RESTORE deliberately bypasses — the
+        operational undo must not be blocked by a constraint added
+        after the restore point."""
+        from pyspark.sql import functions as F
+
+        if self.latest_version() is not None:
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+                .limit(1).count()
+            )
+            if bad:
+                raise ExpectationViolation(
+                    f"existing rows violate constraint {name!r} "
+                    f"({predicate}); constraint not added"
+                )
+        return self._commit_loop(
+            "add-constraint", [], lambda live: [],
+            properties={f"constraint.{name}": predicate},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT: an empty property value masks the
+        constraint from `constraints()` at every later version."""
+        return self._commit_loop(
+            "drop-constraint", [], lambda live: [],
+            properties={f"constraint.{name}": ""},
+        )
+
+    def _constraint_gate(self, df: DataFrame) -> None:
+        """Abort-before-staging gate applied to a write's NEW rows.
+        Free when the table has no constraints; one batch-sized
+        aggregate otherwise (enforce_expectations)."""
+        cons = self.constraints()
+        if cons:
+            enforce_expectations(
+                df,
+                [Expectation(n, p, "fail") for n, p in cons.items()],
+            )
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL: the operational one-glance summary a table

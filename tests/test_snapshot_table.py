@@ -1808,3 +1808,67 @@ def test_detail_reports_operational_state(spark, tmp_path):
     d2 = t.detail()
     assert d2["num_files"] == 1 and d2["num_dv_files"] == 0
     assert d2["num_rows"] == 199  # the mask is materialized away
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta-style): added only if existing rows
+    pass, stored as versioned properties (every handle enforces),
+    gating appends, overwrites, merge postimages/inserts, and UPDATE
+    SET results; delete needs no gate; drop re-allows."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        ExpectationViolation,
+    )
+
+    path = str(tmp_path / "ck")
+    t = SnapshotTable(spark, path)
+    t.append(_kv(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ExpectationViolation):
+        t.add_constraint("k_small", "k < 2")  # existing row violates
+    t.add_constraint("k_pos", "k > 0")
+    assert t.constraints() == {"k_pos": "k > 0"}
+
+    with pytest.raises(ExpectationViolation):
+        t.append(_kv(spark, [(-1, "bad")]))
+    # a DIFFERENT handle enforces too (property-carried)
+    with pytest.raises(ExpectationViolation):
+        SnapshotTable(spark, path).append(_kv(spark, [(0, "bad")]))
+    t.append(_kv(spark, [(3, "c")]))
+
+    with pytest.raises(ExpectationViolation):
+        t.merge_into(_kv(spark, [(-7, "ins")]), ["k"])
+    with pytest.raises(ExpectationViolation):
+        t.merge_into(_kv(spark, [(1, "upd"), (-7, "x")]), ["k"],
+                     mode="mor")
+    with pytest.raises(ExpectationViolation):
+        t.update_where("k = 1", {"k": "-9"})
+    with pytest.raises(ExpectationViolation):
+        t.update_where("k = 1", {"k": "-9"}, mode="mor")
+    # delete-only merges and predicate deletes write nothing new
+    t.merge_into(spark.createDataFrame([(2,)], "k long"), ["k"],
+                 when_matched="delete", insert_not_matched=False)
+    t.delete_where("k = 3")
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+    t.drop_constraint("k_pos")
+    assert t.constraints() == {}
+    t.append(_kv(spark, [(-1, "ok now")]))
+    assert sorted(r.k for r in t.read().collect()) == [-1, 1]
+
+
+def test_update_where_set_reads_pre_update_row(spark, tmp_path):
+    """SQL UPDATE semantics: the condition and every SET expression
+    see the PRE-update row — an assignment to a column the condition
+    or another expression reads must not leak its new value (both
+    modes)."""
+    for mode in ("cow", "mor"):
+        t = SnapshotTable(spark, str(tmp_path / f"pre_{mode}"))
+        t.append(spark.createDataFrame(
+            [(1, 5, 0), (2, 50, 0)], "k long, val long, twice long"
+        ))
+        # cond reads val; SET changes val AND derives twice from val
+        t.update_where(
+            "val < 10", {"val": "val + 100", "twice": "val * 2"},
+            mode=mode,
+        )
+        rows = {r.k: (r.val, r.twice) for r in t.read().collect()}
+        assert rows == {1: (105, 10), 2: (50, 0)}, mode
