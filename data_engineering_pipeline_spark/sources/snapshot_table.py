@@ -955,6 +955,9 @@ class SnapshotTable:
         old = (
             self._read_files(read_files, cur_schema) if read_files else None
         )
+        # constraint gate on the incoming batch (the only new rows —
+        # the merged survivors from `old` pre-date the validated add)
+        self._constraint_gate(df)
         merged = merge_last_write_wins(old, df, keys, order_col)
         adds = self._stage(merged)
 
@@ -2567,6 +2570,9 @@ def refresh_join(
     for p in fresh_parts[1:]:
         fresh = fresh.unionByName(p)
 
+    # the refresh writes through _commit_loop directly, so it applies
+    # the view's constraint gate itself (append would have)
+    view._constraint_gate(fresh)
     adds = view._stage(fresh)
 
     def guard(live_now: dict) -> list:

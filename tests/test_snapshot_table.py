@@ -1872,3 +1872,37 @@ def test_update_where_set_reads_pre_update_row(spark, tmp_path):
         )
         rows = {r.k: (r.val, r.twice) for r in t.read().collect()}
         assert rows == {1: (105, 10), 2: (50, 0)}, mode
+
+
+def test_constraints_gate_upsert_and_view_refresh(spark, tmp_path):
+    """The two write paths with their own staging — legacy upsert and
+    the join-view refresh — honor CHECK constraints too."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        ExpectationViolation,
+        refresh_join,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "cu"))
+    t.append(spark.createDataFrame(
+        [(1, 1, "a")], "k long, ord long, tag string"
+    ))
+    t.add_constraint("k_pos", "k > 0")
+    with pytest.raises(ExpectationViolation):
+        t.upsert(spark.createDataFrame(
+            [(-2, 2, "bad")], "k long, ord long, tag string"
+        ), ["k"], "ord")
+
+    a = SnapshotTable(spark, str(tmp_path / "cva"))
+    b = SnapshotTable(spark, str(tmp_path / "cvb"))
+    view = SnapshotTable(spark, str(tmp_path / "cvv"))
+    a.append(spark.createDataFrame(
+        [(1, 0, 5)], "ak long, j long, aval long"
+    ))
+    b.append(spark.createDataFrame([(0, 1)], "j long, bval long"))
+    refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+    view.add_constraint("aval_pos", "aval > 0")
+    a.merge_into(spark.createDataFrame(
+        [(2, 0, -1)], "ak long, j long, aval long"
+    ), ["ak"])
+    with pytest.raises(ExpectationViolation):
+        refresh_join(a, b, view, ["ak"], ["j"], ["j"])
