@@ -2221,6 +2221,7 @@ class SnapshotTable:
             "num_dv_files": len(dv_paths),
             "stat_cols": self._effective_stat_cols(),
             "bloom_cols": self._effective_bloom_cols(),
+            "constraints": self.constraints(),
             "properties": self.properties_at(),
             "checkpoints": self._checkpoints(),
         }
