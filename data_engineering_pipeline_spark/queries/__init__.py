@@ -28,6 +28,7 @@ _CHECK_FIRST = [
     "op-snapshot-bloom-read",  # new: bloom-indexed point read
     "op-snapshot-incr-join",  # new: CDC-maintained join view
     "op-snapshot-star-agg",  # new: join view + rollup chain
+    "op-snapshot-restore",  # new: rollback incl. DV state
     "op-snapshot-merge",  # dup-source guard + composite-key pruning
     "op-snapshot-delete",  # MoR deletion-vector read path shared
     "op-snapshot-update",

@@ -1933,3 +1933,57 @@ def op_snapshot_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@_register(
+    "op-snapshot-restore",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION end-to-end (sources/snapshot_table.py
+    restore): land the 'F' orders, mangle them — a doubling merge, a
+    scattered MoR delete (so the restore must also roll back deletion
+    vectors), a copy-on-write update — then restore the pre-mangle
+    version and read. The oracle is the ORIGINAL relational state, so
+    any residue of the undone commits (a leaked DV mask, a surviving
+    postimage, a lost row) breaks the hash."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="snap_rst_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.repartition(4))
+    v_good = t.latest_version()
+    t.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="mor")
+    t.update_where("o_orderkey % 7 = 0",
+                   {"o_totalprice": "o_totalprice + 1"})
+    t.restore(v_good)
+    return (
+        t.read()
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
