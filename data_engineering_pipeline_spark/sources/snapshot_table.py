@@ -887,6 +887,13 @@ class SnapshotTable:
             version = head
         if version > head or version < 0:
             raise ValueError(f"version {version} not in log (head {head})")
+        # memo per resolved version: properties at a committed version
+        # are immutable, and the hot write paths resolve them several
+        # times per commit (stat/bloom columns, constraints) — without
+        # the memo a multi-commit workload pays O(commits^2) log reads
+        memo = self.__dict__.setdefault("_props_memo", {})
+        if version in memo:
+            return dict(memo[version])
         props: dict = {}
         start = 0
         for cv in reversed(self._checkpoints()):
@@ -900,6 +907,9 @@ class SnapshotTable:
                 p = self._read_manifest(v).get("properties")
                 if p:
                     props.update(p)
+        if len(memo) > 64:
+            memo.clear()
+        memo[version] = dict(props)
         return props
 
     def _txns_through(self, version: int) -> dict[str, int]:
