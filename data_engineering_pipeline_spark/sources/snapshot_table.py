@@ -317,10 +317,20 @@ class SnapshotTable:
                  stat_cols: list[str] | None = None,
                  checkpoint_every: int = 16,
                  commit_backend: CommitBackend | None = None,
-                 bloom_cols: list[str] | None = None):
+                 bloom_cols: list[str] | None = None,
+                 generated_cols: dict[str, str] | None = None):
         self.spark = spark
         self.path = path
         self.stat_cols = stat_cols or []
+        # generated_cols: {column: SQL expr over the other columns}
+        # (Delta's generated columns). A write missing the column gets
+        # it materialized — typically a coarse derivation of a fine
+        # column (day from a timestamp, prefix from an id) listed in
+        # stat_cols/bloom_cols so reads prune on it. A write that
+        # SUPPLIES the column is trusted as-is (validate with a CHECK
+        # constraint if needed). Persisted as `generated.<col>` table
+        # properties, so every handle materializes them.
+        self.generated_cols = dict(generated_cols or {})
         # bloom_cols: columns that get a per-file BLOOM FILTER sidecar
         # at write time, enabling equality file-skipping on
         # high-cardinality UNSORTED columns — exactly where min/max
@@ -486,6 +496,28 @@ class SnapshotTable:
 
     def _effective_bloom_cols(self) -> list[str]:
         return self._effective_cols(self.bloom_cols, "bloom_cols")
+
+    def _effective_generated(self) -> dict[str, str]:
+        if self.generated_cols:
+            return self.generated_cols
+        if self.latest_version() is None:
+            return {}
+        pfx = "generated."
+        return {
+            k[len(pfx):]: v
+            for k, v in self.properties_at().items()
+            if k.startswith(pfx) and v
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Materialize missing generated columns on an incoming write
+        (no-op when none are configured or all are supplied)."""
+        from pyspark.sql import functions as F
+
+        for c, expr in self._effective_generated().items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+        return df
 
     def _write_blooms(self, moved: list[str], stats: list[dict],
                       bloom_cols: list[str] | None = None) -> None:
@@ -762,15 +794,17 @@ class SnapshotTable:
         HEAD's schema on every retry, so rebasing over a concurrent
         commit that evolved the schema cannot silently hide that
         commit's new columns."""
-        if self.bloom_cols or self.stat_cols:
-            # a stats/bloom-maintaining handle advertises its columns
-            # as table properties, so unaware handles keep the
-            # metadata alive through their rewrites (_effective_cols)
+        if self.bloom_cols or self.stat_cols or self.generated_cols:
+            # a metadata-maintaining handle advertises its columns as
+            # table properties, so unaware handles keep the metadata
+            # alive through their rewrites (_effective_cols)
             properties = dict(properties or {})
             if self.bloom_cols:
                 properties["bloom_cols"] = ",".join(self.bloom_cols)
             if self.stat_cols:
                 properties["stat_cols"] = ",".join(self.stat_cols)
+            for c, e in self.generated_cols.items():
+                properties[f"generated.{c}"] = e
         while True:
             head = self.latest_version()
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
@@ -822,7 +856,7 @@ class SnapshotTable:
             # quality gate BEFORE staging: a failing batch stages
             # nothing (no garbage), a drop batch stages only survivors
             df, report = enforce_expectations(df, expect)
-        if self.bloom_cols or self.stat_cols:
+        if self.bloom_cols or self.stat_cols or self.generated_cols:
             # same property stamp as _commit_loop (append has its own
             # commit loop): advertise the maintained columns
             properties = dict(properties or {})
@@ -830,6 +864,9 @@ class SnapshotTable:
                 properties["bloom_cols"] = ",".join(self.bloom_cols)
             if self.stat_cols:
                 properties["stat_cols"] = ",".join(self.stat_cols)
+            for c, e in self.generated_cols.items():
+                properties[f"generated.{c}"] = e
+        df = self._apply_generated(df)
         self._constraint_gate(df)
         adds = self._stage(df)
         while True:
@@ -941,6 +978,7 @@ class SnapshotTable:
         incremental refreshes)."""
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()
+        df = self._apply_generated(df)
         self._constraint_gate(df)
         adds = self._stage(df)
         return self._commit_loop(
@@ -967,6 +1005,7 @@ class SnapshotTable:
         )
         # constraint gate on the incoming batch (the only new rows —
         # the merged survivors from `old` pre-date the validated add)
+        df = self._apply_generated(df)
         self._constraint_gate(df)
         merged = merge_last_write_wins(old, df, keys, order_col)
         adds = self._stage(merged)
@@ -1192,6 +1231,9 @@ class SnapshotTable:
             raise ValueError("mode must be 'cow' or 'mor'")
         if txn is not None and self.txn_version(txn[0]) >= txn[1]:
             return self.latest_version()  # replayed merge: no-op
+        # generated columns materialize on the source before anything
+        # reads its column set (the lacking-columns guard included)
+        source = self._apply_generated(source)
         if dedupe_source is not None:
             w = Window.partitionBy(*keys).orderBy(
                 F.desc(dedupe_source), *[F.desc(k) for k in keys]

@@ -1906,3 +1906,42 @@ def test_constraints_gate_upsert_and_view_refresh(spark, tmp_path):
     ), ["ak"])
     with pytest.raises(ExpectationViolation):
         refresh_join(a, b, view, ["ak"], ["j"], ["j"])
+
+
+def test_generated_columns_materialize_and_prune(spark, tmp_path):
+    """Generated columns (Delta-style): a write missing the column
+    gets it materialized from its expression; the property persists so
+    other handles generate too (merge sources included); listing the
+    generated column in stat_cols makes reads prune on the coarse
+    derivation of a fine column."""
+    path = str(tmp_path / "gen")
+    t = SnapshotTable(
+        spark, path,
+        stat_cols=["bucket"],
+        generated_cols={"bucket": "k div 1000"},
+    )
+    t.append(_df(spark, 0, 500).coalesce(1))
+    t.append(_df(spark, 1000, 1500).coalesce(1))
+    assert {r.bucket for r in t.read().collect()} == {0, 1}
+    assert t.properties_at()["generated.bucket"] == "k div 1000"
+    # pruning on the generated column
+    lo = t.read(prune=[("bucket", [0])])
+    assert len(lo.inputFiles()) == 1
+    assert lo.count() == 500
+    # a generated-col-unaware handle still materializes (property) —
+    # both for appends and merge sources
+    plain = SnapshotTable(spark, path)
+    plain.append(_df(spark, 2000, 2100).coalesce(1))
+    plain.merge_into(
+        spark.createDataFrame([(1200, "upd"), (3001, "new")],
+                              "k long, tag string"),
+        ["k"],
+    )
+    rows = {r.k: r.bucket for r in plain.read().collect()}
+    assert rows[2050] == 2 and rows[3001] == 3 and rows[1200] == 1
+    # a write that SUPPLIES the column is trusted as-is
+    t.append(spark.createDataFrame(
+        [(9000, "x", 42)], "k long, tag string, bucket long"
+    ))
+    assert {r.bucket for r in t.read().where(F.col("k") == 9000)
+            .collect()} == {42}
