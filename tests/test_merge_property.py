@@ -283,3 +283,59 @@ def test_refresh_join_matches_full_recompute(
         if do_refresh:
             check()
     check()
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=50),  # constraint-valid
+        min_size=1, max_size=8,
+    ),
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=-50, max_value=50),
+            max_size=6,
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_constraints_atomic_under_merge_sequences(
+    spark, tmp_path_factory, tgt, batches
+):
+    """For ANY sequence of merge batches against a CHECK-constrained
+    table: a batch with a violating row is rejected ATOMICALLY (the
+    table reads exactly as before, no partial postimages/inserts), and
+    valid batches merge per the dict model."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        ExpectationViolation,
+        SnapshotTable,
+    )
+
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("ckmerge")
+    t = SnapshotTable(spark, str(base / "t"))
+    t.append(spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()], "k long, v long"
+    ))
+    t.add_constraint("v_nonneg", "v >= 0")
+    model = dict(tgt)
+    for src in batches:
+        if not src:
+            continue
+        src_df = spark.createDataFrame(
+            [(k, v) for k, v in src.items()], "k long, v long"
+        )
+        if any(v < 0 for v in src.values()):
+            with _pytest.raises(ExpectationViolation):
+                t.merge_into(src_df, ["k"])
+        else:
+            t.merge_into(src_df, ["k"])
+            model.update(src)
+        assert {r.k: r.v for r in t.read().collect()} == model
