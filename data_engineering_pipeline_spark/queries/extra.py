@@ -1987,3 +1987,57 @@ def op_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-time-travel",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by TIMESTAMP (sources/snapshot_table.py
+    version_at_timestamp / read(timestamp=)): land the 'F' orders,
+    capture the commit instant from history(), then mutate the table
+    twice (a doubling merge, a scattered MoR delete). Reading AS OF
+    the first commit's timestamp must resolve — through the monotone
+    in-commit timestamps — to the untouched snapshot; the oracle is
+    that original relational state, so a misresolved version or any
+    leak-through of the later commits breaks the hash. Scale: the
+    resolution is a driver-side scan back from the log head (O(distance),
+    no data IO) — the same cost shape as Delta's timestamp AS OF."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="snap_ts_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.repartition(4))
+    stamp = t.history()[0]["ts"]
+    t.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="mor")
+    return (
+        t.read(timestamp=stamp)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

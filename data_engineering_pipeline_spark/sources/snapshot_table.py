@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -376,6 +377,45 @@ class SnapshotTable:
     def _read_manifest(self, version: int) -> dict:
         with open(_manifest_path(self.path, version)) as fh:
             return json.load(fh)
+
+    def _manifest_ts(self, version: int) -> float:
+        """Commit timestamp of `version`. Manifests are immutable so
+        the answer is memoized per handle. Pre-`ts` manifests (tables
+        written before timestamps were stamped) fall back to the
+        manifest file's mtime — the same approximation Delta used
+        before in-commit timestamps."""
+        memo = getattr(self, "_ts_memo", None)
+        if memo is None:
+            memo = self._ts_memo = {}
+        if version in memo:
+            return memo[version]
+        m = self._read_manifest(version)
+        ts = m.get("ts")
+        if ts is None:
+            ts = os.path.getmtime(_manifest_path(self.path, version))
+        memo[version] = float(ts)
+        return memo[version]
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """Time travel by TIMESTAMP: the latest committed version whose
+        commit time is <= `ts` (what the table looked like at that
+        moment). Commit timestamps are monotone in version (stamped
+        max(now, prev+1ms) at commit), so a linear scan back from the
+        head stops at the first qualifying version — O(distance from
+        head), not O(log length), for the common recent-ts case.
+        Raises if `ts` predates the oldest SURVIVING manifest (history
+        before it was expired by retention) or the table is empty."""
+        vs = self._versions()
+        if not vs:
+            raise ValueError("empty table (no committed version)")
+        for v in reversed(vs):
+            if self._manifest_ts(v) <= ts:
+                return v
+        raise ValueError(
+            f"timestamp {ts} predates the oldest retained version "
+            f"{vs[0]} (committed {self._manifest_ts(vs[0])}); earlier "
+            "history has been expired by retention"
+        )
 
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(
@@ -767,6 +807,19 @@ class SnapshotTable:
         stores without an atomic create swap in MutexCommitBackend
         over a real coordination service."""
         os.makedirs(_log_dir(self.path), exist_ok=True)
+        # commit timestamp, stamped at the single commit choke point.
+        # Monotonic per table (Delta's in-commit-timestamp discipline:
+        # max(now, prev+1ms)) so version order and timestamp order
+        # never disagree — version_at_timestamp() depends on that.
+        if "ts" not in manifest:
+            ts = time.time()
+            if version > 0:
+                try:
+                    prev = self._manifest_ts(version - 1)
+                    ts = max(ts, prev + 1e-3)
+                except (FileNotFoundError, ValueError):
+                    pass  # expired predecessor: now() is fine
+            manifest["ts"] = ts
         won = self.commit_backend.put_if_absent(
             _manifest_path(self.path, version),
             json.dumps(manifest).encode(),
@@ -2116,6 +2169,7 @@ class SnapshotTable:
         version: int | None = None,
         prune: list[tuple[str, object, object]] | None = None,
         bloom: list[tuple[str, list]] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally at a past version (time travel)
         and optionally file-pruned: prune entries are either
@@ -2132,7 +2186,15 @@ class SnapshotTable:
         for point lookups on high-cardinality UNSORTED columns, where
         every file's [min,max] spans the domain and stat pruning keeps
         everything. Both prunes over-approximate "might contain" —
-        callers still apply the exact filter on the returned frame."""
+        callers still apply the exact filter on the returned frame.
+
+        `timestamp` is time travel by commit time — resolved to a
+        version via version_at_timestamp() (mutually exclusive with
+        `version`)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         files = self._live_files(version)
         if not files:
             raise ValueError("empty table (no committed version)")
@@ -2308,15 +2370,18 @@ class SnapshotTable:
         )
 
     def register_view(self, name: str,
-                      version: int | None = None) -> None:
-        """Expose the snapshot (optionally a past version — time
-        travel in SQL) as a temp view, so `spark.sql` queries the
-        table like any other relation: the ad-hoc surface
+                      version: int | None = None,
+                      timestamp: float | None = None) -> None:
+        """Expose the snapshot (optionally a past version or a commit
+        timestamp — time travel in SQL) as a temp view, so `spark.sql`
+        queries the table like any other relation: the ad-hoc surface
         sources/catalog.py gives the plain parquet tables, extended to
         the transactional format. The view pins the file list resolved
         NOW (snapshot isolation for its readers); re-register after
         new commits to see them."""
-        self.read(version=version).createOrReplaceTempView(name)
+        self.read(
+            version=version, timestamp=timestamp
+        ).createOrReplaceTempView(name)
 
     def history(self) -> list[dict]:
         """The committed log, oldest first: version, op, files added /
@@ -2327,6 +2392,7 @@ class SnapshotTable:
             out.append(
                 {
                     "version": v,
+                    "ts": m.get("ts"),
                     "op": m["op"],
                     "n_added": len(m["adds"]),
                     "n_removed": len(m["removes"]),

@@ -1945,3 +1945,65 @@ def test_generated_columns_materialize_and_prune(spark, tmp_path):
     ))
     assert {r.bucket for r in t.read().where(F.col("k") == 9000)
             .collect()} == {42}
+
+
+# ---------------- timestamp time travel ----------------
+
+
+def test_commit_timestamps_monotone_and_in_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ts1"))
+    for i in range(4):  # rapid commits — wall clock may not tick
+        t.append(_df(spark, i * 10, i * 10 + 3))
+    ts = [e["ts"] for e in t.history()]
+    assert all(isinstance(x, float) for x in ts)
+    # strictly increasing even for same-wall-tick commits (the
+    # max(now, prev+1ms) stamp)
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+
+
+def test_read_by_timestamp_matches_version(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ts2"))
+    t.append(_df(spark, 0, 10, "a"))
+    t.delete_where("k >= 5")
+    t.append(_df(spark, 100, 102, "b"))
+    ts = [e["ts"] for e in t.history()]
+    # at each commit instant the table is that commit's snapshot
+    for v, stamp in enumerate(ts):
+        assert (
+            t.read(timestamp=stamp).count()
+            == t.read(version=v).count()
+        )
+    # between commits -> the earlier version; after head -> head
+    assert t.read(timestamp=(ts[0] + ts[1]) / 2).count() == 10
+    assert t.read(timestamp=ts[-1] + 1e6).count() == 7
+    assert t.version_at_timestamp(ts[-1] + 1e6) == 2
+    # before the first commit -> error
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at_timestamp(ts[0] - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp=ts[0])
+
+
+def test_timestamp_travel_survives_retention_edge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ts3"), checkpoint_every=2)
+    for i in range(5):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    ts = [e["ts"] for e in t.history()]
+    t.expire_versions(keep_last=2)
+    # expired instants now raise (their manifests are gone) ...
+    with pytest.raises(ValueError, match="predates|expired"):
+        t.version_at_timestamp(ts[0])
+    # ... while retained instants still resolve
+    v = t.version_at_timestamp(ts[-1])
+    assert v == 4 and t.read(timestamp=ts[-1]).count() == 10
+
+
+def test_sql_view_at_timestamp(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ts4"))
+    t.append(_df(spark, 0, 6, "a"))
+    t.overwrite(_df(spark, 0, 2, "b"))
+    stamp = t.history()[0]["ts"]
+    t.register_view("ts_view_past", timestamp=stamp)
+    t.register_view("ts_view_now")
+    assert spark.sql("SELECT count(*) c FROM ts_view_past").first().c == 6
+    assert spark.sql("SELECT count(*) c FROM ts_view_now").first().c == 2
