@@ -677,14 +677,21 @@ class SnapshotTable:
         ]).alias("ps")).collect()
         return [tuple(int(p) for p in r["ps"]) for r in rows]
 
-    def _load_bloom(self, name: str) -> dict | None:
+    def _load_bloom(self, name: str,
+                    entry: dict | None = None) -> dict | None:
         """Parse (and cache) one sidecar: {"m", "k", "cols": {col:
         bitset bytes}}. Sidecars are write-once, so caching by file
-        name is safe; the cache is capped like the position memo."""
+        name is safe; the cache is capped like the position memo.
+        Clone-inherited entries (`loc`) look the sidecar up beside
+        the SOURCE file, so a clone keeps the source's bloom prunes."""
         cache = self._bloom_sidecar_cache
         if name in cache:
             return cache[name]
-        sp = _bloom_path(self.path, name)
+        if entry is not None and entry.get("loc"):
+            src_table = os.path.dirname(os.path.dirname(entry["loc"]))
+            sp = _bloom_path(src_table, name)
+        else:
+            sp = _bloom_path(self.path, name)
         if not os.path.exists(sp):
             doc = None
         else:
@@ -750,7 +757,7 @@ class SnapshotTable:
 
         out = {}
         for name, e in files.items():
-            doc = self._load_bloom(name)
+            doc = self._load_bloom(name, e)
             if doc is None:
                 out[name] = e
                 continue
@@ -1114,11 +1121,9 @@ class SnapshotTable:
         read_files = self._live_files()
         if target_bytes is not None:
             total = 0
-            for name in read_files:
+            for name, e in read_files.items():
                 try:
-                    total += os.path.getsize(
-                        os.path.join(self.path, "data", name)
-                    )
+                    total += os.path.getsize(self._data_path(name, e))
                 except OSError:
                     continue  # concurrently vacuumed: size unknown, skip
             target_files = max(1, -(-total // target_bytes))
@@ -2035,9 +2040,25 @@ class SnapshotTable:
                 return StructType.fromJson(json.loads(s))
         return None
 
+    def _data_path(self, name: str, entry: dict | None = None) -> str:
+        """Physical location of a manifest entry's data file. Entries
+        born here live in <table>/data/<name>; entries inherited by a
+        SHALLOW CLONE carry an absolute `loc` pointing into the source
+        table, which wins."""
+        if entry is not None and entry.get("loc"):
+            return entry["loc"]
+        return os.path.join(self.path, "data", name)
+
+    def _dv_path(self, p: str) -> str:
+        """Deletion-vector file location: clone-inherited DV refs are
+        absolute, locally-minted ones are names under data/."""
+        return p if os.path.isabs(p) else os.path.join(
+            self.path, "data", p
+        )
+
     def _df_for(self, files: dict[str, dict], schema=None) -> DataFrame:
         paths = [
-            os.path.join(self.path, "data", name) for name in sorted(files)
+            self._data_path(name, files[name]) for name in sorted(files)
         ]
         if schema is not None:
             # explicit schema: files written before a column existed
@@ -2085,7 +2106,7 @@ class SnapshotTable:
             dv_paths = sorted(
                 {p for e in dvd.values() for p in e["dvs"]}
             )
-            full = [os.path.join(self.path, "data", p) for p in dv_paths]
+            full = [self._dv_path(p) for p in dv_paths]
             dv_raw = self.spark.read.parquet(*full)
             # DV sets are churn-sized; when their physical footprint is
             # small, broadcast so the anti-join never shuffles the
@@ -2317,11 +2338,9 @@ class SnapshotTable:
                     "properties": {}, "checkpoints": []}
         live = self._live_files()
         size = 0
-        for name in live:
+        for name, e in live.items():
             try:
-                size += os.path.getsize(
-                    os.path.join(self.path, "data", name)
-                )
+                size += os.path.getsize(self._data_path(name, e))
             except OSError:
                 continue  # concurrently vacuumed
         dv_paths = sorted(
@@ -2368,6 +2387,75 @@ class SnapshotTable:
             "restore", adds, removes,
             schema=self._schema_at(version), replace_schema=True,
         )
+
+    def clone_to(self, dest_path: str, version: int | None = None,
+                 timestamp: float | None = None) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a
+        new, independently-writable table whose version 0 references
+        the source's live files — data AND deletion vectors — by
+        absolute location. Zero bytes copied; cost is O(files)
+        driver-side metadata, so forking a 100 TB table is instant.
+        That is the dev/test-against-prod and write-audit-publish
+        primitive: clone, mutate/validate the clone, throw it away (or
+        promote its data) without the source ever seeing a commit.
+
+        The clone diverges freely: its appends/DML stage files into
+        its OWN data/ (copy-on-write rewrites of inherited files
+        land locally too), removes merely drop references, and its
+        vacuum/retention sweeps only its own data/ directory — the
+        source's files are physically out of reach by construction.
+        compact() rewrites whatever is still referenced into local
+        files, turning a shallow clone into a self-contained deep one.
+
+        Caveat (exactly Delta's): the clone pins source FILES, not a
+        source version — a source vacuum()/expire_versions() that
+        deletes files the clone still references breaks those reads.
+        Materialize with compact() before retiring source history."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
+        live = self._live_files(version)
+        if not live:
+            raise ValueError("cannot clone an empty table")
+        v = self.latest_version() if version is None else version
+        schema = self._schema_at(v)
+        props = self.properties_at(v)
+        adds = []
+        for name, e in live.items():
+            entry = dict(e)
+            entry["loc"] = os.path.abspath(self._data_path(name, e))
+            if e.get("dvs"):
+                entry["dvs"] = [
+                    os.path.abspath(self._dv_path(p)) for p in e["dvs"]
+                ]
+            adds.append(entry)
+        dest = SnapshotTable(
+            self.spark, dest_path,
+            stat_cols=self.stat_cols,
+            checkpoint_every=self.checkpoint_every,
+            commit_backend=self.commit_backend,
+            bloom_cols=self.bloom_cols,
+            generated_cols=self.generated_cols,
+        )
+        manifest = {
+            "version": 0,
+            "op": "clone",
+            "adds": adds,
+            "removes": [],
+            "source": {
+                "path": os.path.abspath(self.path), "version": v,
+            },
+        }
+        if schema is not None:
+            manifest["schema"] = schema.json()
+        if props:
+            manifest["properties"] = props
+        if not dest._try_commit(0, manifest):
+            raise SnapshotConflict(
+                f"clone destination {dest_path} already has a log"
+            )
+        return dest
 
     def register_view(self, name: str,
                       version: int | None = None,

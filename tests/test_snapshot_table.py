@@ -2007,3 +2007,80 @@ def test_sql_view_at_timestamp(spark, tmp_path):
     t.register_view("ts_view_now")
     assert spark.sql("SELECT count(*) c FROM ts_view_past").first().c == 6
     assert spark.sql("SELECT count(*) c FROM ts_view_now").first().c == 2
+
+
+# ---------------- shallow clone ----------------
+
+
+def test_shallow_clone_reads_pinned_state_zero_copy(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "csrc"))
+    src.append(_df(spark, 0, 10, "a"))
+    src.delete_where("k >= 8", mode="mor")  # clone must carry DVs
+    clone = src.clone_to(str(tmp_path / "cdst"))
+    assert sorted(r.k for r in clone.read().collect()) == list(range(8))
+    # zero data copied: the clone's data dir has no parquet at all
+    ddir = tmp_path / "cdst" / "data"
+    assert not ddir.is_dir() or not [
+        f for f in os.listdir(ddir) if f.endswith(".parquet")
+    ]
+    assert clone.history()[0]["op"] == "clone"
+    # clone at a past version pins THAT state
+    old = src.clone_to(str(tmp_path / "cdst0"), version=0)
+    assert old.read().count() == 10
+
+
+def test_clone_diverges_both_ways(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "dsrc"))
+    src.append(_df(spark, 0, 6, "a"))
+    clone = src.clone_to(str(tmp_path / "ddst"))
+    clone.append(_df(spark, 100, 103, "b"))
+    clone.delete_where("k < 2")  # COW rewrite of an inherited file
+    src.append(_df(spark, 200, 210, "c"))
+    assert sorted(r.k for r in clone.read().collect()) == [
+        2, 3, 4, 5, 100, 101, 102
+    ]
+    assert src.read().count() == 16  # clone's DML never reached src
+    # the COW rewrite landed in the CLONE's data dir
+    assert [
+        f for f in os.listdir(tmp_path / "ddst" / "data")
+        if f.endswith(".parquet")
+    ]
+
+
+def test_clone_vacuum_never_touches_source(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "vsrc"))
+    src.append(_df(spark, 0, 6, "a").coalesce(1))
+    clone = src.clone_to(str(tmp_path / "vdst"))
+    clone.overwrite(_df(spark, 0, 1, "b"))  # inherited refs dropped
+    clone.expire_versions(keep_last=1, grace_seconds=0.0)
+    clone.vacuum(grace_seconds=0.0)
+    assert src.read().count() == 6  # source files physically intact
+    # materialize: compact localizes everything still referenced
+    clone2 = src.clone_to(str(tmp_path / "vdst2"))
+    clone2.compact(target_files=1)
+    assert all(
+        str(tmp_path / "vsrc") not in f
+        for f in clone2.read().inputFiles()
+    )
+    assert clone2.read().count() == 6
+
+
+def test_clone_keeps_bloom_prunes(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "bsrc"),
+                        bloom_cols=["k"], stat_cols=["k"])
+    src.append(_df(spark, 0, 500).repartition(4, "k"))
+    clone = src.clone_to(str(tmp_path / "bdst"))
+    probe = clone.read(bloom=[("k", [123])])
+    assert len(probe.inputFiles()) < 4  # sidecars found at the source
+    assert probe.filter(F.col("k") == 123).count() == 1
+
+
+def test_clone_at_timestamp_and_conflicts(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "tsrc"))
+    src.append(_df(spark, 0, 4, "a"))
+    stamp = src.history()[0]["ts"]
+    src.append(_df(spark, 4, 9, "b"))
+    clone = src.clone_to(str(tmp_path / "tdst"), timestamp=stamp)
+    assert clone.read().count() == 4
+    with pytest.raises(SnapshotConflict):
+        src.clone_to(str(tmp_path / "tdst"))  # occupied destination
