@@ -22,6 +22,9 @@ _CHECK_FIRST = [
     # round 7: queries whose implementation changed this round lead
     # (merge-on-read mode, duplicate-source guard, centroid-versioned
     # ANN index) — no prior driver row covers the new code paths
+    "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
+    "op-snapshot-stream-source",  # new: streaming source over the log
+    "op-snapshot-clone",  # new: shallow clone isolation
     "op-snapshot-time-travel",  # new: timestamp AS OF resolution
     "op-snapshot-merge-mor",  # new: merge-on-read deletion vectors
     "op-snapshot-cdf-mor",  # new: CDC across DV-only commits

@@ -2041,3 +2041,189 @@ def op_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-clone",
+    """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 3 = 0
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 5 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation end to end (sources/snapshot_table.py
+    clone_to): land the 'F' orders, clone the table (zero-copy,
+    O(files) metadata), then mutate the CLONE — a doubling merge
+    (copy-on-write rewrites of inherited files land in the clone's
+    own data dir) and a MoR delete — while the SOURCE gets an
+    unrelated append. The query reads the clone; the oracle is the
+    mutated relational state of the original snapshot alone, so any
+    cross-contamination (source rows leaking into the clone, clone
+    DML reaching the source's files, a mis-resolved inherited `loc`)
+    breaks the count or the hash."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="snap_clone_q_")
+    src = SnapshotTable(spark, os.path.join(base, "src"),
+                        stat_cols=["o_orderkey"])
+    src.append(orders.repartition(4))
+    clone = src.clone_to(os.path.join(base, "clone"))
+    clone.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    clone.delete_where("o_orderkey % 5 = 0", mode="mor")
+    # unrelated source churn AFTER the clone: must not be visible
+    src.append(
+        orders.limit(50).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        )
+    )
+    return (
+        clone.read()
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "op-snapshot-datasource",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 10 <> 0
+      AND o_orderkey > 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def op_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a first-class Spark FORMAT
+    (sources/spark_datasource.py): land the 'F' orders range-clustered
+    on o_orderkey, mask a residue class with a merge-on-read delete,
+    then read back through `spark.read.format("snapshot_table")` —
+    Catalyst's pushFilters prunes files against the manifest's min/max
+    stats before any task is scheduled, executors apply the deletion-
+    vector mask per file, and the filter is still re-applied row-level.
+    The oracle recomputes the aggregate relationally, so a DV leak, a
+    wrongly-pruned file, or a schema drift in the Arrow path breaks
+    the count or the exact integer sum. Scale: planning is O(live
+    files) driver-side; the scan parallelism is one task per surviving
+    file."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long").alias("cents"))
+    )
+    base = tempfile.mkdtemp(prefix="snap_dsrc_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.repartitionByRange(8, "o_orderkey"))
+    t.delete_where("o_orderkey % 10 = 0", mode="mor")
+    sds.register(spark)
+    df = (
+        spark.read.format(sds.FORMAT_NAME)
+        .option("path", t.path).load()
+        .filter(F.col("o_orderkey") > 1000)  # pushed -> file prune
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "op-snapshot-stream-source",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def op_snapshot_stream_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The snapshot table as a STRUCTURED STREAMING source
+    (sources/spark_datasource.py SnapshotStreamReader): the 'F'
+    orders land across TWO commits; `readStream.format(
+    "snapshot_table")` tails the log with availableNow — offset =
+    log version, micro-batch = that range's added files — into a
+    parquet sink, and the query aggregates the sink. The oracle is
+    the full relational content, so a dropped commit, a replayed
+    file, or an offset misresolution changes the counts. Scale: each
+    micro-batch schedules one task per added file; offsets ride
+    Spark's own streaming checkpoint, so restart resumes exactly
+    (proven under restart in tests/test_spark_datasource.py)."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    base = tempfile.mkdtemp(prefix="snap_stream_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    sds.register(spark)
+    out = os.path.join(base, "out")
+    q = (
+        spark.readStream.format(sds.FORMAT_NAME)
+        .option("path", t.path).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,333 @@
+"""Spark Python DataSource over the snapshot table — `spark.read
+.format("snapshot_table")` and `spark.readStream.format(
+"snapshot_table")` as first-class Catalyst citizens.
+
+The table format itself (sources/snapshot_table.py) is engine-side:
+its SnapshotTable handle plans reads by resolving the manifest log
+driver-side and handing Spark a pruned parquet file list. This module
+exposes the SAME log through Spark 4's Python DataSource API
+(SPARK-44076), which buys three things the handle can't give:
+
+- **Catalyst filter pushdown** (`pushFilters`, 4.1): a `WHERE k = 7`
+  on the DataFrame reaches `partitions()` as a typed filter and prunes
+  FILES against the manifest's min/max stats before Spark schedules a
+  single task — the handle's `read(prune=...)` discipline, but driven
+  by the optimizer instead of the caller. Filters are re-applied by
+  Spark after the scan (we return them all from pushFilters), so the
+  prune being an over-approximation is invisible to correctness.
+- **A streaming source**: `readStream` tails the commit log, each
+  micro-batch covering the versions committed since the last offset —
+  the Delta streaming-source protocol (offset = log version, batch =
+  that range's added files, `skipChangeCommits` for rewrite commits).
+  Offsets live in Spark's own streaming checkpoint, so restart
+  resumes exactly.
+- **Executor-side scan**: each live file (with its deletion vectors)
+  is one `InputPartition`; workers read it with pyarrow and apply the
+  DV mask locally, so a 1000-file table scans 1000-wide with no
+  driver data movement.
+
+Metadata resolution reuses SnapshotTable's own log replay — those
+paths (versions, live files, schema, timestamps) are pure-Python over
+the JSON log and never touch the SparkSession, so the planner can run
+them inside the data-source sandbox with `SnapshotTable(None, path)`.
+
+Scale notes: partition = file keeps planning O(live files) — the same
+cost the handle pays — and the per-file DV mask is bounded by churn
+since the last compaction. The Simple(prefetch-on-driver) stream
+reader variant is deliberately NOT used: `DataSourceStreamReader`'s
+partitions() path keeps micro-batch data on executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from .snapshot_table import SnapshotTable, _may_contain
+
+FORMAT_NAME = "snapshot_table"
+
+
+def _meta_handle(options) -> SnapshotTable:
+    path = options.get("path")
+    if not path:
+        raise ValueError("option 'path' is required (snapshot table dir)")
+    # metadata-only handle: log replay never touches the session, so
+    # None is safe inside the data-source planning sandbox
+    return SnapshotTable(None, path)
+
+
+def _resolve_version(t: SnapshotTable, options) -> int:
+    v, ts = options.get("version"), options.get("timestamp")
+    if v is not None and ts is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if ts is not None:
+        return t.version_at_timestamp(float(ts))
+    head = t.latest_version()
+    if head is None:
+        raise ValueError("empty table (no committed version)")
+    return int(v) if v is not None else head
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One live data file: its physical location, the deletion-vector
+    files masking it (absolute), and its manifest name (DV rows carry
+    the target's NAME, not its path)."""
+
+    name: str
+    loc: str
+    dvs: tuple
+    schema_json: str
+
+
+def _read_partition(part: _FilePartition) -> Iterator:
+    """Executor-side scan of one file: pyarrow read, DV mask by row
+    position, then align to the table schema (schema evolution: files
+    written before a column existed read it as null)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pq.read_table(part.loc)
+    if part.dvs:
+        dead: set = set()
+        for dv in part.dvs:
+            d = pq.read_table(dv, columns=["target", "pos"])
+            tgt = d.column("target").to_pylist()
+            pos = d.column("pos").to_pylist()
+            dead.update(p for t, p in zip(tgt, pos) if t == part.name)
+        if dead:
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[list(dead)] = False
+            tbl = tbl.filter(pa.array(mask))
+    spark_schema = StructType.fromJson(json.loads(part.schema_json))
+    target = to_arrow_schema(spark_schema)
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=field.type))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _entry_partition(t: SnapshotTable, name: str, e: dict,
+                     schema_json: str) -> _FilePartition:
+    return _FilePartition(
+        name=name,
+        loc=os.path.abspath(t._data_path(name, e)),
+        dvs=tuple(
+            os.path.abspath(t._dv_path(p)) for p in e.get("dvs", ())
+        ),
+        schema_json=schema_json,
+    )
+
+
+def _schema_at(t: SnapshotTable, version: int) -> StructType:
+    s = t._schema_at(version)
+    if s is not None:
+        # parquet scans surface every column nullable (and evolution
+        # fills nulls); mirror that so the format's schema matches the
+        # handle's read() exactly
+        from pyspark.sql.types import StructField
+
+        return StructType([
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in s.fields
+        ])
+    if s is None:
+        # legacy log with no recorded schema: infer from one footer
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        live = t._live_files(version)
+        name, e = next(iter(sorted(live.items())))
+        return from_arrow_schema(
+            pq.ParquetFile(t._data_path(name, e)).schema_arrow
+        )
+    return s
+
+
+class SnapshotReader(DataSourceReader):
+    """Batch scan, pinned at planning time (snapshot isolation: the
+    file list is resolved once; later commits don't shift the scan)."""
+
+    def __init__(self, options):
+        t = _meta_handle(options)
+        self._version = _resolve_version(t, options)
+        self._schema_json = _schema_at(t, self._version).json()
+        live = t._live_files(self._version)
+        self._parts = [
+            _entry_partition(t, n, e, self._schema_json)
+            for n, e in sorted(live.items())
+        ]
+        # stats by file name, for pushFilters-driven pruning
+        self._stats = {n: e.get("stats", {}) for n, e in live.items()}
+        self._preds: list[tuple] = []  # (op, col, values)
+
+    def pushFilters(self, filters):
+        """Harvest file-prunable predicates; return EVERY filter so
+        Spark still applies them row-level (the manifest prune is an
+        over-approximation by design)."""
+        ops = {
+            EqualTo: "in", In: "in",
+            GreaterThan: "gt", GreaterThanOrEqual: "ge",
+            LessThan: "lt", LessThanOrEqual: "le",
+        }
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            op = ops.get(type(f))
+            if op is None or not attr or len(attr) != 1:
+                continue
+            vals = (
+                list(f.value) if isinstance(f, In) else [f.value]
+            )
+            self._preds.append((op, attr[0], vals))
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        def survives(mm: list, op: str, v) -> bool:
+            """Can a row in a file with [min,max]=mm satisfy `op v`?
+            Exact per operator — strict bounds DO prune the boundary
+            file (max=299 cannot satisfy k > 299)."""
+            try:
+                if op == "in":
+                    return _may_contain(mm, v, v)
+                if op == "gt":
+                    return mm[1] > v
+                if op == "ge":
+                    return mm[1] >= v
+                if op == "lt":
+                    return mm[0] < v
+                return mm[0] <= v  # le
+            except TypeError:
+                return True  # cross-type compare: never prune
+
+        def keep(name: str) -> bool:
+            stats = self._stats.get(name, {})
+            for op, col, values in self._preds:
+                mm = stats.get(col)
+                if mm is None:
+                    continue  # no stats: cannot prune
+                if not any(survives(mm, op, v) for v in values):
+                    return False
+            return True
+
+        return [p for p in self._parts if keep(p.name)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_partition(partition)
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Streaming source: offset = committed log version; micro-batch
+    (start, end] = the files ADDED by those commits. Commits that
+    remove or mask rows (merge/delete/update/compaction) are not
+    expressible as an append stream — they raise, unless
+    `skipChangeCommits=true` skips them wholesale (Delta's contract).
+
+    `startingVersion` (default 0) streams the table's retained history
+    first; `startingVersion=latest` streams only commits after the
+    query starts."""
+
+    def __init__(self, options):
+        self._options = options
+        self._t = _meta_handle(options)
+        self._skip_changes = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1", "yes")
+        start = str(options.get("startingversion", "0"))
+        if start == "latest":
+            head = self._t.latest_version()
+            self._start = head if head is not None else -1
+        else:
+            self._start = int(start) - 1  # offset = last CONSUMED
+        self._schema_json: str | None = None
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        head = self._t.latest_version()
+        return {"version": head if head is not None else -1}
+
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        if self._schema_json is None:
+            self._schema_json = _schema_at(self._t, hi).json()
+        parts: list[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = self._t._read_manifest(v)
+            if m["removes"] or m.get("dv_adds"):
+                if self._skip_changes:
+                    continue
+                raise ValueError(
+                    f"version {v} ({m['op']}) rewrites or masks rows; "
+                    "an append stream cannot represent it — set "
+                    "skipChangeCommits=true to skip such commits"
+                )
+            for a in m["adds"]:
+                parts.append(_entry_partition(
+                    self._t, a["path"], a, self._schema_json
+                ))
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
+class SnapshotDataSource(DataSource):
+    """`spark.dataSource.register(SnapshotDataSource)` then
+
+        spark.read.format("snapshot_table").option("path", p).load()
+        spark.readStream.format("snapshot_table").option("path", p)...
+
+    Options: path (required); version | timestamp (batch time
+    travel); startingVersion, skipChangeCommits (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        t = _meta_handle(self.options)
+        return _schema_at(t, _resolve_version(t, self.options))
+
+    def reader(self, schema: StructType) -> SnapshotReader:
+        return SnapshotReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        return SnapshotStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the session. Also enables
+    Python data-source filter pushdown (off by default in 4.1) —
+    without it Spark refuses any reader implementing pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)

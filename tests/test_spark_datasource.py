@@ -1,0 +1,145 @@
+"""Python DataSource integration for the snapshot table: batch reads
+(time travel, catalyst filter pushdown pruning files via manifest
+stats, DV masking on executors, schema evolution), and the streaming
+source (log tailing, checkpoint resume, change-commit contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from data_engineering_pipeline_spark.sources import spark_datasource as sds
+from data_engineering_pipeline_spark.sources.snapshot_table import (
+    SnapshotTable,
+)
+
+
+def _kv(spark, lo, hi, tag="x"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+def _load(spark, path, **opts):
+    sds.register(spark)
+    r = spark.read.format(sds.FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_matches_handle_including_dvs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, 0, 50, "a").repartition(3))
+    t.delete_where("k % 7 = 0", mode="mor")  # DV mask must apply
+    df = _load(spark, t.path)
+    assert df.schema == t.read().schema
+    assert sorted(r.k for r in df.collect()) == sorted(
+        r.k for r in t.read().collect()
+    )
+    # time travel via both options
+    assert _load(spark, t.path, version=0).count() == 50
+    stamp = t.history()[0]["ts"]
+    assert _load(spark, t.path, timestamp=str(stamp)).count() == 50
+
+
+def test_filter_pushdown_prunes_files_and_stays_correct(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"), stat_cols=["k"])
+    # range-clustered files -> tight [min,max] per file
+    t.append(_kv(spark, 0, 400).repartitionByRange(4, "k"))
+    r = sds.SnapshotReader({"path": t.path})
+    assert len(r.partitions()) == 4
+    kept = r.pushFilters([EqualTo(("k",), 123)])
+    assert list(kept) == [EqualTo(("k",), 123)]  # Spark re-applies
+    assert len(r.partitions()) == 1
+    r2 = sds.SnapshotReader({"path": t.path})
+    r2.pushFilters([GreaterThan(("k",), 299)])
+    assert len(r2.partitions()) == 1
+    r3 = sds.SnapshotReader({"path": t.path})
+    r3.pushFilters([In(("k",), (5, 350))])
+    assert len(r3.partitions()) == 2
+    # end to end through catalyst: correct rows, not just fewer files
+    df = _load(spark, t.path).filter("k = 123 OR k = 350")
+    assert sorted(r.k for r in df.collect()) == [123, 350]
+
+
+def test_schema_evolution_and_clone_locs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "e"))
+    t.append(_kv(spark, 0, 5, "a"))
+    t.append(
+        _kv(spark, 5, 8, "b").withColumn("extra", F.col("id") * 10)
+        if "id" in _kv(spark, 5, 8).columns
+        else _kv(spark, 5, 8, "b").withColumn("extra", F.col("k") * 10)
+    )
+    df = _load(spark, t.path)
+    rows = {r.k: r.extra for r in df.collect()}
+    assert rows[2] is None and rows[6] == 60  # old files read null
+    # a shallow clone's inherited absolute locs resolve on executors
+    clone = t.clone_to(str(tmp_path / "e2"))
+    assert _load(spark, clone.path).count() == 8
+
+
+def test_streaming_tail_resume_and_change_contract(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    t.append(_kv(spark, 0, 10, "a"))
+    t.append(_kv(spark, 10, 15, "b"))
+    sds.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format(sds.FORMAT_NAME)
+            .option("path", t.path).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 15
+    # resume from the streaming checkpoint: only the new commit
+    t.append(_kv(spark, 15, 18, "c"))
+    run_once()
+    assert spark.read.parquet(out).count() == 18
+    # a rewrite commit breaks the append contract -> stream errors
+    t.delete_where("k < 2")
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run_once()
+    # ... unless told to skip change commits wholesale
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format(sds.FORMAT_NAME)
+        .option("path", t.path)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 18  # adds-only replay
+
+
+def test_streaming_starting_version_latest(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "sl"))
+    t.append(_kv(spark, 0, 100, "old"))
+    sds.register(spark)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    # nothing yet: startingVersion=latest skips retained history
+    t.append(_kv(spark, 100, 103, "new"))
+    q = (
+        spark.readStream.format(sds.FORMAT_NAME)
+        .option("path", t.path)
+        .option("startingVersion", "1").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
+        100, 101, 102
+    ]
