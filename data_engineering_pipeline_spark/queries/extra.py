@@ -2227,3 +2227,72 @@ def op_snapshot_stream_source(spark: SparkSession,
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "op-snapshot-format-write",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def op_snapshot_format_write(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """WRITE through the format (sources/spark_datasource.py
+    SnapshotWriter): `df.write.format("snapshot_table")` lands the
+    'F' orders with a real two-phase commit — executors stream Arrow
+    batches straight into staged parquet files, the driver's single
+    manifest commit publishes them through the table's optimistic
+    protocol (create-on-first-write included). Half the rows land in
+    a second append to prove multi-commit accumulation, and the
+    result is read back through the HANDLE — so the two surfaces
+    agree on the same log. The oracle recomputes the aggregate
+    relationally; a lost staged file, a double-published manifest, or
+    an Arrow schema drift breaks the exact integer sums."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").alias("cents"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="snap_fw_q_")
+    p = os.path.join(base, "t")
+    sds.register(spark)
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odds = orders.filter(F.col("o_orderkey") % 2 == 1)
+    evens.write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    odds.write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    t = SnapshotTable(spark, p)
+    return (
+        t.read()
+        .groupBy((F.col("o_orderkey") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -47,7 +47,9 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -56,6 +58,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -301,6 +304,165 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets live in the streaming checkpoint
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    """Executor -> driver commit message: one staged data file."""
+
+    name: str | None  # basename under <table>/data/, None if empty
+
+
+def _refuse_engine_features(t: SnapshotTable) -> None:
+    """The format writer is a pure append/overwrite path: CHECK
+    constraints and generated columns are Spark-SQL expressions the
+    sandboxed writer cannot evaluate — refuse loudly rather than
+    silently skip the gate the handle API enforces."""
+    if t.latest_version() is None:
+        return
+    props = t.properties_at()
+    gated = sorted(
+        k for k in props
+        if k.startswith("constraint.") or k.startswith("generated.")
+    )
+    if gated:
+        raise ValueError(
+            f"table declares {gated}; the snapshot_table format "
+            "writer cannot enforce constraints or materialize "
+            "generated columns — write through SnapshotTable.append()"
+        )
+
+
+class _ArrowStager:
+    """Shared executor-side write: stream RecordBatches into ONE
+    parquet file directly under <table>/data/ with a fresh uuid name.
+    The file is unreferenced until the driver's commit() publishes a
+    manifest — a crash strands it for vacuum()'s grace-windowed sweep,
+    never a visible partial write (the _stage() contract)."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def write(self, iterator) -> _WroteFile:
+        import pyarrow.parquet as pq
+
+        data = os.path.join(self._path, "data")
+        os.makedirs(data, exist_ok=True)
+        name = f"{__import__('uuid').uuid4().hex[:12]}-w.parquet"
+        writer = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(data, name), batch.schema
+                    )
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFile(name if writer is not None else None)
+
+
+def _commit_files(path: str, names: list[str], schema: StructType,
+                  overwrite: bool,
+                  txn: tuple[str, int] | None = None) -> None:
+    """Driver-side second phase: footer-derived stats for the staged
+    files, then one manifest through the table's own optimistic commit
+    loop (append never conflicts; overwrite rebases cleanly; `txn`
+    makes a streaming epoch's commit idempotent under replay)."""
+    from .snapshot_table import _file_stats
+
+    t = SnapshotTable(None, path)
+    adds = _file_stats(
+        [os.path.join(path, "data", n) for n in names],
+        t._effective_stat_cols(),
+    )
+
+    if overwrite:
+        def removes(live: dict) -> list[str]:
+            return sorted(live)
+    else:
+        def removes(live: dict) -> list[str]:
+            return []
+
+    t._commit_loop(
+        "overwrite" if overwrite else "append",
+        adds, removes, schema=schema,
+        replace_schema=overwrite, txn=txn,
+    )
+
+
+def _drop_staged(path: str, messages) -> None:
+    for m in messages:
+        if m and m.name:
+            try:
+                os.remove(os.path.join(path, "data", m.name))
+            except OSError:
+                pass
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """Batch write: `df.write.format("snapshot_table").option("path",
+    p).mode("append"|"overwrite").save()`. Creates the table on first
+    write. True two-phase commit: executors stage, the driver's single
+    manifest commit publishes — concurrent writers resolve through the
+    table's optimistic protocol, not last-write-wins file clobbering."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        t = _meta_handle(options)
+        _refuse_engine_features(t)
+        self._path = os.path.abspath(options["path"])
+        self._schema = schema
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFile:
+        return _ArrowStager(self._path).write(iterator)
+
+    def commit(self, messages) -> None:
+        names = [m.name for m in messages if m and m.name]
+        _commit_files(self._path, names, self._schema, self._overwrite)
+
+    def abort(self, messages) -> None:
+        _drop_staged(self._path, messages)
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink with EXACTLY-ONCE appends: `writeStream.format(
+    "snapshot_table").option("path", p).option("txnAppId", id)`. Each
+    epoch commits under txn=(txnAppId, batchId) — the table's
+    idempotent-append protocol — so a replayed micro-batch (crash
+    after commit, before the streaming checkpoint advanced) finds its
+    txn in the log and becomes a no-op, its restaged files left as
+    vacuum garbage. txnAppId is REQUIRED: deriving one silently would
+    alias two different queries writing the same table."""
+
+    def __init__(self, options, schema: StructType):
+        t = _meta_handle(options)
+        _refuse_engine_features(t)
+        self._path = os.path.abspath(options["path"])
+        self._schema = schema
+        app = options.get("txnappid")
+        if not app:
+            raise ValueError(
+                "option 'txnAppId' is required for exactly-once "
+                "streaming writes (it keys the idempotent-append txn)"
+            )
+        self._app = app
+
+    def write(self, iterator) -> _WroteFile:
+        return _ArrowStager(self._path).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        names = [m.name for m in messages if m and m.name]
+        _commit_files(
+            self._path, names, self._schema, overwrite=False,
+            txn=(self._app, batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(self._path, messages)
+
+
 class SnapshotDataSource(DataSource):
     """`spark.dataSource.register(SnapshotDataSource)` then
 
@@ -323,6 +485,14 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> SnapshotWriter:
+        return SnapshotWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

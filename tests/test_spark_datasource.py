@@ -143,3 +143,111 @@ def test_streaming_starting_version_latest(spark, tmp_path):
     assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
         100, 101, 102
     ]
+
+
+def test_format_write_create_append_overwrite_interop(spark, tmp_path):
+    sds.register(spark)
+    p = str(tmp_path / "w")
+    df = _kv(spark, 0, 50, "a")
+    df.write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()  # creates the table
+    t = SnapshotTable(spark, p)
+    assert t.read().count() == 50 and t.latest_version() == 0
+    df.write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    assert t.read().count() == 100
+    _kv(spark, 0, 7, "b").write.format(sds.FORMAT_NAME).option(
+        "path", p
+    ).mode("overwrite").save()
+    assert t.read().count() == 7
+    assert t.history()[-1]["op"] == "overwrite"
+    # full interop: the handle's DML works on format-written files
+    t.merge_into(
+        spark.createDataFrame([(3, "z"), (100, "new")],
+                              "k long, tag string"),
+        ["k"],
+    )
+    rows = {r.k: r.tag for r in t.read().collect()}
+    assert rows[3] == "z" and rows[100] == "new" and len(rows) == 8
+
+
+def test_format_write_keeps_stats_for_pruning(spark, tmp_path):
+    p = str(tmp_path / "ws")
+    # a stat-aware handle creates the table, stamping the property
+    t = SnapshotTable(spark, p, stat_cols=["k"])
+    t.append(_kv(spark, 0, 10, "seed"))
+    sds.register(spark)
+    _kv(spark, 1000, 1100, "fmt").repartitionByRange(
+        2, "k"
+    ).write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    # the format writer derived footer stats -> prune still bites
+    probe = t.read(prune=[("k", 1000, 1010)])
+    assert len(probe.inputFiles()) < 3
+    assert probe.filter("k between 1000 and 1010").count() == 11
+
+
+def test_format_write_refuses_constraints_and_generated(spark, tmp_path):
+    p = str(tmp_path / "wc")
+    t = SnapshotTable(spark, p)
+    t.append(_kv(spark, 0, 5, "a"))
+    t.add_constraint("k_nonneg", "k >= 0")
+    sds.register(spark)
+    with pytest.raises(Exception, match="constraint"):
+        _kv(spark, 5, 9, "b").write.format(sds.FORMAT_NAME).option(
+            "path", p
+        ).mode("append").save()
+
+
+def test_format_writer_abort_drops_staged(spark, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "wa")
+    SnapshotTable(spark, p).append(_kv(spark, 0, 3, "a"))
+    w = sds.SnapshotWriter({"path": p}, _kv(spark, 0, 1).schema, False)
+    msg = w.write(iter([pa.record_batch({"k": [1], "tag": ["x"]})]))
+    staged = os.path.join(p, "data", msg.name)
+    assert os.path.exists(staged)
+    w.abort([msg])
+    assert not os.path.exists(staged)
+    assert SnapshotTable(spark, p).read().count() == 3  # untouched
+
+
+def test_stream_write_exactly_once_txn(spark, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "wt")
+    schema = _kv(spark, 0, 1).schema
+    w = sds.SnapshotStreamWriter({"path": p, "txnappid": "q1"}, schema)
+    msg = w.write(iter([pa.record_batch({"k": [1], "tag": ["x"]})]))
+    w.commit([msg], batchId=0)
+    t = SnapshotTable(spark, p)
+    assert t.read().count() == 1 and t.txn_version("q1") == 0
+    # a REPLAYED epoch (same batchId) stages again but commits nothing
+    msg2 = w.write(iter([pa.record_batch({"k": [1], "tag": ["x"]})]))
+    w.commit([msg2], batchId=0)
+    assert t.read().count() == 1 and t.latest_version() == 0
+    # the next epoch lands normally
+    msg3 = w.write(iter([pa.record_batch({"k": [2], "tag": ["y"]})]))
+    w.commit([msg3], batchId=1)
+    assert t.read().count() == 2 and t.txn_version("q1") == 1
+
+
+def test_stream_write_end_to_end(spark, tmp_path):
+    sds.register(spark)
+    src = str(tmp_path / "src")
+    _kv(spark, 0, 5, "s").write.mode("append").parquet(src)
+    p = str(tmp_path / "wse")
+    q = (
+        spark.readStream.schema("k long, tag string").parquet(src)
+        .writeStream.format(sds.FORMAT_NAME)
+        .option("path", p).option("txnAppId", "e2e")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    t = SnapshotTable(spark, p)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
