@@ -76,6 +76,11 @@ HEADLINE = [
     # wall-time, not just as test failures
     "op-snapshot-prune-box",
     "op-snapshot-bloom-read",
+    # round 7 final additions: the Python DataSource surface — batch
+    # read with catalyst pushdown file-pruning, and the two-phase
+    # format write path — tracked from this round
+    "op-snapshot-datasource",
+    "op-snapshot-format-write",
 ]
 
 TIMED_RUNS = 3
