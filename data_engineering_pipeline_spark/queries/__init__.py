@@ -24,6 +24,7 @@ _CHECK_FIRST = [
     # ANN index) — no prior driver row covers the new code paths
     "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
     "op-snapshot-format-write",  # new: two-phase format write path
+    "text-dup-spans",  # new: exact substring (n-gram span) duplication
     "op-snapshot-stream-source",  # new: streaming source over the log
     "op-snapshot-clone",  # new: shallow clone isolation
     "op-snapshot-time-travel",  # new: timestamp AS OF resolution

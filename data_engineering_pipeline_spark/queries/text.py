@@ -961,3 +961,51 @@ def text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+@_register(
+    "text-dup-spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+    ), wins AS (
+      SELECT doc_id, n_tokens, i AS pos,
+             array_to_string(toks[i + 1 : i + 16], ' ') AS gram
+      FROM sized, UNNEST(range(n_tokens - 16 + 1)) AS u(i)
+      WHERE n_tokens >= 16
+    ), cnt AS (
+      SELECT doc_id, n_tokens, pos,
+             count(*) OVER (PARTITION BY gram) AS c
+      FROM wins
+    ), dup AS (
+      SELECT * FROM cnt WHERE c > 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT pos) AS BIGINT) AS dup_windows,
+           CAST(count(DISTINCT tp) AS BIGINT) AS covered_tokens
+    FROM dup, UNNEST(range(pos, pos + 16)) AS v(tp)
+    GROUP BY doc_id, n_tokens
+    ORDER BY doc_id
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication at 16-token window granularity
+    (operators/dedup.py duplicate_ngram_spans — the Lee et al. 2022
+    signal): windows whose exact content recurs anywhere in the
+    corpus, summarized per doc as duplicated-window count and the
+    token coverage of their union. One gram-keyed shuffle + one
+    per-doc aggregate; the oracle recomputes via window functions
+    over unnested n-grams, so a miscounted overlap, a lost window,
+    or a tokenization drift breaks the exact counts. Scale: the
+    graded config shuffles the literal n-token string (the oracle
+    must group identically); `hash_grams=True` is the 100 TB path
+    (8-byte xxhash64 keys)."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=16).orderBy("doc_id")

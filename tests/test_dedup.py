@@ -205,3 +205,45 @@ def test_embedding_hot_bucket_cap(spark):
     )
     got_c = {(r.id_a, r.id_b) for r in capped.collect()}
     assert not any(a < 30 and b < 30 for a, b in got_c)
+
+
+def test_duplicate_ngram_spans_union_and_hash_path(spark):
+    from data_engineering_pipeline_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    # doc 1 and doc 2 share an 8-token passage; doc 3 repeats its own
+    # passage twice (within-doc duplication counts); doc 4 is clean
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 y1 z1 w1"),
+            (2, "p2 q2 " + shared + " r2"),
+            (3, "m n o p q r s t u m n o p q r s t u"),
+            (4, " ".join(f"t4w{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicate_ngram_spans(docs, n=8).collect()
+    }
+    assert 4 not in out  # clean doc emits nothing
+    # doc 1: only window 0 matches doc 2's copy -> 8 covered tokens
+    assert out[1].dup_windows == 1 and out[1].covered_tokens == 8
+    assert out[2].dup_windows == 1 and out[2].covered_tokens == 8
+    # doc 3: 18 tokens, period 9; window i and i+9 share content for
+    # i in 0..1 -> 4 dup windows, union covers overlapping runs once
+    assert out[3].dup_windows == 4
+    assert out[3].covered_tokens == len(
+        {p for s in (0, 1, 9, 10) for p in range(s, s + 8)}
+    )
+    # the 100 TB hash-keyed path groups identically here
+    hashed = {
+        r.doc_id: (r.dup_windows, r.covered_tokens)
+        for r in duplicate_ngram_spans(docs, n=8,
+                                       hash_grams=True).collect()
+    }
+    assert hashed == {
+        k: (v.dup_windows, v.covered_tokens) for k, v in out.items()
+    }
