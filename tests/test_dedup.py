@@ -247,3 +247,23 @@ def test_duplicate_ngram_spans_union_and_hash_path(spark):
     assert hashed == {
         k: (v.dup_windows, v.covered_tokens) for k, v in out.items()
     }
+
+
+def test_duplicate_ngram_spans_skew_safe_plan_agrees(spark):
+    from data_engineering_pipeline_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "boiler plate text repeated everywhere always " +
+          " ".join(f"u{i}w{j}" for j in range(6))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, duplicate_ngram_spans(docs, n=6).collect()))
+    safe = sorted(map(tuple, duplicate_ngram_spans(
+        docs, n=6, skew_safe=True
+    ).collect()))
+    hashed = sorted(map(tuple, duplicate_ngram_spans(
+        docs, n=6, skew_safe=True, hash_grams=True
+    ).collect()))
+    assert base == safe == hashed and len(base) == 20
