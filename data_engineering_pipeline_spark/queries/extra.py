@@ -2296,3 +2296,62 @@ def op_snapshot_format_write(spark: SparkSession,
         )
         .orderBy("bucket")
     )
+
+
+@_register(
+    "op-snapshot-wap",
+    """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 3 = 0
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH end to end (sources/snapshot_table.py
+    clone_to + publish_from): the 'F' orders land in the source; a
+    shallow clone takes the writes — a doubling merge (COW rewrites
+    land clone-local) and a MoR delete (a clone-local deletion
+    vector over an inherited file) — passes its audit, and publishes
+    back as ONE metadata commit that adopts the clone's files by
+    rename (zero copies). The query reads the SOURCE after publish;
+    the oracle is the mutated relational state, so a lost adopted
+    file, a dropped DV, or a kept-but-should-be-removed source file
+    breaks the count or the hash. The pre-publish source remains
+    time-travelable (asserted in tests)."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="snap_wap_q_")
+    src = SnapshotTable(spark, os.path.join(base, "src"),
+                        stat_cols=["o_orderkey"])
+    src.append(orders.repartition(4))
+    clone = src.clone_to(os.path.join(base, "branch"))
+    clone.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    clone.delete_where("o_orderkey % 7 = 0", mode="mor")
+    src.publish_from(clone)
+    return (
+        src.read()
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

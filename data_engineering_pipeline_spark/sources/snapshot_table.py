@@ -1088,7 +1088,8 @@ class SnapshotTable:
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None,
                 bits: int = 8,
-                target_bytes: int | None = None) -> int:
+                target_bytes: int | None = None,
+                where: list | None = None) -> int | None:
         """Rewrite the current snapshot into `target_files` files —
         the small-file cure for append-heavy tables. Conflicts like
         upsert: commits only if its source files are all still live.
@@ -1107,7 +1108,17 @@ class SnapshotTable:
         come free from the manifest stats when the columns are in
         stat_cols (driver-side, no scan); otherwise one min/max agg
         pass. Cost: the one range-partition shuffle any global sort
-        pays — which compaction was going to pay anyway."""
+        pays — which compaction was going to pay anyway.
+
+        `where` SCOPES the rewrite (Delta's OPTIMIZE ... WHERE): a
+        list of read(prune=)-style predicates — (col, lo, hi) ranges
+        or (col, values) point sets — selects only the live files
+        whose stats may overlap; everything else is untouched and
+        cannot conflict. That is how a 100 TB table is compacted in
+        slices (yesterday's ingest partition, one tenant's key range)
+        instead of one table-wide transaction. Returns None if the
+        predicate selects nothing (or a single file with no
+        clustering request — already optimal)."""
         from pyspark.sql import functions as F
 
         from data_engineering_pipeline_spark.operators.zorder import (
@@ -1119,6 +1130,12 @@ class SnapshotTable:
         if head is None:
             raise ValueError("cannot compact an empty table")
         read_files = self._live_files()
+        if where:
+            read_files = self._apply_prunes(read_files, where, None, head)
+            if not read_files or (
+                len(read_files) == 1 and not cluster_by
+            ):
+                return None  # nothing (or nothing useful) to rewrite
         if target_bytes is not None:
             total = 0
             for name, e in read_files.items():
@@ -1806,6 +1823,19 @@ class SnapshotTable:
         return self._commit_loop("update", adds, removes,
                                  schema=schema)
 
+    def changes_between_timestamps(
+        self, ts_from: float, ts_to: float, keys: list[str]
+    ) -> DataFrame:
+        """Delta's timestamp-bounded change feed: CDC between the
+        snapshots as of two instants (each resolved through the
+        monotone in-commit timestamps). `ts_from` earlier than the
+        retained log raises, same as version_at_timestamp."""
+        return self.changes(
+            self.version_at_timestamp(ts_from),
+            self.version_at_timestamp(ts_to),
+            keys,
+        )
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:
@@ -1964,7 +1994,8 @@ class SnapshotTable:
         out["vacuumed"] = self.vacuum(grace_seconds=grace_seconds)
         return out
 
-    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
+    def vacuum(self, grace_seconds: float = 3600.0,
+               dry_run: bool = False) -> list[str]:
         """Delete data files referenced by NO version in the log
         (crash leftovers from writers that died before commit), but
         only once they are older than `grace_seconds`: an unreferenced
@@ -1974,7 +2005,11 @@ class SnapshotTable:
         reference a missing file). Files removed by a later version are
         kept regardless — they back time travel; truncating history
         would be a retention policy, not vacuum (that is
-        expire_versions)."""
+        expire_versions).
+
+        `dry_run` returns what WOULD be deleted without touching
+        anything (Delta's VACUUM DRY RUN) — the operational preflight
+        before pointing a sweep at a shared table."""
         ever: set[str] = set()
         for v in self._versions():
             m = self._read_manifest(v)
@@ -1988,11 +2023,13 @@ class SnapshotTable:
             with open(self._checkpoint_path(cv)) as fh:
                 ever |= _all_refs(json.load(fh)["live"])
         return self._sweep_data(
-            keep=ever, known=ever, grace_seconds=grace_seconds
+            keep=ever, known=ever, grace_seconds=grace_seconds,
+            dry_run=dry_run,
         )
 
     def _sweep_data(self, keep: set[str], known: set[str],
-                    grace_seconds: float) -> list[str]:
+                    grace_seconds: float,
+                    dry_run: bool = False) -> list[str]:
         """Delete data files not in `keep`. Files also absent from
         `known` (referenced by no manifest/checkpoint at all) are
         possibly mid-stage for an uncommitted writer: those survive
@@ -2013,11 +2050,12 @@ class SnapshotTable:
                     continue  # a concurrent sweep got it first
                 if age < grace_seconds:
                     continue  # possibly an in-flight writer's staging
-            os.remove(p)
-            # a data file's bloom sidecar dies with it
-            bp = _bloom_path(self.path, f)
-            if os.path.exists(bp):
-                os.remove(bp)
+            if not dry_run:
+                os.remove(p)
+                # a data file's bloom sidecar dies with it
+                bp = _bloom_path(self.path, f)
+                if os.path.exists(bp):
+                    os.remove(bp)
             dropped.append(f)
         return dropped
 
@@ -2456,6 +2494,115 @@ class SnapshotTable:
                 f"clone destination {dest_path} already has a log"
             )
         return dest
+
+    def publish_from(self, clone: "SnapshotTable") -> int:
+        """WRITE-AUDIT-PUBLISH: promote a shallow clone's state back
+        into this (source) table with ONE metadata commit — the
+        Iceberg WAP / Databricks blessed-clone workflow. The clone was
+        forked with clone_to(), mutated and validated off to the side
+        (expectations, dual-run comparisons, human sign-off); publish
+        makes its exact state the source's next version:
+
+        - files the clone still INHERITS are kept (they are this
+          table's own files — no IO at all);
+        - files the clone created locally (appends, COW rewrites, DV
+          masks) are ADOPTED by same-filesystem rename into this
+          table's data dir, then referenced by the publish manifest —
+          zero copies, crash-safe (a moved-but-uncommitted file is
+          unreferenced vacuum garbage behind the grace window);
+        - source files the clone dropped are removed (references
+          only — they still back time travel).
+
+        Conflict discipline: publishing is only sound against the
+        source state the clone forked from, so the commit raises
+        SnapshotConflict if any inherited file has since been removed
+        or gained deletion vectors here (a concurrent merge/delete
+        would otherwise be silently undone); adopted files are moved
+        BACK on conflict, leaving the clone intact to re-fork. On
+        success the CLONE is consumed — its log references files that
+        now live here; audit before publishing, read the source
+        after."""
+        head_c = clone.latest_version()
+        if head_c is None:
+            raise ValueError("cannot publish an empty clone")
+        live_c = clone._live_files()
+        schema = clone._schema_at(head_c)
+        src_data = os.path.abspath(os.path.join(self.path, "data"))
+        os.makedirs(src_data, exist_ok=True)
+        moved: list[tuple[str, str]] = []
+        adopted: dict[str, str] = {}
+
+        def adopt(loc: str) -> str:
+            loc = os.path.abspath(loc)
+            if loc in adopted:  # one DV file can mask many targets
+                return adopted[loc]
+            name = os.path.basename(loc)
+            dst = os.path.join(src_data, name)
+            if loc != dst:
+                if os.path.exists(dst):
+                    raise ValueError(f"publish name collision: {name}")
+                os.rename(loc, dst)
+                moved.append((dst, loc))
+            adopted[loc] = name
+            return name
+
+        adds: list[dict] = []
+        inherited: dict[str, tuple] = {}  # name -> expected dv names
+        for name, e in live_c.items():
+            entry = {
+                k: v for k, v in e.items() if k not in ("loc", "dvs")
+            }
+            dvs = []
+            for p in e.get("dvs", ()):
+                dloc = os.path.abspath(clone._dv_path(p))
+                dvs.append(
+                    os.path.basename(dloc)
+                    if os.path.dirname(dloc) == src_data
+                    else adopt(dloc)
+                )
+            if dvs:
+                entry["dvs"] = dvs
+            loc = os.path.abspath(clone._data_path(name, e))
+            if os.path.dirname(loc) == src_data:
+                # an inherited source file: expected dv state = what
+                # the clone forked with (source-side dvs only)
+                inherited[name] = tuple(sorted(
+                    os.path.basename(os.path.abspath(clone._dv_path(p)))
+                    for p in e.get("dvs", ())
+                    if os.path.dirname(
+                        os.path.abspath(clone._dv_path(p))
+                    ) == src_data
+                ))
+            else:
+                entry["path"] = adopt(loc)
+            adds.append(entry)
+        keep = {a["path"] for a in adds}
+
+        def removes(now: dict[str, dict]) -> list[str]:
+            for n, expected in inherited.items():
+                cur = now.get(n)
+                if cur is None:
+                    raise SnapshotConflict(
+                        f"inherited file {n} was removed by a "
+                        "concurrent commit; re-clone and re-apply"
+                    )
+                if tuple(sorted(cur.get("dvs", ()))) != expected:
+                    raise SnapshotConflict(
+                        f"inherited file {n} gained deletion vectors "
+                        "under a concurrent commit; re-clone and "
+                        "re-apply"
+                    )
+            return sorted(n for n in now if n not in keep)
+
+        try:
+            return self._commit_loop(
+                "publish", adds, removes,
+                schema=schema, replace_schema=True,
+            )
+        except SnapshotConflict:
+            for dst, orig in moved:
+                os.rename(dst, orig)  # leave the clone intact
+            raise
 
     def register_view(self, name: str,
                       version: int | None = None,

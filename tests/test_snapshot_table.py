@@ -2084,3 +2084,96 @@ def test_clone_at_timestamp_and_conflicts(spark, tmp_path):
     assert clone.read().count() == 4
     with pytest.raises(SnapshotConflict):
         src.clone_to(str(tmp_path / "tdst"))  # occupied destination
+
+
+# -------- timestamp CDC, vacuum dry-run, scoped compact, WAP --------
+
+
+def test_changes_between_timestamps(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ctt"))
+    t.append(_df(spark, 0, 6, "a"))
+    t.merge_into(
+        spark.createDataFrame([(2, "upd"), (99, "new")],
+                              "k long, tag string"),
+        ["k"],
+    )
+    h = t.history()
+    ch = t.changes_between_timestamps(h[0]["ts"], h[-1]["ts"], ["k"])
+    kinds = {(r.k, r._change_type) for r in ch.collect()}
+    assert (99, "insert") in kinds
+    assert (2, "update_preimage") in kinds
+    assert (2, "update_postimage") in kinds
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "vdr"))
+    t.append(_df(spark, 0, 5, "a").coalesce(1))
+    # strand an unreferenced file
+    stray = tmp_path / "vdr" / "data" / "deadbeef0000-stray.parquet"
+    _df(spark, 0, 1).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "straytmp")
+    )
+    import shutil
+
+    src = next(
+        f for f in os.listdir(tmp_path / "straytmp")
+        if f.endswith(".parquet")
+    )
+    shutil.copy(tmp_path / "straytmp" / src, stray)
+    would = t.vacuum(grace_seconds=0.0, dry_run=True)
+    assert would == [stray.name] and stray.exists()  # nothing deleted
+    gone = t.vacuum(grace_seconds=0.0)
+    assert gone == would and not stray.exists()
+
+
+def test_compact_where_rewrites_only_matching_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cw"), stat_cols=["k"])
+    t.append(_df(spark, 0, 400).repartitionByRange(8, "k"))
+    before = set(t._live_files())
+    assert len(before) == 8
+    v = t.compact(target_files=1, where=[("k", 0, 99)])
+    assert v is not None
+    after = t._live_files()
+    # only the ~2 low-range files were rewritten; the rest untouched
+    untouched = before & set(after)
+    assert len(untouched) >= 5
+    assert t.read().count() == 400
+    # the scoped rewrite preserved content exactly
+    assert sorted(r.k for r in t.read().collect()) == list(range(400))
+    # a predicate selecting nothing is a no-op
+    assert t.compact(target_files=1, where=[("k", 10_000, 10_001)]) is None
+
+
+def test_publish_from_clone_wap_cycle(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "wsrc"))
+    src.append(_df(spark, 0, 10, "a").coalesce(2))
+    clone = src.clone_to(str(tmp_path / "wclone"))
+    # WRITE on the branch: append + a MoR delete of an inherited file
+    clone.append(_df(spark, 100, 103, "new"))
+    clone.delete_where("k >= 8 and k < 10", mode="mor")
+    # AUDIT passes -> PUBLISH
+    expected = sorted(r.k for r in clone.read().collect())
+    v = src.publish_from(clone)
+    assert src.latest_version() == v
+    assert sorted(r.k for r in src.read().collect()) == expected
+    assert src.history()[-1]["op"] == "publish"
+    # time travel still shows the pre-publish source
+    assert src.read(version=v - 1).count() == 10
+    # adopted files physically live in the source's data dir now
+    assert all(
+        str(tmp_path / "wsrc") in f for f in src.read().inputFiles()
+    )
+
+
+def test_publish_conflict_restores_clone(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "psrc"))
+    src.append(_df(spark, 0, 10, "a").coalesce(1))
+    clone = src.clone_to(str(tmp_path / "pclone"))
+    clone.append(_df(spark, 100, 105, "branch"))
+    # concurrent source commit invalidates the clone's premise
+    src.delete_where("k < 3")
+    with pytest.raises(SnapshotConflict, match="re-clone"):
+        src.publish_from(clone)
+    # the clone survived the failed publish intact
+    assert clone.read().count() == 15
+    assert src.read().count() == 7  # source untouched by the attempt
