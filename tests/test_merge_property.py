@@ -339,3 +339,71 @@ def test_constraints_atomic_under_merge_sequences(
             t.merge_into(src_df, ["k"])
             model.update(src)
         assert {r.k: r.v for r in t.read().collect()} == model
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-50, max_value=50),
+        min_size=1, max_size=10,
+    ),
+    steps=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=-50, max_value=50),
+                max_size=8,
+            ),
+            st.sampled_from(["update", "delete"]),
+            st.booleans(),
+            st.sampled_from(["direct-cow", "direct-mor", "wap"]),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_publish_cycles_match_direct_dml_model(
+    spark, tmp_path_factory, tgt, steps
+):
+    """Write-audit-publish is a TRANSPORT for DML, not a semantics
+    change: for ANY random merge sequence, applying each step either
+    directly on the source (COW or MoR) or through a fresh
+    clone -> merge-on-the-branch -> publish_from cycle must leave the
+    table equal to the dict-semantics model after every step. Pins
+    the adoption path (renamed files, DV refs, removes) against the
+    full merge behavior space, not one hand-picked scenario."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    base = tmp_path_factory.mktemp("wapprop")
+    t = SnapshotTable(spark, str(base / "t"))
+    t.append(spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()], "k long, v long"
+    ))
+    model = dict(tgt)
+    for i, (src, when_matched, insert, how) in enumerate(steps):
+        if when_matched == "delete" and not insert and not src:
+            continue
+        src_df = spark.createDataFrame(
+            [(k, v) for k, v in src.items()], "k long, v long"
+        ) if src else spark.createDataFrame([], "k long, v long")
+        if how == "wap":
+            branch = t.clone_to(str(base / f"branch{i}"))
+            branch.merge_into(
+                src_df, ["k"], when_matched=when_matched,
+                insert_not_matched=insert, mode="mor",
+            )
+            t.publish_from(branch)
+        else:
+            t.merge_into(
+                src_df, ["k"], when_matched=when_matched,
+                insert_not_matched=insert,
+                mode=how.removeprefix("direct-"),
+            )
+        model = _snap_model(model, src, when_matched, insert)
+        assert {r.k: r.v for r in t.read().collect()} == model
