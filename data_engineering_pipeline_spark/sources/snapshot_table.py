@@ -2495,7 +2495,8 @@ class SnapshotTable:
             )
         return dest
 
-    def publish_from(self, clone: "SnapshotTable") -> int:
+    def publish_from(self, clone: "SnapshotTable",
+                     allow_unrelated_appends: bool = False) -> int:
         """WRITE-AUDIT-PUBLISH: promote a shallow clone's state back
         into this (source) table with ONE metadata commit — the
         Iceberg WAP / Databricks blessed-clone workflow. The clone was
@@ -2513,18 +2514,38 @@ class SnapshotTable:
         - source files the clone dropped are removed (references
           only — they still back time travel).
 
-        Conflict discipline: publishing is only sound against the
-        source state the clone forked from, so the commit raises
-        SnapshotConflict if any inherited file has since been removed
-        or gained deletion vectors here (a concurrent merge/delete
-        would otherwise be silently undone); adopted files are moved
-        BACK on conflict, leaving the clone intact to re-fork. On
-        success the CLONE is consumed — its log references files that
-        now live here; audit before publishing, read the source
-        after."""
+        Conflict discipline (Iceberg's fast-forward rule): publishing
+        is only sound against the source state the clone forked from
+        (recorded in the clone's own manifest), so the commit raises
+        SnapshotConflict if the source has advanced since the fork —
+        a removed or DV-masked inherited file, OR any file committed
+        here that the fork never saw (silently dropping a concurrent
+        append would be data loss, not a merge). The one relaxation:
+        `allow_unrelated_appends=True` rebases over pure appends by
+        keeping the post-fork files alongside the published state
+        (sound only if the caller knows the appends are key-disjoint
+        from the branch's changes). Adopted files are moved BACK on
+        conflict, leaving the clone intact to re-fork. On success the
+        CLONE is consumed — its log references files that now live
+        here; audit before publishing, read the source after."""
         head_c = clone.latest_version()
         if head_c is None:
             raise ValueError("cannot publish an empty clone")
+        m0 = clone._read_manifest(0)
+        src_ref = m0.get("source") if m0.get("op") == "clone" else None
+        if src_ref is None or os.path.abspath(
+            src_ref["path"]
+        ) != os.path.abspath(self.path):
+            raise ValueError(
+                "publish_from requires a clone of THIS table "
+                "(clone_to provenance missing or pointing elsewhere)"
+            )
+        # the fork basis: what the source looked like when the branch
+        # was cut. Files committed here after that are post-fork.
+        try:
+            forked = set(self._live_files(src_ref["version"]))
+        except ValueError:
+            forked = None  # fork version expired: strict mode only
         live_c = clone._live_files()
         schema = clone._schema_at(head_c)
         src_data = os.path.abspath(os.path.join(self.path, "data"))
@@ -2592,7 +2613,31 @@ class SnapshotTable:
                         "under a concurrent commit; re-clone and "
                         "re-apply"
                     )
-            return sorted(n for n in now if n not in keep)
+            if self.latest_version() == src_ref["version"]:
+                post_fork = []  # source untouched since the fork
+            elif forked is not None:
+                post_fork = [
+                    n for n in now
+                    if n not in keep and n not in forked
+                ]
+            else:
+                # fork version expired AND the head moved: post-fork
+                # files cannot be told apart from the clone's own
+                # legitimate drops — strict conflict
+                post_fork = [n for n in now if n not in keep]
+            if post_fork and not allow_unrelated_appends:
+                raise SnapshotConflict(
+                    f"source advanced since the fork ({len(post_fork)} "
+                    "file(s) committed after clone_to); dropping them "
+                    "would lose data — re-clone and re-apply, or pass "
+                    "allow_unrelated_appends=True if they are known "
+                    "key-disjoint appends"
+                )
+            kept_post_fork = set(post_fork)
+            return sorted(
+                n for n in now
+                if n not in keep and n not in kept_post_fork
+            )
 
         try:
             return self._commit_loop(

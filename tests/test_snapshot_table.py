@@ -2177,3 +2177,33 @@ def test_publish_conflict_restores_clone(spark, tmp_path):
     # the clone survived the failed publish intact
     assert clone.read().count() == 15
     assert src.read().count() == 7  # source untouched by the attempt
+
+
+def test_publish_conflicts_on_concurrent_append(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "casrc"))
+    src.append(_df(spark, 0, 10, "a").coalesce(1))
+    clone = src.clone_to(str(tmp_path / "caclone"))
+    clone.append(_df(spark, 100, 103, "branch"))
+    src.append(_df(spark, 50, 55, "concurrent"))  # post-fork append
+    with pytest.raises(SnapshotConflict, match="advanced since"):
+        src.publish_from(clone)
+    assert src.read().count() == 15  # nothing lost
+    assert clone.read().count() == 13  # clone intact
+    # the explicit rebase keeps BOTH the append and the branch work
+    v = src.publish_from(clone, allow_unrelated_appends=True)
+    assert src.latest_version() == v
+    assert sorted(r.k for r in src.read().collect()) == (
+        list(range(10)) + list(range(50, 55)) + [100, 101, 102]
+    )
+
+
+def test_publish_not_a_clone_of_this_table(spark, tmp_path):
+    a = SnapshotTable(spark, str(tmp_path / "na"))
+    a.append(_df(spark, 0, 3, "a"))
+    b = SnapshotTable(spark, str(tmp_path / "nb"))
+    b.append(_df(spark, 0, 3, "b"))
+    with pytest.raises(ValueError, match="clone of THIS table"):
+        a.publish_from(b)
+    clone_of_b = b.clone_to(str(tmp_path / "nc"))
+    with pytest.raises(ValueError, match="clone of THIS table"):
+        a.publish_from(clone_of_b)
