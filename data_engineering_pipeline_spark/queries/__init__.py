@@ -26,6 +26,7 @@ _CHECK_FIRST = [
     "op-snapshot-format-write",  # new: two-phase format write path
     "text-dup-spans",  # new: exact substring (n-gram span) duplication
     "op-snapshot-wap",  # new: write-audit-publish via clone promotion
+    "op-snapshot-change-feed",  # new: per-commit CDC transitions
     "op-snapshot-stream-source",  # new: streaming source over the log
     "op-snapshot-clone",  # new: shallow clone isolation
     "op-snapshot-time-travel",  # new: timestamp AS OF resolution

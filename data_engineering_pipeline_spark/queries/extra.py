@@ -2355,3 +2355,73 @@ def op_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@_register(
+    "op-snapshot-change-feed",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey, _change_type, cents, _commit_version FROM (
+      SELECT o_orderkey, 'update_preimage' AS _change_type,
+             cents, CAST(1 AS BIGINT) AS _commit_version
+      FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'update_postimage', cents * 2,
+             CAST(1 AS BIGINT)
+      FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'delete',
+             cents * CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END,
+             CAST(2 AS BIGINT)
+      FROM t WHERE o_orderkey % 5 = 0
+    ) ORDER BY _commit_version, o_orderkey, _change_type
+    """,
+)
+def op_snapshot_change_feed(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """PER-COMMIT change feed (sources/snapshot_table.py change_feed —
+    Delta's table_changes semantics): the 'F' orders land, a doubling
+    merge churns the %3 keys, then a delete takes the %5 keys; the
+    feed must carry every transition version-stamped — including the
+    delete preimages reflecting the POST-merge values (a feed that
+    diffed against v0 instead of each commit's own predecessor would
+    emit the undoubled cents and hash-mismatch). Each commit's diff
+    reads only that commit's churned files, so the feed is bounded by
+    range churn at any table size."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").alias("cents"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="snap_cfd_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.repartition(4))
+    t.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where("o_orderkey % 5 = 0")
+    return (
+        t.change_feed(0, 2, ["o_orderkey"])
+        .select("o_orderkey", "_change_type", "cents",
+                "_commit_version")
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+    )

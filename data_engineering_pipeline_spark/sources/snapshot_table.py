@@ -1836,6 +1836,37 @@ class SnapshotTable:
             keys,
         )
 
+    def change_feed(
+        self, v_from: int, v_to: int, keys: list[str]
+    ) -> DataFrame:
+        """PER-COMMIT change rows (Delta's table_changes semantics),
+        `_commit_version`-stamped: the union of each commit's own diff
+        over (v_from, v_to]. Differs from changes() exactly when a row
+        churns more than once in the range — changes() nets the
+        snapshots (two updates collapse to one pre/post pair, an
+        insert-then-delete cancels entirely), while the feed keeps
+        every intermediate transition, which is what audit trails and
+        at-least-once downstream appliers consume. Cost: each
+        commit's diff reads only that commit's churned files, so the
+        whole feed is bounded by the range's churn — same contract as
+        changes(), paid per commit instead of once."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if v_from >= v_to:
+            raise ValueError(
+                f"change_feed requires v_from < v_to "
+                f"(got {v_from} >= {v_to})"
+            )
+        parts = [
+            self.changes(v - 1, v, keys).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            for v in range(v_from + 1, v_to + 1)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:

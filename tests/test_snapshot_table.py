@@ -2207,3 +2207,30 @@ def test_publish_not_a_clone_of_this_table(spark, tmp_path):
     clone_of_b = b.clone_to(str(tmp_path / "nc"))
     with pytest.raises(ValueError, match="clone of THIS table"):
         a.publish_from(clone_of_b)
+
+
+def test_change_feed_keeps_intermediate_transitions(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cfd"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.merge_into(spark.createDataFrame([(1, 11)], "k long, v long"),
+                 ["k"])  # v1: update 1
+    t.merge_into(spark.createDataFrame([(1, 12)], "k long, v long"),
+                 ["k"])  # v2: update 1 again
+    t.delete_where("k = 2")  # v3
+    # net diff collapses the double update into one pre/post pair
+    net = {(r.k, r._change_type, r.v)
+           for r in t.changes(0, 3, ["k"]).collect()}
+    assert net == {
+        (1, "update_preimage", 10), (1, "update_postimage", 12),
+        (2, "delete", 20),
+    }
+    # the per-commit feed keeps every transition, version-stamped
+    feed = {(r.k, r._change_type, r.v, r._commit_version)
+            for r in t.change_feed(0, 3, ["k"]).collect()}
+    assert feed == {
+        (1, "update_preimage", 10, 1), (1, "update_postimage", 11, 1),
+        (1, "update_preimage", 11, 2), (1, "update_postimage", 12, 2),
+        (2, "delete", 20, 3),
+    }
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        t.change_feed(3, 3, ["k"])
