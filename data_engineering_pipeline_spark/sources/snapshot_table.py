@@ -2538,10 +2538,13 @@ class SnapshotTable:
         - files the clone still INHERITS are kept (they are this
           table's own files — no IO at all);
         - files the clone created locally (appends, COW rewrites, DV
-          masks) are ADOPTED by same-filesystem rename into this
-          table's data dir, then referenced by the publish manifest —
-          zero copies, crash-safe (a moved-but-uncommitted file is
-          unreferenced vacuum garbage behind the grace window);
+          masks) are ADOPTED by HARDLINK into this table's data dir,
+          then referenced by the publish manifest — zero copies, and
+          the clone keeps its own name for every inode, so a crash
+          (or a conflict) strands only grace-windowed vacuum garbage
+          here and the clone stays fully readable. Cross-device
+          clones fall back to a physical copy of just the clone-local
+          files;
         - source files the clone dropped are removed (references
           only — they still back time travel).
 
@@ -2555,10 +2558,11 @@ class SnapshotTable:
         `allow_unrelated_appends=True` rebases over pure appends by
         keeping the post-fork files alongside the published state
         (sound only if the caller knows the appends are key-disjoint
-        from the branch's changes). Adopted files are moved BACK on
-        conflict, leaving the clone intact to re-fork. On success the
-        CLONE is consumed — its log references files that now live
-        here; audit before publishing, read the source after."""
+        from the branch's changes). Adopted links are removed on
+        conflict. The clone is readable before AND after publish (its
+        log keeps its own references); the published state lives
+        entirely under this table's directory, so the clone can be
+        deleted once the audit trail no longer needs it."""
         head_c = clone.latest_version()
         if head_c is None:
             raise ValueError("cannot publish an empty clone")
@@ -2593,7 +2597,10 @@ class SnapshotTable:
             if loc != dst:
                 if os.path.exists(dst):
                     raise ValueError(f"publish name collision: {name}")
-                os.rename(loc, dst)
+                try:
+                    os.link(loc, dst)  # zero-copy; clone keeps its name
+                except OSError:
+                    shutil.copy2(loc, dst)  # cross-device clone
                 moved.append((dst, loc))
             adopted[loc] = name
             return name
@@ -2676,8 +2683,11 @@ class SnapshotTable:
                 schema=schema, replace_schema=True,
             )
         except SnapshotConflict:
-            for dst, orig in moved:
-                os.rename(dst, orig)  # leave the clone intact
+            for dst, _orig in moved:
+                try:
+                    os.remove(dst)  # drop the links; clone untouched
+                except OSError:
+                    pass
             raise
 
     def register_view(self, name: str,

@@ -2163,6 +2163,8 @@ def test_publish_from_clone_wap_cycle(spark, tmp_path):
     assert all(
         str(tmp_path / "wsrc") in f for f in src.read().inputFiles()
     )
+    # hardlink adoption: the clone is STILL readable after publish
+    assert sorted(r.k for r in clone.read().collect()) == expected
 
 
 def test_publish_conflict_restores_clone(spark, tmp_path):
