@@ -2389,9 +2389,13 @@ def op_snapshot_change_feed(spark: SparkSession,
     feed must carry every transition version-stamped — including the
     delete preimages reflecting the POST-merge values (a feed that
     diffed against v0 instead of each commit's own predecessor would
-    emit the undoubled cents and hash-mismatch). Each commit's diff
-    reads only that commit's churned files, so the feed is bounded by
-    range churn at any table size."""
+    emit the undoubled cents and hash-mismatch). The table runs with
+    cdf=True, so this grades the CHANGE-DATA-FILE capture path: the
+    DML commits stage their change rows at commit time and the feed
+    reads those files verbatim (measured 4.1x faster than per-commit
+    diffing on wide files, BASELINE addendum 19); the plain-diff
+    fallback is graded by the twin-equivalence test and the
+    op-snapshot-cdf net-diff oracles."""
     import os
     import tempfile
 
@@ -2410,7 +2414,7 @@ def op_snapshot_change_feed(spark: SparkSession,
     )
     base = tempfile.mkdtemp(prefix="snap_cfd_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
-                      stat_cols=["o_orderkey"])
+                      stat_cols=["o_orderkey"], cdf=True)
     t.append(orders.repartition(4))
     t.merge_into(
         orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(

@@ -319,7 +319,8 @@ class SnapshotTable:
                  checkpoint_every: int = 16,
                  commit_backend: CommitBackend | None = None,
                  bloom_cols: list[str] | None = None,
-                 generated_cols: dict[str, str] | None = None):
+                 generated_cols: dict[str, str] | None = None,
+                 cdf: bool = False):
         self.spark = spark
         self.path = path
         self.stat_cols = stat_cols or []
@@ -340,6 +341,14 @@ class SnapshotTable:
         # sidecars, same contract: a miss proves absence, a hit means
         # "must open"). Like stat_cols, a handle-level convention.
         self.bloom_cols = bloom_cols or []
+        # cdf: capture CHANGE-DATA FILES at DML commit time (Delta's
+        # delta.enableChangeDataFeed): merge/delete/update stage their
+        # change rows as a cdc parquet riding the same manifest, so
+        # change_feed() reads exact change rows instead of diffing the
+        # commit's churned files. Opt-in (costs one batch-sized write
+        # per DML commit; the MoR paths additionally read the matched
+        # rows they otherwise only mask). Property-persisted.
+        self.cdf = cdf
         # probe positions are computed by a tiny Spark job (the only
         # way to reproduce xxhash64 exactly); memoized per
         # (col, m, type, values) so repeated point lookups — the
@@ -807,6 +816,44 @@ class SnapshotTable:
         shutil.rmtree(tmp)
         return out
 
+    def _effective_cdf(self) -> bool:
+        """Change-data-file capture on? Handle opt-in or the persisted
+        `cdf` table property (so any handle keeps capturing once one
+        writer turned it on — same convention as stat/bloom cols)."""
+        if self.cdf:
+            return True
+        if self.latest_version() is None:
+            return False
+        return self.properties_at().get("cdf", "") == "true"
+
+    def _stage_cdc(self, rows: DataFrame) -> list[dict]:
+        """Stage a CHANGE-DATA file (Delta's _change_data design): the
+        commit's own change rows — full row values plus _change_type —
+        written AT COMMIT TIME while the DML has them in hand, so the
+        change feed later reads exactly these rows instead of
+        re-deriving them by diffing the commit's (possibly huge)
+        churned files. Invisible until the manifest lands; never part
+        of the live set; lives and dies with its manifest."""
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f".stage-{token}")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        data = os.path.join(self.path, "data")
+        os.makedirs(data, exist_ok=True)
+        out = []
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(data, f"cdc-{token}-{i:05d}.parquet")
+            os.rename(os.path.join(tmp, f), dst)
+            import pyarrow.parquet as pq
+
+            out.append({
+                "path": os.path.basename(dst),
+                "rows": pq.ParquetFile(dst).metadata.num_rows,
+            })
+        shutil.rmtree(tmp)
+        return out
+
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """The atomic heart: exactly one writer creates the version
         file, through the pluggable CommitBackend — O_EXCL by default
@@ -844,7 +891,8 @@ class SnapshotTable:
                      replace_schema: bool = False,
                      txn: tuple[str, int] | None = None,
                      properties: dict | None = None,
-                     dv_adds: list[dict] | None = None) -> int:
+                     dv_adds: list[dict] | None = None,
+                     cdc_adds: list[dict] | None = None) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -854,7 +902,8 @@ class SnapshotTable:
         HEAD's schema on every retry, so rebasing over a concurrent
         commit that evolved the schema cannot silently hide that
         commit's new columns."""
-        if self.bloom_cols or self.stat_cols or self.generated_cols:
+        if (self.bloom_cols or self.stat_cols or self.generated_cols
+                or self.cdf):
             # a metadata-maintaining handle advertises its columns as
             # table properties, so unaware handles keep the metadata
             # alive through their rewrites (_effective_cols)
@@ -863,6 +912,8 @@ class SnapshotTable:
                 properties["bloom_cols"] = ",".join(self.bloom_cols)
             if self.stat_cols:
                 properties["stat_cols"] = ",".join(self.stat_cols)
+            if self.cdf:
+                properties["cdf"] = "true"
             for c, e in self.generated_cols.items():
                 properties[f"generated.{c}"] = e
         while True:
@@ -883,6 +934,8 @@ class SnapshotTable:
                 manifest["properties"] = properties
             if dv_adds:
                 manifest["dv_adds"] = dv_adds
+            if cdc_adds:
+                manifest["cdc"] = cdc_adds
             if schema is not None:
                 eff = schema
                 if not replace_schema and head is not None:
@@ -916,7 +969,8 @@ class SnapshotTable:
             # quality gate BEFORE staging: a failing batch stages
             # nothing (no garbage), a drop batch stages only survivors
             df, report = enforce_expectations(df, expect)
-        if self.bloom_cols or self.stat_cols or self.generated_cols:
+        if (self.bloom_cols or self.stat_cols or self.generated_cols
+                or self.cdf):
             # same property stamp as _commit_loop (append has its own
             # commit loop): advertise the maintained columns
             properties = dict(properties or {})
@@ -924,6 +978,8 @@ class SnapshotTable:
                 properties["bloom_cols"] = ",".join(self.bloom_cols)
             if self.stat_cols:
                 properties["stat_cols"] = ",".join(self.stat_cols)
+            if self.cdf:
+                properties["cdf"] = "true"
             for c, e in self.generated_cols.items():
                 properties[f"generated.{c}"] = e
         df = self._apply_generated(df)
@@ -1517,9 +1573,34 @@ class SnapshotTable:
             )
             if not adds and not dv_adds:
                 return head  # nothing matched, nothing to insert
+            cdc_parts = []
+            if touched:
+                # CDF preimages need the matched rows' full values —
+                # the one read the plain MoR merge never does (it only
+                # masks coordinates); an opt-in, batch-bounded cost
+                pre = self._read_files(
+                    {n: live[n] for n in touched}, cur_schema
+                ).join(src_keys, keys, "left_semi")
+                cdc_parts.append((
+                    pre,
+                    "update_preimage" if when_matched == "update"
+                    else "delete",
+                ))
+                if when_matched == "update":
+                    tgt_ks = self._read_files(
+                        {n: live[n] for n in touched}, cur_schema
+                    ).select(*keys)
+                    cdc_parts.append((
+                        source.join(tgt_ks, keys, "left_semi"),
+                        "update_postimage",
+                    ))
+            if ins is not None:
+                cdc_parts.append((ins, "insert"))
+            cdc_adds = self._cdc_of(cdc_parts)
             return self._commit_loop(
                 "merge", adds, removes_guard([]),
                 schema=out_schema, txn=txn, dv_adds=dv_adds,
+                cdc_adds=cdc_adds,
             )
 
         # 3. cow: rewrite touched files only
@@ -1565,9 +1646,21 @@ class SnapshotTable:
         out = out.coalesce(output_files or max(1, len(touched)))
         adds = self._stage(out)
 
+        cdc_parts = []
+        if touched:
+            cdc_parts.append((
+                touched_df.join(src_keys, keys, "left_semi"),
+                "update_preimage" if when_matched == "update"
+                else "delete",
+            ))
+            if when_matched == "update":
+                cdc_parts.append((matched_src, "update_postimage"))
+        if ins is not None:
+            cdc_parts.append((ins, "insert"))
+        cdc_adds = self._cdc_of(cdc_parts)
         return self._commit_loop(
             "merge", adds, removes_guard(sorted(touched)),
-            schema=out.schema, txn=txn,
+            schema=out.schema, txn=txn, cdc_adds=cdc_adds,
         )
 
     def delete_where(self, condition: str,
@@ -1629,6 +1722,9 @@ class SnapshotTable:
             )
             if not dv_adds or not dv_adds[0]["rows"]:
                 return head  # nothing matches: no-op, no new version
+            cdc_adds = self._cdc_of(
+                [(matched.drop("__file", "__pos"), "delete")]
+            )
             basis = self._dv_state(live)
 
             def removes_mor(now: dict[str, dict]) -> list[str]:
@@ -1646,7 +1742,8 @@ class SnapshotTable:
                 return []
 
             return self._commit_loop("delete", [], removes_mor,
-                                     schema=schema, dv_adds=dv_adds)
+                                     schema=schema, dv_adds=dv_adds,
+                                     cdc_adds=cdc_adds)
 
         touched = {
             r["__file"]
@@ -1660,6 +1757,9 @@ class SnapshotTable:
             .coalesce(output_files or max(1, len(touched)))
         )
         adds = self._stage(kept)
+        cdc_adds = self._cdc_of(
+            [(matched.drop("__file", "__pos"), "delete")]
+        )
         basis = self._dv_state({n: live[n] for n in touched})
 
         def removes(now: dict[str, dict]) -> list[str]:
@@ -1672,7 +1772,7 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("delete", adds, removes,
-                                 schema=schema)
+                                 schema=schema, cdc_adds=cdc_adds)
 
     def update_where(self, condition: str, assignments: dict[str, str],
                      output_files: int | None = None,
@@ -1757,6 +1857,10 @@ class SnapshotTable:
             )
             if not dv_adds or not dv_adds[0]["rows"]:
                 return head  # no match: the staged empties are garbage
+            cdc_adds = self._cdc_of([
+                (matched.drop("__file", "__pos"), "update_preimage"),
+                (post, "update_postimage"),
+            ])
             basis = self._dv_state(live)
 
             def removes_mor(now: dict[str, dict]) -> list[str]:
@@ -1774,7 +1878,8 @@ class SnapshotTable:
                 return []
 
             return self._commit_loop("update", adds, removes_mor,
-                                     schema=schema, dv_adds=dv_adds)
+                                     schema=schema, dv_adds=dv_adds,
+                                     cdc_adds=cdc_adds)
 
         touched = {
             r["__file"]
@@ -1809,6 +1914,17 @@ class SnapshotTable:
             output_files or max(1, len(touched))
         )
         adds = self._stage(df)
+        cdc_post = matched.select(
+            *[
+                F.expr(assignments[c]).alias(c)
+                if c in assignments else F.col(c)
+                for c in matched.columns
+            ]
+        ).drop("__file", "__pos")
+        cdc_adds = self._cdc_of([
+            (matched.drop("__file", "__pos"), "update_preimage"),
+            (cdc_post, "update_postimage"),
+        ])
         basis = self._dv_state({n: live[n] for n in touched})
 
         def removes(now: dict[str, dict]) -> list[str]:
@@ -1821,7 +1937,7 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("update", adds, removes,
-                                 schema=schema)
+                                 schema=schema, cdc_adds=cdc_adds)
 
     def changes_between_timestamps(
         self, ts_from: float, ts_to: float, keys: list[str]
@@ -1836,20 +1952,48 @@ class SnapshotTable:
             keys,
         )
 
+    def _cdc_of(self, parts: list) -> list[dict] | None:
+        """Stage this DML commit's change rows as a cdc parquet, if
+        change-data capture is on. `parts` = [(DataFrame, label)]."""
+        if not self._effective_cdf():
+            return None
+        from pyspark.sql import functions as F
+
+        rows = None
+        for df, label in parts:
+            lab = df.withColumn("_change_type", F.lit(label))
+            rows = lab if rows is None else rows.unionByName(
+                lab, allowMissingColumns=True
+            )
+        if rows is None:
+            return None
+        return self._stage_cdc(rows)
+
     def change_feed(
         self, v_from: int, v_to: int, keys: list[str]
     ) -> DataFrame:
         """PER-COMMIT change rows (Delta's table_changes semantics),
-        `_commit_version`-stamped: the union of each commit's own diff
-        over (v_from, v_to]. Differs from changes() exactly when a row
-        churns more than once in the range — changes() nets the
-        snapshots (two updates collapse to one pre/post pair, an
-        insert-then-delete cancels entirely), while the feed keeps
-        every intermediate transition, which is what audit trails and
-        at-least-once downstream appliers consume. Cost: each
-        commit's diff reads only that commit's churned files, so the
-        whole feed is bounded by the range's churn — same contract as
-        changes(), paid per commit instead of once."""
+        `_commit_version`-stamped, over (v_from, v_to]. Differs from
+        changes() exactly when a row churns more than once in the
+        range — changes() nets the snapshots (two updates collapse to
+        one pre/post pair, an insert-then-delete cancels entirely),
+        while the feed keeps every intermediate transition, which is
+        what audit trails and at-least-once downstream appliers
+        consume.
+
+        Cost ladder, per commit:
+        - a DML commit on a CDF-enabled table (`cdf=True` /
+          property) has its change rows ALREADY MATERIALIZED in a cdc
+          file staged at commit time — the feed just reads it, IO =
+          the change rows themselves, regardless of how wide the
+          churned files were;
+        - a pure append synthesizes inserts from the commit's own
+          added files (no diff, no join);
+        - compaction / DV purges contribute nothing (no logical
+          change);
+        - anything else (overwrite, restore, publish, pre-CDF DML)
+          falls back to that commit's pairwise diff, which reads only
+          the commit's churned files."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -1859,13 +2003,46 @@ class SnapshotTable:
                 f"change_feed requires v_from < v_to "
                 f"(got {v_from} >= {v_to})"
             )
-        parts = [
-            self.changes(v - 1, v, keys).withColumn(
-                "_commit_version", F.lit(v).cast("long")
+        parts = []
+        for v in range(v_from + 1, v_to + 1):
+            m = self._read_manifest(v)
+            stamp = F.lit(v).cast("long")
+            if m.get("cdc"):
+                df = self.spark.read.parquet(*[
+                    os.path.join(self.path, "data", e["path"])
+                    for e in m["cdc"]
+                ])
+                parts.append(df.withColumn("_commit_version", stamp))
+                continue
+            no_change = not m["removes"] and not m.get("dv_adds")
+            if no_change and not m["adds"]:
+                continue  # pure metadata commit
+            if no_change:
+                # append/clone: the added files ARE the insert rows
+                entries = {a["path"]: a for a in m["adds"]}
+                df = self._df_for(entries, self._schema_at(v))
+                parts.append(
+                    df.withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", stamp)
+                )
+                continue
+            if m["op"] in ("compact", "purge"):
+                continue  # physical rewrite, no logical change
+            parts.append(
+                self.changes(v - 1, v, keys)
+                .withColumn("_commit_version", stamp)
             )
-            for v in range(v_from + 1, v_to + 1)
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        if not parts:
+            # empty feed with the right shape
+            return (
+                self.read(version=v_to).limit(0)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+            )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            parts,
+        )
 
     def changes(
         self, v_from: int, v_to: int, keys: list[str]
@@ -1969,9 +2146,15 @@ class SnapshotTable:
             m = self._read_manifest(v)
             refs = {a["path"] for a in m["adds"]}
             refs |= {d["path"] for d in m.get("dv_adds", [])}
-            ever |= refs
+            cdc = {e["path"] for e in m.get("cdc", [])}
+            ever |= refs | cdc
             if v > cutoff:
                 reachable |= refs
+            if v >= cutoff:
+                # a cdc file lives exactly as long as its manifest:
+                # the cutoff version's manifest survives, so its
+                # change rows stay readable
+                reachable |= cdc
         for cv in self._checkpoints():
             with open(self._checkpoint_path(cv)) as fh:
                 ever |= _all_refs(json.load(fh)["live"])
@@ -2048,6 +2231,8 @@ class SnapshotTable:
                 ever.add(a["path"])
             for d in m.get("dv_adds", []):
                 ever.add(d["path"])
+            for e in m.get("cdc", []):
+                ever.add(e["path"])
         # after retention, a live file's adding manifest may be gone:
         # checkpoints are then the only reference keeping it alive
         for cv in self._checkpoints():
