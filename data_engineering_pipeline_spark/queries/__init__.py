@@ -27,6 +27,7 @@ _CHECK_FIRST = [
     "text-dup-spans",  # new: exact substring (n-gram span) duplication
     "op-snapshot-wap",  # new: write-audit-publish via clone promotion
     "op-snapshot-change-feed",  # new: per-commit CDC transitions
+    "op-snapshot-change-feed-format",  # new: CDC through the format
     "op-snapshot-stream-source",  # new: streaming source over the log
     "op-snapshot-clone",  # new: shallow clone isolation
     "op-snapshot-time-travel",  # new: timestamp AS OF resolution

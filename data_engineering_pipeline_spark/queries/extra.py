@@ -2429,3 +2429,82 @@ def op_snapshot_change_feed(spark: SparkSession,
                 "_commit_version")
         .orderBy("_commit_version", "o_orderkey", "_change_type")
     )
+
+
+@_register(
+    "op-snapshot-change-feed-format",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey, _change_type, cents, _commit_version FROM (
+      SELECT o_orderkey, 'update_preimage' AS _change_type,
+             cents, CAST(1 AS BIGINT) AS _commit_version
+      FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'update_postimage', cents * 2,
+             CAST(1 AS BIGINT)
+      FROM t WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'delete',
+             cents * CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END,
+             CAST(2 AS BIGINT)
+      FROM t WHERE o_orderkey % 5 = 0
+    ) ORDER BY _commit_version, o_orderkey, _change_type
+    """,
+)
+def op_snapshot_change_feed_format(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The change feed THROUGH THE FORMAT (sources/spark_datasource.py
+    SnapshotCdcReader): same mutation script as
+    op-snapshot-change-feed, but read back with `spark.read.format(
+    "snapshot_table").option("readChangeFeed","true")` — the captured
+    cdc files are plain parquet, so the sandboxed Python DataSource
+    serves every transition without the engine (one InputPartition
+    per cdc file, _commit_version stamped executor-side). Same
+    oracle; a drifted column, a mislabeled synthesized insert, or an
+    off-by-one version stamp hash-fails. The delete here is
+    MERGE-ON-READ, so the capture must carry the masked rows' full
+    values — the read the plain MoR delete never does."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").alias("cents"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="snap_cff_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"], cdf=True)
+    t.append(orders.repartition(4))
+    t.merge_into(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="mor")
+    sds.register(spark)
+    return (
+        spark.read.format(sds.FORMAT_NAME)
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+        .select("o_orderkey", "_change_type", "cents",
+                "_commit_version")
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+    )

@@ -257,6 +257,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self._options = options
         self._t = _meta_handle(options)
+        self._cdc = str(
+            options.get("readchangefeed", "false")
+        ).lower() in ("true", "1", "yes")
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1", "yes")
@@ -280,6 +283,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if self._schema_json is None:
             self._schema_json = _schema_at(self._t, hi).json()
+        if self._cdc:
+            # CDC mode: stream every captured transition instead of
+            # the append-only row stream
+            return _cdc_partitions_for_range(
+                self._t, lo, hi, self._schema_json,
+                self._skip_changes,
+            )
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             m = self._t._read_manifest(v)
@@ -297,11 +307,141 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 ))
         return parts
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, _CdcPartition):
+            return _read_cdc_partition(partition)
         return _read_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint
+
+
+@dataclass
+class _CdcPartition(InputPartition):
+    """One change-feed slice: a captured cdc file ('cdc') or an
+    append commit's added file synthesized as inserts ('insert')."""
+
+    kind: str
+    loc: str
+    version: int
+    schema_json: str  # row columns only
+
+
+def _cdc_schema(row_schema: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(row_schema.fields)
+        + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+        ]
+    )
+
+
+def _cdc_partitions_for_range(
+    t: SnapshotTable, lo: int, hi: int, schema_json: str,
+    skip_uncaptured: bool,
+) -> list[_CdcPartition]:
+    """Per-version feed slices over (lo, hi]: captured cdc files are
+    served verbatim, pure appends synthesize inserts from their own
+    added files, compact/purge contribute nothing. A change commit
+    WITHOUT capture (pre-CDF DML, overwrite, restore, publish) is not
+    expressible sandbox-side — raise (or skip wholesale), mirroring
+    the engine-side change_feed()'s diff fallback being unavailable
+    here."""
+    parts: list[_CdcPartition] = []
+    for v in range(lo + 1, hi + 1):
+        m = t._read_manifest(v)
+        if m.get("cdc"):
+            for e in m["cdc"]:
+                parts.append(_CdcPartition(
+                    kind="cdc",
+                    loc=os.path.abspath(
+                        os.path.join(t.path, "data", e["path"])
+                    ),
+                    version=v,
+                    schema_json=schema_json,
+                ))
+            continue
+        no_change = not m["removes"] and not m.get("dv_adds")
+        if no_change and not m["adds"]:
+            continue  # metadata-only commit
+        if no_change:
+            for a in m["adds"]:
+                parts.append(_CdcPartition(
+                    kind="insert",
+                    loc=os.path.abspath(t._data_path(a["path"], a)),
+                    version=v,
+                    schema_json=schema_json,
+                ))
+            continue
+        if m["op"] in ("compact", "purge"):
+            continue  # physical rewrite, no logical change
+        if skip_uncaptured:
+            continue
+        raise ValueError(
+            f"version {v} ({m['op']}) has no captured change rows; "
+            "the format's change feed serves cdf=True tables "
+            "(engine-side SnapshotTable.change_feed() can diff it) — "
+            "or set skipChangeCommits=true to skip such commits"
+        )
+    return parts
+
+
+def _read_cdc_partition(part: _CdcPartition):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pq.read_table(part.loc)
+    row_schema = StructType.fromJson(json.loads(part.schema_json))
+    target = to_arrow_schema(_cdc_schema(row_schema))
+    cols = []
+    for field in target:
+        if field.name == "_commit_version":
+            cols.append(pa.array(
+                [part.version] * tbl.num_rows, type=field.type
+            ))
+        elif field.name == "_change_type" and part.kind == "insert":
+            cols.append(pa.array(
+                ["insert"] * tbl.num_rows, type=field.type
+            ))
+        elif field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=field.type))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class SnapshotCdcReader(DataSourceReader):
+    """Batch change-feed read (Delta's table_changes as a format):
+    `option("readChangeFeed","true")` with startingVersion /
+    endingVersion (inclusive commit range, default 0..head — the
+    whole retained history, initial inserts included)."""
+
+    def __init__(self, options):
+        t = _meta_handle(options)
+        head = t.latest_version()
+        if head is None:
+            raise ValueError("empty table (no committed version)")
+        start = int(options.get("startingversion", "0"))
+        end = int(options.get("endingversion", str(head)))
+        schema_json = _schema_at(t, end).json()
+        skip = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1", "yes")
+        self._parts = _cdc_partitions_for_range(
+            t, start - 1, end, schema_json, skip
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return self._parts
+
+    def read(self, partition: _CdcPartition):
+        return _read_cdc_partition(partition)
 
 
 @dataclass
@@ -478,9 +618,18 @@ class SnapshotDataSource(DataSource):
 
     def schema(self) -> StructType:
         t = _meta_handle(self.options)
-        return _schema_at(t, _resolve_version(t, self.options))
+        rows = _schema_at(t, _resolve_version(t, self.options))
+        if str(
+            self.options.get("readchangefeed", "false")
+        ).lower() in ("true", "1", "yes"):
+            return _cdc_schema(rows)
+        return rows
 
-    def reader(self, schema: StructType) -> SnapshotReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(
+            self.options.get("readchangefeed", "false")
+        ).lower() in ("true", "1", "yes"):
+            return SnapshotCdcReader(self.options)
         return SnapshotReader(self.options)
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:

@@ -251,3 +251,91 @@ def test_stream_write_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     t = SnapshotTable(spark, p)
     assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_batch_read_change_feed_on_cdf_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "rcf"), cdf=True)
+    t.append(_kv(spark, 0, 6, "a"))
+    t.merge_into(
+        spark.createDataFrame([(2, "upd"), (99, "new")],
+                              "k long, tag string"),
+        ["k"],
+    )
+    t.delete_where("k = 0", mode="mor")
+    sds.register(spark)
+    feed = (
+        spark.read.format(sds.FORMAT_NAME)
+        .option("path", t.path)
+        .option("readChangeFeed", "true").load()
+    )
+    rows = {(r.k, r._change_type, r._commit_version)
+            for r in feed.collect()}
+    # v0's append synthesizes as inserts; the v1 merge and v2 delete
+    # are served from their captured cdc files
+    assert (3, "insert", 0) in rows
+    assert (2, "update_preimage", 1) in rows
+    assert (2, "update_postimage", 1) in rows
+    assert (99, "insert", 1) in rows
+    assert (0, "delete", 2) in rows
+    # bounded range: only the merge commit
+    only_merge = (
+        spark.read.format(sds.FORMAT_NAME)
+        .option("path", t.path).option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1").load()
+    )
+    assert {r._commit_version for r in only_merge.collect()} == {1}
+    # matches the engine-side feed row-for-row (post-v0 range)
+    engine = t.change_feed(0, 2, ["k"])
+    fmt = (
+        spark.read.format(sds.FORMAT_NAME)
+        .option("path", t.path).option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+    )
+    assert sorted(
+        (r.k, r.tag, r._change_type, r._commit_version)
+        for r in fmt.collect()
+    ) == sorted(
+        (r.k, r.tag, r._change_type, r._commit_version)
+        for r in engine.collect()
+    )
+
+
+def test_stream_change_feed_and_uncaptured_guard(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "scf"), cdf=True)
+    t.append(_kv(spark, 0, 4, "a"))
+    t.update_where("k = 1", {"tag": "'u'"})
+    sds.register(spark)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def run_once():
+        q = (
+            spark.readStream.format(sds.FORMAT_NAME)
+            .option("path", t.path)
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {(r.k, r._change_type, r._commit_version)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, "update_preimage", 1) in got
+    assert (1, "update_postimage", 1) in got
+    assert (0, "insert", 0) in got
+    # incremental resume streams only the next commit's transitions
+    t.delete_where("k = 2")
+    run_once()
+    got2 = {(r.k, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert (2, "delete", 2) in got2 and len(got2) == len(got) + 1
+    # an UNCAPTURED change commit (pre-CDF table) raises with advice
+    p = SnapshotTable(spark, str(tmp_path / "plainrcf"))  # no cdf
+    p.append(_kv(spark, 0, 3, "x"))
+    p.delete_where("k = 0")
+    with pytest.raises(Exception, match="cdf=True|skipChangeCommits"):
+        (spark.read.format(sds.FORMAT_NAME)
+         .option("path", p.path)
+         .option("readChangeFeed", "true").load().collect())
