@@ -81,6 +81,7 @@ HEADLINE = [
     # format write path — tracked from this round
     "op-snapshot-datasource",
     "op-snapshot-format-write",
+    "op-snapshot-change-feed",  # CDC capture path wall-time
 ]
 
 TIMED_RUNS = 3
