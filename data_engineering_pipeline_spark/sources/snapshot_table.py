@@ -2044,15 +2044,118 @@ class SnapshotTable:
             parts,
         )
 
-    def changes(
+    def _changes_from_capture(
         self, v_from: int, v_to: int, keys: list[str]
+    ) -> DataFrame | None:
+        """Net diff derived from CAPTURED change rows alone: when
+        every commit in (v_from, v_to] is cdc-covered, a pure append,
+        metadata-only, or a physical rewrite, the net transition per
+        key falls out of its first and last feed events — old state =
+        the first preimage/delete (absent if the first event is an
+        insert), new state = the last postimage/insert (absent if the
+        last event is a delete) — with no-op transitions dropped by
+        the same null-safe compare the diff path uses. IO is the
+        change rows themselves, never the churned files: the payoff
+        that makes CDC-driven view maintenance (refresh_aggregate /
+        refresh_join) change-row-bounded on CDF tables. Returns None
+        when any commit lacks capture (the caller diffs instead)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        for v in range(v_from + 1, v_to + 1):
+            m = self._read_manifest(v)
+            if m.get("cdc"):
+                continue
+            if not m["removes"] and not m.get("dv_adds"):
+                continue  # append / metadata-only: synthesizable
+            if m["op"] in ("compact", "purge"):
+                continue  # no logical change
+            return None  # uncaptured change commit: diff instead
+        feed = self.change_feed(v_from, v_to, keys)
+        cols = [
+            c for c in feed.columns
+            if c not in keys + ["_change_type", "_commit_version"]
+        ]
+        # within one commit a key contributes at most a pre (rank 0)
+        # and a post (rank 1); ordering by (version, rank) makes the
+        # first event the v_from-state witness and the last event the
+        # v_to-state witness
+        ranked = feed.withColumn(
+            "__rank",
+            F.when(
+                F.col("_change_type").isin(
+                    "update_preimage", "delete"
+                ),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        w_asc = Window.partitionBy(*keys).orderBy(
+            "_commit_version", "__rank"
+        )
+        w_desc = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"), F.desc("__rank")
+        )
+        marked = ranked.select(
+            *keys,
+            F.struct(*cols).alias("__val"),
+            "_change_type",
+            F.row_number().over(w_asc).alias("__first"),
+            F.row_number().over(w_desc).alias("__last"),
+        )
+        old = marked.filter(F.col("__first") == 1).select(
+            *keys,
+            F.when(
+                F.col("_change_type").isin(
+                    "update_preimage", "delete"
+                ),
+                F.col("__val"),
+            ).alias("__o"),
+        )
+        new = marked.filter(F.col("__last") == 1).select(
+            *keys,
+            F.when(
+                F.col("_change_type").isin(
+                    "update_postimage", "insert"
+                ),
+                F.col("__val"),
+            ).alias("__n"),
+        )
+        j = old.join(new, keys)
+        ins = j.filter(F.col("__o").isNull() & F.col("__n").isNotNull())
+        del_ = j.filter(F.col("__n").isNull() & F.col("__o").isNotNull())
+        upd = j.filter(
+            F.col("__o").isNotNull()
+            & F.col("__n").isNotNull()
+            & ~F.col("__o").eqNullSafe(F.col("__n"))
+        )
+
+        def emit(df: DataFrame, side: str, label: str) -> DataFrame:
+            return df.select(
+                *keys,
+                *[F.col(f"{side}.{c}").alias(c) for c in cols],
+                F.lit(label).alias("_change_type"),
+            )
+
+        return (
+            emit(ins, "__n", "insert")
+            .unionByName(emit(del_, "__o", "delete"))
+            .unionByName(emit(upd, "__o", "update_preimage"))
+            .unionByName(emit(upd, "__n", "update_postimage"))
+        )
+
+    def changes(
+        self, v_from: int, v_to: int, keys: list[str],
+        use_capture: bool = True,
     ) -> DataFrame:
         """Change data feed: row-level diff between two committed
         versions, labelled `_change_type` in {insert, delete,
         update_preimage, update_postimage}. Requires `keys` unique
         within each snapshot (CDC is only well-defined over a key).
 
-        Scale: reads ONLY the symmetric difference of the two
+        Scale: when the range is fully covered by captured change
+        rows (cdf tables), the net diff is derived from those rows
+        alone — IO = change rows (see _changes_from_capture).
+        Otherwise reads ONLY the symmetric difference of the two
         versions' EFFECTIVE file sets — a file live in both versions
         with the same deletion vectors cannot contribute a change and
         is never opened, so the cost tracks the churn between
@@ -2062,6 +2165,11 @@ class SnapshotTable:
         unchanged rows are cancelled by the null-safe struct compare,
         same as copy-on-write survivors."""
         from pyspark.sql import functions as F
+
+        if use_capture and v_from < v_to:
+            fast = self._changes_from_capture(v_from, v_to, keys)
+            if fast is not None:
+                return fast
 
         if v_from > v_to:
             raise ValueError(

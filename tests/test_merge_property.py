@@ -407,3 +407,75 @@ def test_publish_cycles_match_direct_dml_model(
             )
         model = _snap_model(model, src, when_matched, insert)
         assert {r.k: r.v for r in t.read().collect()} == model
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-50, max_value=50),
+        min_size=1, max_size=10,
+    ),
+    steps=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=-50, max_value=50),
+                max_size=8,
+            ),
+            st.sampled_from(["update", "delete"]),
+            st.booleans(),
+            st.sampled_from(["cow", "mor"]),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+def test_capture_net_diff_matches_file_diff(
+    spark, tmp_path_factory, tgt, steps
+):
+    """changes() on a CDF table derives the net diff from captured
+    change rows alone; for ANY random merge sequence it must equal
+    the file-diff path row-for-row over EVERY (v_from, head) range —
+    including multi-commit churn, where the netting logic (first
+    preimage vs last postimage per key, no-op drops, insert-then-
+    delete cancellation) actually has work to do."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    base = tmp_path_factory.mktemp("cdfnet")
+    t = SnapshotTable(spark, str(base / "t"), cdf=True)
+    t.append(spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()], "k long, v long"
+    ))
+    for src, when_matched, insert, mode in steps:
+        if when_matched == "delete" and not insert and not src:
+            continue
+        src_df = spark.createDataFrame(
+            [(k, v) for k, v in src.items()], "k long, v long"
+        ) if src else spark.createDataFrame([], "k long, v long")
+        t.merge_into(
+            src_df, ["k"], when_matched=when_matched,
+            insert_not_matched=insert, mode=mode,
+        )
+    head = t.latest_version()
+    if head == 0:
+        return  # every step was a no-op merge: nothing to compare
+    # the fast path must actually engage (no silent diff fallback)
+    assert t._changes_from_capture(0, head, ["k"]) is not None
+    for v_from in range(0, head):
+        fast = sorted(
+            (r.k, r.v, r._change_type)
+            for r in t.changes(v_from, head, ["k"]).collect()
+        )
+        slow = sorted(
+            (r.k, r.v, r._change_type)
+            for r in t.changes(
+                v_from, head, ["k"], use_capture=False
+            ).collect()
+        )
+        assert fast == slow, (v_from, head)
