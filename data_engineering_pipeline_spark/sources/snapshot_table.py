@@ -2708,12 +2708,19 @@ class SnapshotTable:
         dv_paths = sorted(
             {p for e in live.values() for p in e.get("dvs", ())}
         )
+        cdc_files = cdc_rows = 0
+        for v in self._versions():
+            for e in self._read_manifest(v).get("cdc", []):
+                cdc_files += 1
+                cdc_rows += e["rows"]
         return {
             "version": head,
             "num_files": len(live),
             "num_rows": sum(e["rows"] for e in live.values()),
             "size_bytes": size,
             "num_dv_files": len(dv_paths),
+            "num_cdc_files": cdc_files,
+            "cdc_rows": cdc_rows,
             "stat_cols": self._effective_stat_cols(),
             "bloom_cols": self._effective_bloom_cols(),
             "constraints": self.constraints(),

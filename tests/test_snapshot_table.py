@@ -2315,3 +2315,42 @@ def test_cdf_files_survive_retention_with_their_manifest(spark, tmp_path):
     plain = SnapshotTable(spark, str(tmp_path / "cdr"))
     v = plain.update_where("k = 9", {"v": "v + 1"})
     assert plain._read_manifest(v).get("cdc")
+
+
+def test_concurrent_publishes_one_wins_one_conflicts(spark, tmp_path):
+    """Two branches fork the same source version and race to publish:
+    exactly one lands; the loser's fast-forward check sees the winner's
+    commit and conflicts with its clone intact — never a silent merge
+    of both branches' removes."""
+    src = SnapshotTable(spark, str(tmp_path / "rpsrc"))
+    src.append(_df(spark, 0, 10, "a").coalesce(1))
+    c1 = src.clone_to(str(tmp_path / "rp1"))
+    c2 = src.clone_to(str(tmp_path / "rp2"))
+    c1.append(_df(spark, 100, 103, "b1"))
+    c2.append(_df(spark, 200, 205, "b2"))
+    outcomes: dict[int, str] = {}
+
+    def publish(i, clone):
+        try:
+            src.publish_from(clone)
+            outcomes[i] = "published"
+        except SnapshotConflict:
+            outcomes[i] = "conflict"
+
+    ts = [
+        threading.Thread(target=publish, args=(1, c1)),
+        threading.Thread(target=publish, args=(2, c2)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(outcomes.values()) == ["conflict", "published"]
+    winner = 1 if outcomes[1] == "published" else 2
+    expect = 13 if winner == 1 else 15
+    assert src.read().count() == expect
+    # the losing branch is intact and can re-fork cleanly
+    loser = c2 if winner == 1 else c1
+    assert loser.read().count() in (13, 15)
+    d = src.detail()
+    assert d["num_cdc_files"] == 0 and d["version"] == 1
