@@ -28,6 +28,7 @@ _CHECK_FIRST = [
     "op-snapshot-wap",  # new: write-audit-publish via clone promotion
     "op-snapshot-change-feed",  # new: per-commit CDC transitions
     "op-snapshot-change-feed-format",  # new: CDC through the format
+    "op-snapshot-incr-agg-cdf",  # new: capture-net refresh path
     "op-snapshot-stream-source",  # new: streaming source over the log
     "op-snapshot-clone",  # new: shallow clone isolation
     "op-snapshot-time-travel",  # new: timestamp AS OF resolution

@@ -2508,3 +2508,86 @@ def op_snapshot_change_feed_format(spark: SparkSession,
                 "_commit_version")
         .orderBy("_commit_version", "o_orderkey", "_change_type")
     )
+
+
+@_register(
+    "op-snapshot-incr-agg-cdf",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    s AS (
+      SELECT o_orderkey, '9-MOVED' AS o_orderpriority,
+             2 * CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+      UNION ALL SELECT * FROM s
+    ),
+    afterdel AS (
+      SELECT * FROM merged WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM afterdel GROUP BY o_orderpriority ORDER BY grp
+    """,
+)
+def op_snapshot_incr_agg_cdf(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The incremental aggregate ON A CDF TABLE: same maintenance as
+    op-snapshot-incr-agg (a group-moving doubling merge, plus a MoR
+    delete), but the source captures change-data files, so
+    refresh_aggregate's changes() call is served by the CAPTURE-NET
+    path (first-preimage/last-postimage per key over the cdc rows —
+    measured 4.5x over file-diffing on wide files, BASELINE addendum
+    19c) instead of reading churned files. The oracle computes the
+    final aggregate relationally: a netting bug (wrong first/last
+    event, an uncancelled no-op, a missed MoR delete row) lands
+    directly in the counts or the exact cents."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+        refresh_aggregate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = tempfile.mkdtemp(prefix="snap_macdf_q_")
+    src = SnapshotTable(spark, os.path.join(base, "src"), cdf=True)
+    agg = SnapshotTable(spark, os.path.join(base, "agg"))
+    src.append(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderpriority", cents.alias("cents")
+        )
+    )
+    refresh_aggregate(
+        src, agg, ["o_orderkey"], ["o_orderpriority"], ["cents"]
+    )
+    src.merge_into(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit("9-MOVED").alias("o_orderpriority"),
+            (F.lit(2) * cents).alias("cents"),
+        ),
+        ["o_orderkey"],
+        when_matched="update",
+    )
+    src.delete_where("o_orderkey % 11 = 0", mode="mor")
+    refresh_aggregate(
+        src, agg, ["o_orderkey"], ["o_orderpriority"], ["cents"]
+    )
+    return (
+        agg.read()
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("grp")
+    )
