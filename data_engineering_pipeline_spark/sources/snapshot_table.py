@@ -2005,7 +2005,15 @@ class SnapshotTable:
             )
         parts = []
         for v in range(v_from + 1, v_to + 1):
-            m = self._read_manifest(v)
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"version {v} has been expired by retention; the "
+                    "per-commit feed needs each commit's manifest — "
+                    "changes() can still serve the net diff through "
+                    "checkpoints"
+                ) from None
             stamp = F.lit(v).cast("long")
             if m.get("cdc"):
                 df = self.spark.read.parquet(*[
@@ -2063,7 +2071,12 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         for v in range(v_from + 1, v_to + 1):
-            m = self._read_manifest(v)
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                # retention expired this manifest; the diff path can
+                # still serve the range through checkpoints
+                return None
             if m.get("cdc"):
                 continue
             if not m["removes"] and not m.get("dv_adds"):
