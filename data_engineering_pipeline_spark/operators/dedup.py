@@ -605,6 +605,78 @@ def chunk_dedup(
     )
 
 
+def boilerplate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Document-frequency boilerplate removal (the RefinedWeb / Gopher
+    line-filter, complementary to chunk_dedup's keep-first rule): a
+    segment (line, split on `sep`) whose lowercased form appears in
+    >= min_docs DISTINCT documents is boilerplate — navigation bars,
+    cookie banners, license headers — and is dropped from EVERY
+    document, including its first occurrence. Returns
+    (id, n_segments, n_boiler, clean_text) for every input row;
+    clean_text rejoins the surviving segments with `sep` ('' when
+    nothing survives).
+
+    Scale shape: one posexplode, one distinct + count aggregation on
+    (segment-key, doc) to get document frequency, one join back, one
+    doc_id shuffle to reassemble. The frequency aggregation shuffles
+    each distinct (segment, doc) pair once; at 100 TB substitute
+    xxhash64(segment) for the string key (collisions fold identically
+    on both sides of the join) so only 8-byte keys shuffle, and note
+    the high-DF output set is tiny (that is what makes it boilerplate)
+    so the membership join broadcasts."""
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    ).withColumn("__k", F.lower(F.col("seg")))
+    docfreq = (
+        ex.select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    marked = ex.join(docfreq, "__k").withColumn(
+        "__boiler", F.col("__nd") >= F.lit(min_docs)
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("__boiler").cast("long")).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__boiler"), F.struct("pos", "seg")
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def duplicate_ngram_spans(
     docs: DataFrame,
     n: int = 16,

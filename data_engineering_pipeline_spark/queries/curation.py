@@ -605,3 +605,71 @@ def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# curation-boilerplate: the fixture corpus has no newlines, so both
+# engines first insert one after every 8th token (identical leftmost-
+# first regex partition of space-separated text) — the operator itself
+# is line-based over real corpora.
+_BP_SEG_RE = r"((?:\S+\s+){8})"
+_BP_MIN_DOCS = 2
+
+@_register(
+    "curation-boilerplate",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(text, '{_BP_SEG_RE}', '\\1' || chr(10), 'g')
+               AS aug
+      FROM documents
+    ), s0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(aug, chr(10)),
+                                        x -> trim(x)), x -> x <> '')
+               AS segs
+      FROM a
+    ), ex AS (
+      SELECT doc_id, unnest(segs) AS seg,
+             unnest(generate_series(1, len(segs))) - 1 AS pos
+      FROM s0
+    ), k AS (
+      SELECT doc_id, pos, seg, lower(seg) AS kk FROM ex
+    ), dfq AS (
+      SELECT kk, count(DISTINCT doc_id) AS nd FROM k GROUP BY kk
+    ), m AS (
+      SELECT k.doc_id, k.pos, k.seg,
+             (dfq.nd >= {_BP_MIN_DOCS}) AS is_boiler
+      FROM k JOIN dfq USING (kk)
+    ), r AS (
+      SELECT doc_id, count(*) AS n_segments,
+             sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boiler,
+             coalesce(string_agg(
+               CASE WHEN NOT is_boiler THEN seg END,
+               chr(10) ORDER BY pos), '') AS clean_text
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(r.n_boiler, 0) AS BIGINT) AS n_boiler,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate line removal (RefinedWeb /
+    Gopher-style, operators/dedup.py boilerplate_segments): a line
+    whose lowercased form appears in >= 2 distinct documents is dropped
+    from EVERY document — the frequency-based complement of
+    curation-chunk-dedup's keep-first rule. Graded end to end: per-doc
+    segment counts, boilerplate counts, and the exact rebuilt text."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        boilerplate_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), _BP_SEG_RE, "$1\n")
+    )
+    return boilerplate_segments(
+        docs, "doc_id", "text", min_docs=_BP_MIN_DOCS
+    ).orderBy("doc_id")

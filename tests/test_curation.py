@@ -156,3 +156,35 @@ def test_pack_greedy_matches_model(spark, weights, budget):
     }
     model = _pack_model(weights, budget)
     assert got == {i: pp for i, pp in enumerate(model)}
+
+
+def test_boilerplate_segments_drops_every_occurrence(spark):
+    from data_engineering_pipeline_spark.operators.dedup import (
+        boilerplate_segments,
+    )
+
+    header = "COOKIE NOTICE accept all"
+    df = spark.createDataFrame(
+        [
+            (1, f"{header}\nunique alpha line\nshared tail"),
+            (2, f"{header}\nunique beta line\nShared Tail"),  # case-folds
+            (3, f"{header}\nonly here"),
+            (4, "no boilerplate at all"),
+            (5, ""),  # empty doc -> zero segments
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_segments(df, "doc_id", "text", min_docs=2)
+        .collect()
+    }
+    # header appears in 3 docs, "shared tail" (case-insensitive) in 2:
+    # both drop from EVERY doc, first occurrences included
+    assert out[1]["n_segments"] == 3 and out[1]["n_boiler"] == 2
+    assert out[1]["clean_text"] == "unique alpha line"
+    assert out[2]["clean_text"] == "unique beta line"
+    assert out[3]["clean_text"] == "only here"
+    assert out[4]["n_boiler"] == 0
+    assert out[4]["clean_text"] == "no boilerplate at all"
+    assert out[5]["n_segments"] == 0 and out[5]["clean_text"] == ""
