@@ -23,6 +23,7 @@ _CHECK_FIRST = [
     # (merge-on-read mode, duplicate-source guard, centroid-versioned
     # ANN index) — no prior driver row covers the new code paths
     "curation-boilerplate",  # new: document-frequency line filter
+    "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
     "op-snapshot-format-write",  # new: two-phase format write path
     "text-dup-spans",  # new: exact substring (n-gram span) duplication

@@ -673,3 +673,59 @@ def curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_segments(
         docs, "doc_id", "text", min_docs=_BP_MIN_DOCS
     ).orderBy("doc_id")
+
+
+_DSIR_K = 100
+_DSIR_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    " * 2147483648"
+    " + list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 131 + c) % 999999937)"
+)
+
+@_register(
+    "curation-dsir",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bg
+      FROM t WHERE len(toks) >= 2
+    ), b AS (
+      SELECT doc_id, ({_DSIR_HASH}) % 512 AS bucket FROM bg
+    ), s AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum((bucket * 2654435761 + 40503) % 4001 - 2000)
+                  AS BIGINT) AS score
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, score, score / n_bigrams AS score_norm
+    FROM s
+    ORDER BY score_norm DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023,
+    operators/classify.py dsir_scores): hashed-bigram importance
+    scores from a frozen quantized log-ratio table (the offline
+    fit_dsir_logratios path is unit-tested), temperature-0 top-100
+    selection via TakeOrderedAndProject. Scoring is one map stage —
+    exact int64 arithmetic end to end, so the oracle reproduces every
+    score bit for bit."""
+    from data_engineering_pipeline_spark.operators.classify import (
+        dsir_scores,
+        dsir_select_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select_topk(dsir_scores(docs), _DSIR_K)

@@ -141,3 +141,54 @@ def test_zero_token_docs_featurize_and_score(spark, sf_smoke):
     assert len(scored) == both.count()
     for did in (100001, 100002, 100003):
         assert 0.0 <= scored[did].quality_prob <= 1.0
+
+
+def test_dsir_fit_prefers_target_like_docs(spark):
+    from data_engineering_pipeline_spark.operators.classify import (
+        dsir_scores,
+        dsir_select_topk,
+        fit_dsir_logratios,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "good clean prose about science and method") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "spam buy now click here win prizes") for i in range(8)]
+        + [(100 + i, "good clean prose about science and method")
+           for i in range(2)],
+        "doc_id long, text string",
+    )
+    lrs = fit_dsir_logratios(target, raw)
+    assert len(lrs) == 512 and all(isinstance(v, int) for v in lrs)
+    pool = spark.createDataFrame(
+        [
+            (1, "good clean prose about science and method"),
+            (2, "spam buy now click here win prizes"),
+            (3, "good clean prose mixed with spam buy now"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r.doc_id: r for r in dsir_scores(pool, logratios=lrs).collect()}
+    # target-distribution doc outranks the raw-pool doc; the mixture
+    # lands between them
+    assert scored[1].score_norm > scored[3].score_norm > scored[2].score_norm
+    top = dsir_select_topk(dsir_scores(pool, logratios=lrs), 1).collect()
+    assert [r.doc_id for r in top] == [1]
+
+
+def test_dsir_frozen_scores_stable_under_repartition(spark):
+    from data_engineering_pipeline_spark.operators.classify import (
+        dsir_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} epsilon") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: (r.score, r.n_bigrams)
+         for r in dsir_scores(docs).collect()}
+    b = {r.doc_id: (r.score, r.n_bigrams)
+         for r in dsir_scores(docs.repartition(7)).collect()}
+    assert a == b and len(a) == 40
