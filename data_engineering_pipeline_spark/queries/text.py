@@ -1009,3 +1009,89 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_ngram_spans(docs, n=16).orderBy("doc_id")
+
+
+_KMV_K = 64
+_KMV_H1 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_KMV_H2 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 131 + c) % 999999937)"
+)
+
+
+def _kmv_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_numerator,
+    )
+
+    return f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    hh AS (SELECT source, {_KMV_H1} AS h1, {_KMV_H2} AS h2 FROM ex),
+    hu AS (
+      SELECT DISTINCT source,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 * 999999937
+             + (h2 * h2 + 69621 * h2 + h1) % 999999937 AS u
+      FROM hh
+    ),
+    r AS (
+      SELECT source, u,
+             row_number() OVER (PARTITION BY source ORDER BY u) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_distinct
+      FROM hu
+    ), sk AS (
+      SELECT source,
+             CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+             CAST(max(CASE WHEN rk <= {_KMV_K} THEN rk END) AS BIGINT)
+               AS n_seen,
+             max(CASE WHEN rk <= {_KMV_K} THEN u END) AS uk
+      FROM r GROUP BY source
+    )
+    SELECT source AS "group", n_distinct, n_seen,
+           CASE WHEN n_seen < {_KMV_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE {kmv_numerator(_KMV_K):.17e} / CAST(uk AS DOUBLE)
+           END AS n_est
+    FROM sk ORDER BY "group"
+    """
+
+
+@_register("text-vocab-kmv", _kmv_oracle())
+def text_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-BIGRAM count, KMV-sketch-estimated
+    (operators/sketch.py kmv_distinct, k=64) with the exact distinct
+    count alongside as the verifier — the mergeable fixed-memory
+    alternative to count-distinct for corpus monitoring at 100 TB.
+    Bigrams (not unigrams) so every source overfills the sketch and
+    the estimator branch, not the exact fallback, is what gets graded.
+    Every value is exact cross-engine: the estimate is a single IEEE
+    division from the k-th minimum of the portable hash, so the
+    oracle reproduces it bit for bit."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_distinct,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
+        lambda s: s.isNotNull(),
+    )
+    ex = docs.select("source", F.explode(bigrams).alias("bg"))
+    return kmv_distinct(ex, "source", F.col("bg"), k=_KMV_K).orderBy(
+        "group"
+    )

@@ -89,3 +89,40 @@ def test_sketch_is_mergeable(spark, sf_smoke):
     got = {(r.group, r.h) for r in remerged.collect()}
     want = {(r.group, r.h) for r in full.collect()}
     assert got == want
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    # two groups with known distinct cardinalities, values disjoint
+    rows = [("big", f"v{i % 3000}") for i in range(6000)] + [
+        ("small", f"s{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.group: r for r in kmv_distinct(df, "g", F.col("v"), k=128).collect()}
+    assert out["small"].n_distinct == 20
+    assert out["small"].n_seen == 20
+    assert out["small"].n_est == 20.0  # under-full sketch -> exact
+    big = out["big"]
+    assert big.n_distinct == 3000 and big.n_seen == 128
+    # rel error ~1/sqrt(k-2) ≈ 9%; allow 3 sigma
+    assert abs(big.n_est - 3000) / 3000 < 0.27
+
+
+def test_kmv_deterministic_under_repartition(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"tok{i*7%997}") for i in range(4000)], "g string, v string"
+    )
+    a = kmv_distinct(df, "g", F.col("v"), k=64).collect()[0]
+    b = kmv_distinct(df.repartition(13), "g", F.col("v"), k=64).collect()[0]
+    assert (a.n_distinct, a.n_seen, a.n_est) == (
+        b.n_distinct,
+        b.n_seen,
+        b.n_est,
+    )
