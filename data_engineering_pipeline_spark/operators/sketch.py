@@ -219,3 +219,81 @@ def kmv_distinct(
             est.alias("n_est"),
         )
     )
+
+
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d x w counter
+# matrix; every occurrence increments one bucket per row, a point
+# estimate is the MIN over rows (always an overcount, never under).
+# The state is d*w longs TOTAL — partial-aggregated map-side and
+# merged by addition — so corpus-wide n-gram frequency questions at
+# 100 TB cost one keys-only shuffle of at most d*w cells instead of a
+# full n-gram groupBy, and the sketch answers post-hoc point queries
+# for ANY item. Bucket functions are affine in the portable hash's
+# two residues (universal-hash family, exact int64 arithmetic) so a
+# DuckDB oracle reproduces every counter and estimate bit for bit.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_A = (1, 31, 131, 1009)
+CMS_B = (131, 1, 31, 2003)
+CMS_C = (17, 29, 41, 53)
+
+
+def _cms_buckets(h: Column) -> Column:
+    """array<long> of CMS_DEPTH bucket ids for a portable-hash value."""
+    h1 = F.shiftright(h, 31)
+    h2 = h % F.lit(KMV_PACK)
+    return F.array(
+        *[
+            (
+                (F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c)) % F.lit(KMV_MOD1)
+            )
+            % F.lit(CMS_WIDTH)
+            for a, b, c in zip(CMS_A, CMS_B, CMS_C)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(row, bucket, cnt): the populated cells of the sketch, built
+    from every occurrence (not distinct values) in one aggregation —
+    partial sums map-side, at most CMS_DEPTH*CMS_WIDTH result rows."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = (hasher or portable_token_hash)(value)
+    return (
+        df.select(F.posexplode(_cms_buckets(h)).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """items + n_est: the Count-Min point estimate for each item —
+    min over rows of the item's bucket counters. The sketch side is
+    tiny by construction, so the join broadcasts; empty cells read
+    as 0."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = (hasher or portable_token_hash)(F.col(value_col))
+    ex = items.select(
+        F.col(value_col),
+        F.posexplode(_cms_buckets(h)).alias("row", "bucket"),
+    )
+    return (
+        ex.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
+    )

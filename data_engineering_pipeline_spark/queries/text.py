@@ -1095,3 +1095,86 @@ def text_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ex, "source", F.col("bg"), k=_KMV_K).orderBy(
         "group"
     )
+
+
+def _cms_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        CMS_A,
+        CMS_B,
+        CMS_C,
+        CMS_WIDTH,
+    )
+
+    coef = ", ".join(
+        f"({j}, {a}, {b}, {c})"
+        for j, (a, b, c) in enumerate(zip(CMS_A, CMS_B, CMS_C))
+    )
+    return f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    hh AS (SELECT bg, {_KMV_H1} AS h1, {_KMV_H2} AS h2 FROM ex),
+    coef AS (SELECT * FROM (VALUES {coef}) AS v(j, a, b, c)),
+    cms AS (
+      SELECT coef.j,
+             ((coef.a * hh.h1 + coef.b * hh.h2 + coef.c) % 1000000007)
+               % {CMS_WIDTH} AS bucket,
+             count(*) AS cnt
+      FROM hh CROSS JOIN coef GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT bg, count(*) AS n_exact FROM hh GROUP BY bg
+      ORDER BY n_exact DESC, bg LIMIT 20
+    ),
+    th AS (SELECT bg, n_exact, {_KMV_H1} AS h1, {_KMV_H2} AS h2 FROM topk)
+    SELECT th.bg, CAST(th.n_exact AS BIGINT) AS n_exact,
+           CAST(min(cms.cnt) AS BIGINT) AS n_est
+    FROM th CROSS JOIN coef
+    JOIN cms ON cms.j = coef.j
+     AND cms.bucket = ((coef.a * th.h1 + coef.b * th.h2 + coef.c)
+                       % 1000000007) % {CMS_WIDTH}
+    GROUP BY th.bg, th.n_exact
+    ORDER BY n_exact DESC, bg
+    """
+
+
+@_register("text-heavy-hitters-cms", _cms_oracle())
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter bigrams through a Count-Min sketch
+    (operators/sketch.py cms_build/cms_estimate): the exact top-20
+    bigram counts next to their CMS point estimates — n_est >= n_exact
+    always, and the gap IS the sketch's collision overcount, graded
+    exactly. The sketch is 4x1024 counters built map-side in one
+    aggregation; at 100 TB it replaces the full n-gram groupBy for
+    frequency monitoring and answers post-hoc point queries."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
+        lambda s: s.isNotNull(),
+    )
+    occ = docs.select(F.explode(bigrams).alias("bg"))
+    top = (
+        occ.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "bg")
+        .limit(20)
+    )
+    cms = cms_build(occ, F.col("bg"))
+    est = cms_estimate(cms, top.select("bg"), "bg")
+    return (
+        top.join(est, "bg")
+        .select("bg", "n_exact", F.col("n_est").cast("long").alias("n_est"))
+        .orderBy(F.desc("n_exact"), "bg")
+    )
