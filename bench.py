@@ -82,6 +82,12 @@ HEADLINE = [
     "op-snapshot-datasource",
     "op-snapshot-format-write",
     "op-snapshot-change-feed",  # CDC capture path wall-time
+    # this session's curation additions — line-frequency boilerplate
+    # removal, DSIR importance scoring, and the KMV distinct sketch —
+    # tracked from first appearance
+    "curation-boilerplate",
+    "curation-dsir",
+    "text-vocab-kmv",
 ]
 
 TIMED_RUNS = 3

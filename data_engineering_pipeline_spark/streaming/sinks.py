@@ -526,3 +526,67 @@ def snapshot_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_sketch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    value_col: str,
+    hasher=None,
+) -> StreamingQuery:
+    """Maintain a corpus-wide Count-Min frequency sketch incrementally:
+    each micro-batch builds its own CMS (operators/sketch.py cms_build
+    — one map-side aggregation over the batch) and ADDS it cell-wise
+    into a snapshot-table-backed running sketch. Exactly-once by the
+    txn protocol: a replayed batch finds its (app_id, batch_id) high-
+    water mark already committed and becomes a no-op, so counters are
+    never double-added — the failure mode an at-least-once additive
+    sink cannot repair after the fact.
+
+    Scale: the state is at most CMS_DEPTH*CMS_WIDTH rows regardless of
+    corpus size, so the read-add-overwrite cycle is O(1) per batch;
+    the data-plane cost is the batch's own build. Point estimates at
+    any time: cms_estimate(SnapshotTable(spark, path).read(), items,
+    col) — the sketch answers frequency queries over everything
+    ingested so far without any n-gram table existing anywhere."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.sketch import cms_build
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        if t.txn_version(app_id) >= batch_id:
+            return  # replay of an already-committed batch
+        batch_cells = cms_build(batch_df, F.col(value_col), hasher)
+        if t.latest_version() is None:
+            merged = batch_cells
+        else:
+            old = t.read().select(
+                "row", "bucket", F.col("cnt").alias("__old")
+            )
+            merged = (
+                old.join(batch_cells, ["row", "bucket"], "full_outer")
+                .select(
+                    "row",
+                    "bucket",
+                    (
+                        F.coalesce("__old", F.lit(0))
+                        + F.coalesce("cnt", F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+        t.overwrite(merged, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -661,3 +661,56 @@ def test_join_refresh_sink_fact_dim_materialization(spark, tmp_path):
         for p in (fact_p, view_p)
     ) == v
     assert view_rows() == recompute()
+
+
+def test_cms_sketch_sink_accumulates_and_survives_replay(
+    spark, tmp_path
+):
+    """Two micro-batches of values accumulate into one running CMS;
+    replaying batch data under a fresh checkpoint (at-least-once
+    source) must NOT double the counters — the additive-sink failure
+    mode the txn stamp exists to prevent."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        cms_estimate,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        cms_sketch_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("alpha beta",)] * 30 + [("gamma delta",)] * 5, "v string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    table = str(tmp_path / "sketch")
+
+    def drain(ck):
+        stream = spark.readStream.schema("v string").parquet(
+            str(src / "*")
+        )
+        cms_sketch_sink(
+            stream, table, str(tmp_path / ck), "cmsapp", "v"
+        ).awaitTermination()
+
+    drain("ck1")
+    # second batch lands: counts add
+    spark.createDataFrame(
+        [("alpha beta",)] * 12, "v string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    drain("ck1")
+
+    items = spark.createDataFrame([("alpha beta",), ("gamma delta",)], "v string")
+    cms = SnapshotTable(spark, table).read()
+    est = {r.v: r.n_est for r in cms_estimate(cms, items, "v").collect()}
+    assert est["alpha beta"] >= 42 and est["gamma delta"] >= 5
+    before = dict(est)
+
+    # full replay with a FRESH checkpoint but the same app id: every
+    # batch re-arrives, the txn marks make each a no-op
+    drain("ck2")
+    cms2 = SnapshotTable(spark, table).read()
+    est2 = {r.v: r.n_est for r in cms_estimate(cms2, items, "v").collect()}
+    assert est2 == before
