@@ -1165,13 +1165,11 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s.isNotNull(),
     )
     occ = docs.select(F.explode(bigrams).alias("bg"))
-    top = (
-        occ.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "bg")
-        .limit(20)
-    )
-    cms = cms_build(occ, F.col("bg"))
+    counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = counts.orderBy(F.desc("n_exact"), "bg").limit(20)
+    # build from the aggregated counts: hash each DISTINCT bigram once
+    # (cell-identical to building from occurrences — see cms_build)
+    cms = cms_build(counts, F.col("bg"), weight=F.col("n_exact"))
     est = cms_estimate(cms, top.select("bg"), "bg")
     return (
         top.join(est, "bg")
