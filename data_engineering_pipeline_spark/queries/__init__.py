@@ -26,6 +26,7 @@ _CHECK_FIRST = [
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact
     "text-heavy-hitters-cms",  # new: Count-Min heavy hitters vs exact
+    "ann-topk-pq",  # new: product-quantized ANN (ADC scoring)
     "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
     "op-snapshot-format-write",  # new: two-phase format write path
     "text-dup-spans",  # new: exact substring (n-gram span) duplication

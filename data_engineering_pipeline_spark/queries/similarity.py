@@ -381,3 +381,78 @@ def ann_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_search(
         spark, queries, path, k=TOP_K, cell_of=_sem_cell_col
     )
+
+
+def _pq_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.similarity import (
+        PQ_BITS,
+        PQ_HI,
+        PQ_LO,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    cells = 1 << PQ_BITS
+    step = (PQ_HI - PQ_LO) / cells
+
+    def axis_code(d: int) -> str:
+        return (
+            f"greatest(least(CAST(floor((v[{d}] - ({PQ_LO!r})) /"
+            f" ({step!r})) AS BIGINT), {cells - 1}), 0)"
+        )
+
+    code_exprs = [
+        f"({axis_code(j * PQ_SUB + 1)} * {cells}"
+        f" + {axis_code(j * PQ_SUB + 2)})"
+        for j in range(PQ_M)
+    ]
+
+    def center(code_expr: str) -> str:
+        return f"(({PQ_LO!r}) + (CAST({code_expr} AS DOUBLE) + 0.5) * ({step!r}))"
+
+    terms = []
+    for j in range(PQ_M):
+        cj = f"c.codes[{j + 1}]"
+        cx = center(f"({cj} // {cells})")
+        cy = center(f"({cj} % {cells})")
+        terms.append(
+            f"(q.qv[{j * PQ_SUB + 1}] * {cx}"
+            f" + q.qv[{j * PQ_SUB + 2}] * {cy})"
+        )
+    adc = " + ".join(terms)
+    return f"""
+    WITH {_VECS},
+    c AS (SELECT vec_id, [{", ".join(code_exprs)}] AS codes FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM n
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, {adc} AS adc
+      FROM q, c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, corpus_id, adc,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc DESC, corpus_id) AS INTEGER) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
+@_register("ann-topk-pq", _pq_oracle())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py, Jégou et al.
+    2011), graded grid config: the corpus is reduced to 4 codes per
+    vector (64x smaller than the raw 64-dim floats) before the scoring
+    join, queries score codes via closed-form ADC, ranking tie-broken
+    by id. Codes, scores, and ranks are bit-deterministic, so the
+    oracle reproduces the whole pipeline. The production path (per-
+    subspace KMeans codebooks, argmin encoding) is measured in
+    tests/test_similarity.py."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_pq_grid,
+    )
+
+    queries, corpus = _query_corpus(spark, sf_dir)
+    return ann_topk_pq_grid(queries, corpus, k=TOP_K).orderBy(
+        "query_id", "rank"
+    )

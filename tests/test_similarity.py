@@ -604,3 +604,78 @@ def test_incremental_embedding_dedup_replay_keeps_index_stable(spark, sf_smoke):
     idx3, _ = incremental_embedding_dedup(mixed, idx, **cfg)
     assert idx3.count() == n1 + 100 * 2  # only the new half, x tables
     assert idx3.select("__id").distinct().count() == 300
+
+
+def test_pq_trained_codebooks_recover_clusters(spark):
+    from data_engineering_pipeline_spark.operators.similarity import (
+        pq_adc,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    # three exact clusters in 4-d; m=2 subspaces of 2 dims
+    protos = [
+        [1.0, 0.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [-1.0, -1.0, 0.5, 0.5],
+    ]
+    rows = [(i * 100 + r, protos[i]) for i in range(3) for r in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_train_codebooks(df, m=2, sub_dim=2, codes=3, seed=11)
+    assert len(cbs) == 2 and all(len(cb) == 3 for cb in cbs)
+
+    coded = df.select(
+        "vec_id", pq_encode(F.col("embedding"), cbs, sub_dim=2).alias("codes")
+    )
+    got = {r.vec_id: tuple(r.codes) for r in coded.collect()}
+    # every member of a cluster gets the same code pair; distinct
+    # clusters get distinct pairs (exact clusters -> centroids == protos)
+    for i in range(3):
+        base = got[i * 100]
+        assert all(got[i * 100 + r] == base for r in range(20))
+    assert len({got[0], got[100], got[200]}) == 3
+
+    # ADC against an exact-cluster corpus reproduces the true dot
+    # product with the cluster prototype
+    q = [0.5, -0.25, 1.0, 0.0]
+    scored = coded.select(
+        "vec_id",
+        pq_adc(F.lit(q), F.col("codes"), cbs, sub_dim=2).alias("adc"),
+    )
+    adc = {r.vec_id: r.adc for r in scored.collect()}
+    import math
+
+    for i, p in enumerate(protos):
+        want = sum(a * b for a, b in zip(q, p))
+        assert math.isclose(adc[i * 100], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_pq_grid_encode_matches_adc_reconstruction(spark):
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_pq_grid,
+    )
+
+    # planted near-dup in the quantized dims: for each query, corpus
+    # vector 1000+q shares its cell pattern, everything else is far
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(8):
+        v = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((1000 + i, list(v)))  # exact copy -> same codes
+    for i in range(200):
+        rows.append((2000 + i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    top = ann_topk_pq_grid(queries, corpus, k=3).collect()
+    best = {r.query_id: r.corpus_id for r in top if r.rank == 1}
+    # the exact copy shares every code, so its ADC score ties the
+    # query's own reconstruction — with 200 random distractors it wins
+    # rank 1 for most queries (codes only see 8 of 64 dims)
+    hits = sum(1 for q, c in best.items() if c == 1000 + q)
+    assert hits >= 5, best
