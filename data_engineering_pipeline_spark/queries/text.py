@@ -1176,3 +1176,71 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg", "n_exact", F.col("n_est").cast("long").alias("n_est"))
         .orderBy(F.desc("n_exact"), "bg")
     )
+
+
+_BPE_N_MERGES = 6
+
+
+def _bpe_train_oracle(n: int) -> str:
+    sep = "chr(31)"
+    dsep = f"{sep} || {sep}"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS cnt,
+             {sep} || array_to_string(string_split(w, ''), {sep} || {sep})
+                  || {sep} AS s
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for r in range(n):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT pieces[i] AS pa, pieces[i + 1] AS pb, sum(cnt) AS c
+      FROM (SELECT cnt,
+                   string_split(trim(s, {sep}), {dsep}) AS pieces
+            FROM w{r}),
+           UNNEST(generate_series(1, len(pieces) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ), b{r} AS MATERIALIZED (
+      SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1
+    ), w{r + 1} AS MATERIALIZED (
+      SELECT cnt,
+             replace(s,
+               {sep} || (SELECT pa FROM b{r}) || {dsep}
+                     || (SELECT pb FROM b{r}) || {sep},
+               {sep} || (SELECT pa FROM b{r})
+                     || (SELECT pb FROM b{r}) || {sep}) AS s
+      FROM w{r}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, pa AS lhs,"
+        f" pb AS rhs, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(n)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    " + unions
+        + "\n    ORDER BY merge_rank"
+    )
+
+
+@_register("text-bpe-train", _bpe_train_oracle(_BPE_N_MERGES))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule TRAINING (Sennrich et al. 2016,
+    operators/search.py bpe_train_merges): learn the corpus' top-6
+    merge rules — each round counts weighted adjacent piece pairs over
+    the (word, count) vocabulary and applies the argmax merge (count
+    desc, lexicographic tie-break). The oracle replays all six rounds
+    as chained CTEs over the identical double-separator string
+    representation, so every learned rule AND its winning pair count
+    must match exactly. The corpus-wide work is one word-count
+    aggregation; rounds are vocab-sized."""
+    from data_engineering_pipeline_spark.operators.search import (
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", _BPE_N_MERGES).orderBy(
+        "merge_rank"
+    )

@@ -103,3 +103,48 @@ def test_redact_pii_leaves_no_matches(spark, parts):
     clean = "no pii here at all"
     df2 = spark.createDataFrame([(0, clean)], "id long, text string")
     assert df2.select(redact_pii("text").alias("t")).collect()[0].t == clean
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from data_engineering_pipeline_spark.operators.search import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest aaaa")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train_merges(docs, "text", 6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # hand-derived: (l,o) ties (o,w) at 5 -> lex; "aaaa" yields THREE
+    # overlapping (a,a) pairs and merges to [aa, aa] greedily; round 5
+    # is a 5-way tie at count 2 -> (e,r) lexicographically first
+    assert got == [
+        (0, "l", "o", 5),
+        (1, "lo", "w", 5),
+        (2, "a", "a", 3),
+        (3, "e", "w", 3),
+        (4, "n", "ew", 3),
+        (5, "e", "r", 2),
+    ]
+
+
+def test_bpe_train_stable_under_repartition(spark):
+    from data_engineering_pipeline_spark.operators.search import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 5} delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in bpe_train_merges(docs, "text", 4).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train_merges(docs.repartition(7), "text", 4).collect()
+    ]
+    assert a == b and len(a) == 4
