@@ -126,6 +126,7 @@ def build_ann_index(
     n_cells: int = 16,
     seed: int = 7,
     cell_of=None,
+    code_of=None,
 ) -> SnapshotTable:
     """Build (or atomically REPLACE) the index: train centroids on the
     corpus (or use a caller-supplied deterministic `cell_of` quantizer
@@ -133,7 +134,12 @@ def build_ann_index(
     the snapshot table with the cell-clustered layout. The centroid
     sidecar is written FIRST (content-addressed, invisible until
     referenced) and its name rides the same manifest as the
-    assignments, so assignments and centroids swap as one atom."""
+    assignments, so assignments and centroids swap as one atom.
+
+    `code_of` (vec column -> array<long> of PQ codes, e.g.
+    pq_grid_encode) additionally stores a `codes` column, enabling the
+    two-phase ann_index_search_pq probe whose candidate scan reads
+    codes instead of vectors."""
     t = SnapshotTable(spark, path, stat_cols=["cell"])
     v = _as_double(F.col(vec_col))
     if cell_of is not None:
@@ -144,11 +150,14 @@ def build_ann_index(
             corpus, vec_col, n_cells=n_cells, seed=seed
         )
         cell = _assign_cell(F.col(vec_col), cents)
-    rows = corpus.select(
+    cols = [
         F.col(id_col).alias("vec_id"),
         v.alias("embedding"),
         cell.alias("cell"),
-    )
+    ]
+    if code_of is not None:
+        cols.append(code_of(F.col(vec_col)).alias("codes"))
+    rows = corpus.select(*cols)
     name = _write_centroids(path, cents)
     t.overwrite(
         _clustered(rows, n_cells), properties={CENTROIDS_PROP: name}
@@ -164,9 +173,12 @@ def ann_index_add(
     vec_col: str = "embedding",
     cell_of=None,
     txn: tuple[str, int] | None = None,
+    code_of=None,
 ) -> int:
     """Incremental add: assign to the FROZEN centroids (or the same
-    deterministic quantizer) and append cell-clustered files. Rides
+    deterministic quantizer) and append cell-clustered files. A
+    PQ-coded index (built with code_of) must be fed with the SAME
+    code_of so appended rows carry codes too. Rides
     the table's txn protocol, so a streaming foreachBatch add is
     exactly-once. A concurrent REBUILD that swaps the centroids makes
     this add's assignments stale — the commit loop re-checks the
@@ -183,11 +195,14 @@ def ann_index_add(
         cents = load_centroids(path)
         cell = _assign_cell(F.col(vec_col), cents)
         n_cells = len(cents)
-    rows = new_vecs.select(
+    cols = [
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("embedding"),
         cell.alias("cell"),
-    )
+    ]
+    if code_of is not None:
+        cols.append(code_of(F.col(vec_col)).alias("codes"))
+    rows = new_vecs.select(*cols)
     clustered = _clustered(rows, n_cells)
     if assigned_with is None:
         return t.append(clustered, txn=txn)
@@ -315,3 +330,99 @@ def index_stats(spark: SparkSession, path: str) -> dict:
         "cells": len(per_cell),
         "max_cell_share": (mx / total) if total else 0.0,
     }
+
+
+def ann_index_search_pq(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 20,
+    n_probe: int = 1,
+    cell_of=None,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF+PQ two-phase probe over a codes-bearing index (built with
+    code_of) — the canonical billion-scale ANN layout (FAISS IVFPQ):
+
+      phase 1 (coarse): probe cells as in ann_index_search, but the
+        candidate scan projects ONLY (vec_id, cell, codes) — parquet
+        column pruning drops the wide embedding column, so candidate
+        IO per cell is a few bytes per vector instead of dim floats;
+        ADC-score the codes and keep the top `refine` per query
+        (adc desc, id tie-break — deterministic).
+      phase 2 (refine): join the surviving ids back against the SAME
+        pruned cell read, now projecting the vectors, and rank the
+        final top-k by exact rounded cosine.
+
+    The refine set is `refine` rows per query, so phase 2's vector IO
+    is bounded by the query batch, not the cell population. Both
+    phases resolve ONE table version (snapshot isolation, as
+    ann_index_search)."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        cosine,
+        pq_grid_adc,
+    )
+
+    t = SnapshotTable(spark, path, stat_cols=["cell"])
+    version = t.latest_version()
+    if cell_of is not None:
+        probes = queries.select(
+            F.col(query_id),
+            _as_double(F.col(vec_col)).alias("__qv"),
+            cell_of(F.col(vec_col)).alias("cell"),
+        )
+    else:
+        cents = load_centroids(path, version=version)
+        scores = _cell_scores(F.col(vec_col), cents)
+        ranked = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
+        probes = queries.select(
+            F.col(query_id),
+            _as_double(F.col(vec_col)).alias("__qv"),
+            F.explode(
+                F.transform(ranked, lambda s: s["idx"].cast("long"))
+            ).alias("cell"),
+        )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = t.read(version=version, prune=[("cell", cells)])
+    par = spark.sparkContext.defaultParallelism
+    if len(pruned.inputFiles()) < par:
+        pruned = pruned.repartition(par)
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    # phase 1: codes-only candidate scoring
+    codes_side = pruned.select("vec_id", "cell", "codes")
+    adc_scored = (
+        probe_side.join(codes_side, "cell")
+        .filter(F.col("vec_id") != F.col(query_id))
+        .select(
+            query_id,
+            "__qv",
+            F.col("vec_id").alias("corpus_id"),
+            pq_grid_adc(F.col("__qv"), F.col("codes")).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.desc("adc"), "corpus_id")
+    survivors = (
+        adc_scored.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= refine)
+        .select(query_id, "__qv", "corpus_id")
+    )
+    # phase 2: exact re-rank of the bounded refine set
+    vec_side = pruned.select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    exact = survivors.join(vec_side, "corpus_id").select(
+        query_id,
+        "corpus_id",
+        F.round(cosine(F.col("__qv"), F.col("embedding")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), "corpus_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

@@ -28,6 +28,7 @@ _CHECK_FIRST = [
     "text-heavy-hitters-cms",  # new: Count-Min heavy hitters vs exact
     "ann-topk-pq",  # new: product-quantized ANN (ADC scoring)
     "text-bpe-train",  # new: BPE merge-rule training (6 rounds)
+    "ann-index-ivfpq",  # new: IVF+PQ two-phase probe on the index table
     "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
     "op-snapshot-format-write",  # new: two-phase format write path
     "text-dup-spans",  # new: exact substring (n-gram span) duplication

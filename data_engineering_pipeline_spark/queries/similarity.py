@@ -456,3 +456,115 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq_grid(queries, corpus, k=TOP_K).orderBy(
         "query_id", "rank"
     )
+
+
+_PQ_REFINE = 20
+
+
+def _ivfpq_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.similarity import (
+        PQ_BITS,
+        PQ_HI,
+        PQ_LO,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    cells = 1 << PQ_BITS
+    step = (PQ_HI - PQ_LO) / cells
+
+    def axis_code(d: int) -> str:
+        return (
+            f"greatest(least(CAST(floor((v[{d}] - ({PQ_LO!r})) /"
+            f" ({step!r})) AS BIGINT), {cells - 1}), 0)"
+        )
+
+    code_exprs = [
+        f"({axis_code(j * PQ_SUB + 1)} * {cells}"
+        f" + {axis_code(j * PQ_SUB + 2)})"
+        for j in range(PQ_M)
+    ]
+
+    def center(code_expr: str) -> str:
+        return (
+            f"(({PQ_LO!r}) + (CAST({code_expr} AS DOUBLE) + 0.5)"
+            f" * ({step!r}))"
+        )
+
+    terms = []
+    for j in range(PQ_M):
+        cj = f"c.codes[{j + 1}]"
+        cx = center(f"({cj} // {cells})")
+        cy = center(f"({cj} % {cells})")
+        terms.append(
+            f"(q.qv[{j * PQ_SUB + 1}] * {cx}"
+            f" + q.qv[{j * PQ_SUB + 2}] * {cy})"
+        )
+    adc = " + ".join(terms)
+    return f"""
+    WITH {_VECS},
+    g AS (SELECT vec_id, v, nrm, {_sem_cell_sql('v')} AS cell,
+                 [{", ".join(code_exprs)}] AS codes
+          FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
+          FROM g WHERE vec_id < {N_QUERIES}),
+    phase1 AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, {adc} AS adc
+      FROM q JOIN g c ON q.cell = c.cell AND c.vec_id <> q.query_id
+    ),
+    survivors AS (
+      SELECT query_id, corpus_id FROM phase1
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC, corpus_id) <= {_PQ_REFINE}
+    ),
+    phase2 AS (
+      SELECT s.query_id, s.corpus_id,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4)
+               AS cos_sim
+      FROM survivors s
+      JOIN q ON q.query_id = s.query_id
+      JOIN g c ON c.vec_id = s.corpus_id
+    )
+    SELECT query_id, corpus_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, corpus_id) AS INTEGER) AS "rank"
+    FROM phase2 QUALIFY "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
+@_register("ann-index-ivfpq", _ivfpq_oracle())
+def ann_index_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ two-phase probe over the persisted index
+    (operators/ann_index.py ann_index_search_pq): the index stores PQ
+    codes next to each vector; phase 1 scans ONLY (id, cell, codes) of
+    the probed cells — parquet column pruning keeps the wide embedding
+    column out of the candidate scan — and keeps the top-20 by ADC;
+    phase 2 re-ranks just those by exact cosine. Graded config: grid
+    cell quantizer + grid codebooks, every intermediate deterministic,
+    so the oracle replays both phases exactly."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.operators.ann_index import (
+        ann_index_search_pq,
+        build_ann_index,
+    )
+    from data_engineering_pipeline_spark.operators.similarity import (
+        pq_grid_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="ann_ivfpq_q_")
+    path = os.path.join(base, "idx")
+    build_ann_index(
+        spark, emb, path, id_col="vec_id",
+        cell_of=_sem_cell_col, code_of=pq_grid_encode,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_search_pq(
+        spark, queries, path, k=TOP_K, refine=_PQ_REFINE,
+        cell_of=_sem_cell_col,
+    )

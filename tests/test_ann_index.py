@@ -239,3 +239,59 @@ def test_add_conflicts_with_concurrent_rebuild(spark, tmp_path):
     assert index_stats(spark, path)["rows"] == 400
     ann_index_add(spark, new, path)
     assert index_stats(spark, path)["rows"] == 403
+
+
+def test_ivfpq_two_phase_recall_and_column_pruning(spark, tmp_path):
+    from data_engineering_pipeline_spark.operators.ann_index import (
+        ann_index_search_pq,
+    )
+    from data_engineering_pipeline_spark.operators.similarity import (
+        pq_grid_encode,
+    )
+
+    # 64-dim blobs (the PQ grid defaults quantize dims 0,1 of each
+    # 16-dim subspace over [-0.5, 0.5])
+    rnd = random.Random(5)
+    centers = [
+        [rnd.uniform(-0.4, 0.4) for _ in range(64)] for _ in range(6)
+    ]
+    rows = []
+    for i in range(900):
+        c = centers[i % 6]
+        rows.append((i, [x + rnd.gauss(0, 0.03) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    build_ann_index(
+        spark, df, path, n_cells=6, code_of=pq_grid_encode
+    )
+    queries = df.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_index_search_pq(
+        spark, queries, path, k=5, refine=40, n_probe=2
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    # phase 1's candidate scan projects codes but NOT the vectors —
+    # the IO claim of the layout, visible as a parquet ReadSchema
+    schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert any(
+        "codes" in s and "embedding" not in s for s in schemas
+    ), schemas
+    assert got.count() == 15 * 5
+
+    # with refine >= probed-cell population, phase 1 keeps every
+    # candidate and the two-phase result must EQUAL the exact IVF
+    # search — the plumbing invariant that isolates ADC-filter loss
+    # (within-blob vectors share codes, so small refine trades recall
+    # for IO by design) from implementation bugs
+    exact = ann_index_search(spark, queries, path, k=5, n_probe=2)
+    full = ann_index_search_pq(
+        spark, queries, path, k=5, refine=1000, n_probe=2
+    )
+    assert {tuple(r) for r in full.collect()} == {
+        tuple(r) for r in exact.collect()
+    }
