@@ -728,4 +728,4 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select_topk(dsir_scores(docs), _DSIR_K)
+    return dsir_select_topk(dsir_scores(docs, dedup_hash=True), _DSIR_K)

@@ -192,3 +192,24 @@ def test_dsir_frozen_scores_stable_under_repartition(spark):
     b = {r.doc_id: (r.score, r.n_bigrams)
          for r in dsir_scores(docs.repartition(7)).collect()}
     assert a == b and len(a) == 40
+
+
+def test_dsir_dedup_hash_plan_is_result_identical(spark):
+    from data_engineering_pipeline_spark.operators.classify import (
+        dsir_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 6} beta alpha") for i in range(50)]
+        + [(100, "single")],  # no bigrams -> absent from both outputs
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.n_bigrams, r.score, r.score_norm)
+        for r in dsir_scores(docs).collect()
+    }
+    b = {
+        r.doc_id: (r.n_bigrams, r.score, r.score_norm)
+        for r in dsir_scores(docs, dedup_hash=True).collect()
+    }
+    assert a == b and len(a) == 50 and 100 not in a
