@@ -88,6 +88,10 @@ HEADLINE = [
     "curation-boilerplate",
     "curation-dsir",
     "text-vocab-kmv",
+    "text-heavy-hitters-cms",
+    "ann-topk-pq",
+    "text-bpe-train",
+    "ann-index-ivfpq",
 ]
 
 TIMED_RUNS = 3

@@ -147,23 +147,27 @@ def corpus_overlap_bottomk(
 # uniformly over [0, M): the packed form h1*2^31 + h2 leaves a gap in
 # every h1 slot (h2 < 999999937 < 2^31), which would bias u_k low and
 # the estimate high by the gap ratio (~2.1x). Re-basing as
-# u = h1' * 999999937 + h2' removes the gaps exactly — and each
-# component is first scrambled by a quadratic cross-mix
-# (x² + a·x + other_component, mod p): the raw polynomial fold of a
-# SHORT string never wraps its modulus, so raw h1/h2 cluster near 0
-# and u_k would land far below k*M/n (measured 12x overestimate on
+# u = h1' * 999999937 + h2' removes the gaps exactly — and the
+# components are scrambled by TWO rounds of a quadratic cross-mix
+# (x² + a·x + other_component, mod p). Measured failure ladder that
+# forced each step: the raw polynomial fold of a SHORT string never
+# wraps its modulus, so raw h1/h2 cluster near 0 (12x overestimate on
 # 4-char values); a LINEAR multiply-mod scramble preserves the digit
-# lattice and still misestimated by ~1.5-2x either way. The quadratic
-# breaks the lattice (measured within ~5% on both 4-char and 12-char
-# value sets, k=64 and 128). It is not bijective per coordinate, but
-# a u-collision needs simultaneous quadratic collisions in BOTH
-# residues (~4/M ≈ 4e-18 per pair) — immaterial to the estimate.
+# lattice (~1.5-2x off either way); ONE quadratic round still left
+# 2-3-char families ("v0".."v99") lumpy after partial wrapping (5x
+# underestimate at k=16); TWO rounds equidistribute every family
+# tried (2-12 chars, n=50..3000, k=16..128 — estimates within the
+# 1/sqrt(k-2) band; a third round adds nothing). The map is not
+# bijective per coordinate, but a u-collision needs simultaneous
+# quadratic collisions in BOTH residues (~per-pair 1e-17) —
+# immaterial to the estimate.
 KMV_MOD1 = 1_000_000_007
 KMV_MOD2 = 999_999_937
 KMV_SPACE = KMV_MOD1 * KMV_MOD2  # 999999943999999559 < 2^63
 KMV_PACK = 2_147_483_648  # the portable hash packs h1 at bit 31
 KMV_SCRAMBLE1 = 48_271  # minstd multipliers; h² + a·h + h' < 2^63
 KMV_SCRAMBLE2 = 69_621
+KMV_ROUNDS = 2
 
 
 def kmv_numerator(k: int) -> float:
@@ -171,6 +175,50 @@ def kmv_numerator(k: int) -> float:
     BEFORE the product — emitted as a single literal on both engines so
     the estimate is one IEEE division from u_k, bit-identical."""
     return float(k - 1) * float(KMV_SPACE)
+
+
+def kmv_points(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(group, u): the distinct scrambled estimation points per group
+    — the KMV sketch's raw material, mergeable by union+bottom-k."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = (hasher or portable_token_hash)(value)
+    h1 = F.shiftright(h, 31)
+    h2 = h % F.lit(KMV_PACK)
+    for _ in range(KMV_ROUNDS):
+        h1, h2 = (
+            (h1 * h1 + F.lit(KMV_SCRAMBLE1) * h1 + h2) % F.lit(KMV_MOD1),
+            (h2 * h2 + F.lit(KMV_SCRAMBLE2) * h2 + h1) % F.lit(KMV_MOD2),
+        )
+    u = (h1 * F.lit(KMV_MOD2) + h2).alias("u")
+    return df.select(F.col(group_col).alias("group"), u).distinct()
+
+
+def kmv_estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
+    """(group, n_seen, n_est) from a stored bottom-k sketch of
+    (group, u) rows — the read side of kmv_sketch_sink."""
+    w = Window.partitionBy("group").orderBy("u")
+    bottom = sketch.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    sk = bottom.groupBy("group").agg(
+        F.max("__rk").alias("n_seen"), F.max("u").alias("__uk")
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(kmv_numerator(k)) / F.col("__uk").cast("double"))
+    return sk.select(
+        "group",
+        F.col("n_seen").cast("long").alias("n_seen"),
+        est.alias("n_est"),
+    )
 
 
 def kmv_distinct(
@@ -188,17 +236,7 @@ def kmv_distinct(
     hasher defaults to the portable cross-engine hash; pass
     F.xxhash64-based hashing at scale (one intrinsic vs two per-char
     folds) with the matching 2^64 space rebase."""
-    from data_engineering_pipeline_spark.operators.dedup import (
-        portable_token_hash,
-    )
-
-    h = (hasher or portable_token_hash)(value)
-    h1 = F.shiftright(h, 31)
-    h2 = h % F.lit(KMV_PACK)
-    h1s = (h1 * h1 + F.lit(KMV_SCRAMBLE1) * h1 + h2) % F.lit(KMV_MOD1)
-    h2s = (h2 * h2 + F.lit(KMV_SCRAMBLE2) * h2 + h1) % F.lit(KMV_MOD2)
-    u = (h1s * F.lit(KMV_MOD2) + h2s).alias("u")
-    hs = df.select(F.col(group_col).alias("group"), u).distinct()
+    hs = kmv_points(df, group_col, value, hasher)
     w = Window.partitionBy("group").orderBy("u")
     bottom = hs.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= k

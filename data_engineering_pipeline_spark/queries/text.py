@@ -1041,11 +1041,17 @@ def _kmv_oracle() -> str:
       FROM t WHERE len(toks) >= 2
     ),
     hh AS (SELECT source, {_KMV_H1} AS h1, {_KMV_H2} AS h2 FROM ex),
+    r1 AS (
+      SELECT source,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM hh
+    ),
     hu AS (
       SELECT DISTINCT source,
-             (h1 * h1 + 48271 * h1 + h2) % 1000000007 * 999999937
-             + (h2 * h2 + 69621 * h2 + h1) % 999999937 AS u
-      FROM hh
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM r1
     ),
     r AS (
       SELECT source, u,

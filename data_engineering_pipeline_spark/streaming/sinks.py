@@ -590,3 +590,56 @@ def cms_sketch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_sketch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    hasher=None,
+) -> StreamingQuery:
+    """Maintain per-group KMV distinct-count sketches incrementally:
+    each micro-batch's (group, u) points union with the stored sketch
+    and the bottom-k per group is kept — the KMV merge rule, so the
+    running sketch always equals the sketch of everything ingested.
+    Exactly-once via the txn protocol (replays are no-ops), same as
+    cms_sketch_sink. State is at most k rows per group. Estimates at
+    any time: kmv_estimate_from_sketch(SnapshotTable(...).read(), k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_points,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        if t.txn_version(app_id) >= batch_id:
+            return
+        pts = kmv_points(batch_df, group_col, F.col(value_col), hasher)
+        if t.latest_version() is not None:
+            pts = t.read().unionByName(pts)
+        w = Window.partitionBy("group").orderBy("u")
+        merged = (
+            pts.distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+        t.overwrite(merged, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

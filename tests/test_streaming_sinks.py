@@ -714,3 +714,66 @@ def test_cms_sketch_sink_accumulates_and_survives_replay(
     cms2 = SnapshotTable(spark, table).read()
     est2 = {r.v: r.n_est for r in cms_estimate(cms2, items, "v").collect()}
     assert est2 == before
+
+
+def test_kmv_sketch_sink_merges_and_survives_replay(spark, tmp_path):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_estimate_from_sketch,
+        kmv_points,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        kmv_sketch_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(300)], "grp string, v string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    table = str(tmp_path / "kmv")
+
+    def drain(ck):
+        stream = spark.readStream.schema("grp string, v string").parquet(
+            str(src / "*")
+        )
+        kmv_sketch_sink(
+            stream, table, str(tmp_path / ck), "kmvapp", "grp", "v", k=32
+        ).awaitTermination()
+
+    drain("ck1")
+    spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(200, 500)],  # 200 overlap
+        "grp string, v string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    drain("ck1")
+
+    stored = SnapshotTable(spark, table).read()
+    # incremental sketch == batch sketch over the union (merge rule)
+    union = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(500)], "grp string, v string"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    w = Window.partitionBy("group").orderBy("u")
+    direct = (
+        kmv_points(union, "grp", FF.col("v"))
+        .withColumn("__rk", FF.row_number().over(w))
+        .filter(FF.col("__rk") <= 32)
+        .drop("__rk")
+    )
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    est = kmv_estimate_from_sketch(stored, 32).collect()[0]
+    assert est.n_seen == 32 and abs(est.n_est - 500) / 500 < 0.6
+
+    before = {tuple(r) for r in stored.collect()}
+    drain("ck2")  # full replay, fresh checkpoint, same app id
+    after = {
+        tuple(r) for r in SnapshotTable(spark, table).read().collect()
+    }
+    assert after == before
