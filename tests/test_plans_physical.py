@@ -86,6 +86,9 @@ def test_head_coverage_broadcasts_vocab(spark, sf_smoke):
 # 1-row scalar broadcasts (corpus stats, global-average thresholds).
 INTENDED_NESTED_LOOP = {
     "ann-topk-cosine",
+    "ann-topk-pq",  # same broadcast-query scoring join, corpus side
+    # reduced to 4-code arrays before the pairing
+
     "dedup-embedding-cosine",
     "q22-idle-customers",
     "q11-important-stock",  # grand-total: 1-row broadcast onto groups
