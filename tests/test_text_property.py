@@ -148,3 +148,69 @@ def test_bpe_train_stable_under_repartition(spark):
         for r in bpe_train_merges(docs.repartition(7), "text", 4).collect()
     ]
     assert a == b and len(a) == 4
+
+
+def _bpe_model(texts: list[str], n_merges: int):
+    """Pure-Python BPE trainer mirroring bpe_train_merges exactly:
+    overlapping weighted pair counts, argmax by (count desc, lhs, rhs),
+    greedy left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for r in range(n_merges):
+        pairs = Counter()
+        for w, pieces in vocab.items():
+            for a, b in zip(pieces, pieces[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (pa, pb), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, pa, pb, c))
+        for w, pieces in vocab.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == pa
+                    and pieces[i + 1] == pb
+                ):
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bpe_train_matches_python_model(spark, texts):
+    from data_engineering_pipeline_spark.operators.search import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train_merges(docs, "text", 3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _bpe_model(texts, 3)
