@@ -92,6 +92,7 @@ HEADLINE = [
     "ann-topk-pq",
     "text-bpe-train",
     "ann-index-ivfpq",
+    "text-vocab-hll",  # HLL registers next to KMV: same stream, m ints
 ]
 
 TIMED_RUNS = 3

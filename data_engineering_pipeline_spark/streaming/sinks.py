@@ -592,6 +592,53 @@ def cms_sketch_sink(
     )
 
 
+def hll_sketch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    group_col: str,
+    value_col: str,
+    hasher=None,
+) -> StreamingQuery:
+    """Maintain per-group HyperLogLog register tables incrementally:
+    each micro-batch's registers merge with the stored sketch by
+    per-(group, reg) MAX — idempotent and commutative, so the running
+    sketch always equals the sketch of everything ingested regardless
+    of batch boundaries or arrival order. State is at most HLL_M rows
+    per group (vs k longs for KMV) and the per-batch work is one
+    map-side-combined aggregate with no distinct pass. Exactly-once
+    via the txn protocol (replays are no-ops). Estimates at any time:
+    hll_estimate_from_registers(SnapshotTable(...).read())."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        if t.txn_version(app_id) >= batch_id:
+            return
+        regs = hll_registers(batch_df, group_col, F.col(value_col), hasher)
+        if t.latest_version() is not None:
+            regs = hll_merge(t.read(), regs)
+        t.overwrite(regs, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kmv_sketch_sink(
     stream_df: DataFrame,
     path: str,

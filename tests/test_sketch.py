@@ -152,3 +152,91 @@ def test_cms_never_undercounts_and_is_exact_for_hot_items(spark):
     # with 2551 occurrences over 4x1024 cells, collisions add at most a
     # few counts — the hot item's estimate stays within 1% of truth
     assert est["hot item"] <= 505
+
+
+def test_hll_estimate_tracks_exact_and_ignores_duplicates(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_distinct,
+    )
+
+    rows = [("big", f"v{i % 3000}") for i in range(9000)] + [
+        ("mid", f"m{i}") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.group: r for r in hll_distinct(df, "g", F.col("v")).collect()}
+    # rel error ~1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    assert out["big"].n_distinct == 3000
+    assert abs(out["big"].n_est - 3000) / 3000 < 0.4
+    assert out["mid"].n_distinct == 400
+    assert abs(out["mid"].n_est - 400) / 400 < 0.4
+    # duplicate-insensitivity: tripling every occurrence changes nothing
+    trip = df.unionByName(df).unionByName(df)
+    out3 = {
+        r.group: r for r in hll_distinct(trip, "g", F.col("v")).collect()
+    }
+    for g in out:
+        assert (out3[g].n_regs, out3[g].n_zero, out3[g].n_est) == (
+            out[g].n_regs,
+            out[g].n_zero,
+            out[g].n_est,
+        )
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(600)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(400, 1000)],  # 200 overlap
+        "g string, v string",
+    )
+    merged = hll_merge(
+        hll_registers(a, "g", F.col("v")), hll_registers(b, "g", F.col("v"))
+    )
+    direct = hll_registers(a.unionByName(b), "g", F.col("v"))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    est = hll_estimate_from_registers(merged).collect()[0]
+    assert abs(est.n_est - 1000) / 1000 < 0.4
+
+
+def test_hll_small_range_linear_counting_from_n_zero(spark):
+    """The raw estimator biases high when most registers are empty;
+    the surfaced n_zero column is exactly what driver-side linear
+    counting (m * ln(m / n_zero)) needs — the correction must land
+    closer than the raw estimate on a tiny set."""
+    import math
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"only-{i}") for i in range(40)], "g string, v string"
+    )
+    r = hll_distinct(df, "g", F.col("v")).collect()[0]
+    assert r.n_distinct == 40 and r.n_zero > 0
+    lc = HLL_M * math.log(HLL_M / r.n_zero)
+    assert abs(lc - 40) < abs(r.n_est - 40)
+    assert abs(lc - 40) / 40 < 0.25
+
+
+def test_hll_deterministic_under_repartition(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"tok{i*7%997}") for i in range(4000)], "g string, v string"
+    )
+    a = hll_distinct(df, "g", F.col("v")).collect()[0]
+    b = hll_distinct(df.repartition(13), "g", F.col("v")).collect()[0]
+    assert tuple(a) == tuple(b)

@@ -777,3 +777,59 @@ def test_kmv_sketch_sink_merges_and_survives_replay(spark, tmp_path):
         tuple(r) for r in SnapshotTable(spark, table).read().collect()
     }
     assert after == before
+
+
+def test_hll_sketch_sink_merges_and_survives_replay(spark, tmp_path):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        hll_sketch_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(300)], "grp string, v string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    table = str(tmp_path / "hll")
+
+    def drain(ck):
+        stream = spark.readStream.schema("grp string, v string").parquet(
+            str(src / "*")
+        )
+        hll_sketch_sink(
+            stream, table, str(tmp_path / ck), "hllapp", "grp", "v"
+        ).awaitTermination()
+
+    drain("ck1")
+    spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(200, 500)],  # 200 overlap
+        "grp string, v string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    drain("ck1")
+
+    stored = SnapshotTable(spark, table).read()
+    # incremental register table == batch registers over the union
+    from pyspark.sql import functions as FF
+
+    union = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(500)], "grp string, v string"
+    )
+    direct = hll_registers(union, "grp", FF.col("v"))
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    est = hll_estimate_from_registers(stored).collect()[0]
+    assert abs(est.n_est - 500) / 500 < 0.4
+
+    before = {tuple(r) for r in stored.collect()}
+    drain("ck2")  # full replay, fresh checkpoint, same app id
+    after = {
+        tuple(r) for r in SnapshotTable(spark, table).read().collect()
+    }
+    assert after == before
