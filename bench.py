@@ -93,6 +93,7 @@ HEADLINE = [
     "text-bpe-train",
     "ann-index-ivfpq",
     "text-vocab-hll",  # HLL registers next to KMV: same stream, m ints
+    "text-quantiles-sketch",  # additive dyadic quantile sketch read-back
 ]
 
 TIMED_RUNS = 3

@@ -482,6 +482,130 @@ def hll_distinct(
     )
 
 
+# Dyadic-bucket quantile sketch (the DDSketch idea — Masson, Rim &
+# Lee, VLDB 2019 — with power-of-two buckets instead of log_gamma):
+# a nonnegative int64 value x maps to bucket (e, sub) where
+# e = floor(log2 x) and sub is the top QSK_S fractional bits of its
+# octave; values below 2^QSK_S get EXACT singleton buckets. The
+# sketch is (group, bid, cnt) — merged by ADDITION, at most
+# ~52 * 2^QSK_S rows per group ever — and any quantile is read back
+# by walking the cumulative counts to the nearest-rank bucket, whose
+# [lo, hi] bounds bracket the true order statistic BY CONSTRUCTION
+# (bucketing is monotone), with relative error <= 2^-(QSK_S+1).
+#
+# Why this instead of t-digest/KLL at 100 TB: those compress by
+# data-dependent compaction, so the sketch depends on partition
+# order; this one is a pure function of the multiset — deterministic
+# under repartition, additive map-side, streaming-mergeable — and
+# every number in it is integer arithmetic (octave via a threshold
+# ladder, sub-bucket via a variable shift), so a SQL oracle
+# reproduces the sketch AND the quantile read-back bit for bit.
+# Domain: 0 <= x < 2^52 (doc lengths, token counts, cents).
+QSK_S = 4
+QSK_K = 1 << QSK_S  # 16 sub-buckets per octave: rel error <= 1/32
+QSK_E_MAX = 52
+
+
+def _qsk_octave(x: Column) -> Column:
+    """floor(log2 x) for x >= 1 as a threshold ladder of int64
+    compares — one flat codegen-friendly projection, no floats."""
+    e = F.lit(0)
+    for r in range(1, QSK_E_MAX + 1):
+        e = e + (x >= F.lit(1 << r)).cast("int")
+    return e
+
+
+def qsketch_build(
+    df: DataFrame, group_col: str, value: Column
+) -> DataFrame:
+    """(group, bid, cnt): the quantile sketch — one map-side-combined
+    count aggregate; merge sketches by adding cnt per (group, bid)."""
+    x = value.cast("long").alias("__x")
+    base = df.select(F.col(group_col).alias("group"), x)
+    e = _qsk_octave(F.col("__x"))
+    bid = F.when(F.col("__x") < F.lit(QSK_K), F.col("__x")).otherwise(
+        e.cast("long") * F.lit(QSK_K)
+        + F.expr(f"shiftright(__x, __e - {QSK_S})")
+        - F.lit(QSK_K)
+    )
+    return (
+        base.withColumn("__e", e)
+        .select("group", bid.alias("bid"))
+        .groupBy("group", "bid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Additive merge: the sketch of a union is the per-(group, bid)
+    sum of the parts — commutative/associative, so incremental and
+    streaming maintenance converge regardless of batching."""
+    it = iter(sketches)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    return u.groupBy("group", "bid").agg(F.sum("cnt").alias("cnt"))
+
+
+def qsketch_bounds(bid: Column) -> tuple[Column, Column]:
+    """[lo, hi] inclusive int64 value bounds of a bucket id: exact
+    singletons below K, else the octave slice
+    [(K + sub) << (e - S), ((K + sub + 1) << (e - S)) - 1]."""
+    lo = F.expr(
+        f"shiftleft(CAST({QSK_K} + bid % {QSK_K} AS BIGINT), "
+        f"CAST(bid div {QSK_K} AS INT) - {QSK_S})"
+    )
+    hi = F.expr(
+        f"shiftleft(CAST({QSK_K} + bid % {QSK_K} + 1 AS BIGINT), "
+        f"CAST(bid div {QSK_K} AS INT) - {QSK_S})"
+    ) - F.lit(1)
+    small = bid < F.lit(QSK_K)
+    return (
+        F.when(small, bid).otherwise(lo),
+        F.when(small, bid).otherwise(hi),
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame, pcts: list[int]
+) -> DataFrame:
+    """(group, q_pct, n, lo, hi, est) per requested percentile:
+    nearest-rank r = (n-1)*p div 100 + 1, answered by the first
+    bucket whose cumulative count reaches r. lo <= the exact r-th
+    order statistic <= hi always; est is the integer midpoint. The
+    percentile frame is a constant-key broadcast equi-join (rows =
+    len(pcts)), the cumulative walk is one window over <= ~800
+    bucket rows per group — nothing here touches the corpus."""
+    spark = sketch.sparkSession
+    qf = spark.createDataFrame(
+        [(int(p),) for p in pcts], "q_pct int"
+    ).withColumn("__one", F.lit(1))
+    w = (
+        Window.partitionBy("group")
+        .orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("group"))
+    )
+    cand = (
+        cum.withColumn("__one", F.lit(1))
+        .join(F.broadcast(qf), "__one")
+        .withColumn("r", F.expr("(n - 1) * q_pct div 100 + 1"))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("group", "q_pct", "n")
+        .agg(F.min("bid").alias("bid"))
+    )
+    lo, hi = qsketch_bounds(F.col("bid"))
+    return cand.select(
+        "group",
+        "q_pct",
+        F.col("n").cast("long").alias("n"),
+        lo.cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
+    ).withColumn("est", F.expr("(lo + hi) div 2"))
+
+
 def cms_estimate(
     cms: DataFrame,
     items: DataFrame,

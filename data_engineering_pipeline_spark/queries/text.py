@@ -1192,6 +1192,124 @@ def text_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ex, "source", F.col("bg")).orderBy("group")
 
 
+def _qsk_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        QSK_E_MAX,
+        QSK_K,
+        QSK_S,
+    )
+
+    ladder = " + ".join(
+        f"CAST(x >= {1 << r} AS INT)" for r in range(1, QSK_E_MAX + 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS x FROM documents
+    ),
+    eb AS (SELECT source, x, ({ladder}) AS e FROM t),
+    bk AS (
+      SELECT source,
+             CASE WHEN x < {QSK_K} THEN x
+                  ELSE CAST(e * {QSK_K} AS BIGINT)
+                       + (x >> (e - {QSK_S})) - {QSK_K}
+             END AS bid
+      FROM eb
+    ),
+    sk AS (
+      SELECT source, bid, CAST(count(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY source, bid
+    ),
+    cm AS (
+      SELECT source, bid, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bid) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM sk
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) q(q_pct)),
+    cand AS (
+      SELECT source, q_pct, CAST(n AS BIGINT) AS n, min(bid) AS bid
+      FROM cm, qs WHERE cum >= (n - 1) * q_pct // 100 + 1
+      GROUP BY source, q_pct, n
+    ),
+    bounds AS (
+      SELECT source, q_pct, n,
+             CAST(CASE WHEN bid < {QSK_K} THEN bid
+                  ELSE ({QSK_K} + bid % {QSK_K})
+                       << (CAST(bid // {QSK_K} AS INT) - {QSK_S})
+             END AS BIGINT) AS lo,
+             CAST(CASE WHEN bid < {QSK_K} THEN bid
+                  ELSE (({QSK_K} + bid % {QSK_K} + 1)
+                        << (CAST(bid // {QSK_K} AS INT) - {QSK_S})) - 1
+             END AS BIGINT) AS hi
+      FROM cand
+    ),
+    rkv AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t
+    ),
+    exq AS (
+      SELECT source, q_pct, x AS exact_val FROM rkv, qs
+      WHERE rk = (n - 1) * q_pct // 100 + 1
+    )
+    SELECT b.source AS "group", b.q_pct, n, exact_val, lo, hi,
+           (lo + hi) // 2 AS est
+    FROM bounds b JOIN exq USING (source, q_pct)
+    ORDER BY "group", q_pct
+    """
+
+
+@_register("text-quantiles-sketch", _qsk_oracle())
+def text_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count quantiles (p50/p90/p99) read from the
+    dyadic-bucket quantile sketch (operators/sketch.py qsketch_build /
+    qsketch_quantiles — the DDSketch idea with power-of-two buckets),
+    with the exact order statistic alongside as the verifier. The
+    sketch is additive (group, bid, cnt) state — ~100 rows per source
+    regardless of corpus size — so at 100 TB the length distribution
+    of every source is one map-side-combined count aggregate, merged
+    across batches by addition, and the graded bracket lo <= exact <=
+    hi holds BY CONSTRUCTION (monotone bucketing), making any
+    violation a real plumbing bug. Every column is integer
+    arithmetic: octave via threshold ladder, sub-bucket via variable
+    shift — bit-exact cross-engine."""
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.col("source").alias("group"),
+        F.size(tokens("text")).cast("long").alias("x"),
+    )
+    pcts = [50, 90, 99]
+    qq = qsketch_quantiles(qsketch_build(lens, "group", F.col("x")), pcts)
+    qf = spark.createDataFrame(
+        [(int(p),) for p in pcts], "q_pct int"
+    ).withColumn("__one", F.lit(1))
+    rkv = lens.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("group").orderBy("x"))
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("group"))
+    )
+    exq = (
+        rkv.withColumn("__one", F.lit(1))
+        .join(F.broadcast(qf), "__one")
+        .filter(F.col("rk") == F.expr("(n - 1) * q_pct div 100 + 1"))
+        .select("group", "q_pct", F.col("x").alias("exact_val"))
+    )
+    return (
+        qq.join(exq, ["group", "q_pct"])
+        .select("group", "q_pct", "n", "exact_val", "lo", "hi", "est")
+        .orderBy("group", "q_pct")
+    )
+
+
 def _cms_oracle() -> str:
     from data_engineering_pipeline_spark.operators.sketch import (
         CMS_A,

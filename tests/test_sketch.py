@@ -240,3 +240,71 @@ def test_hll_deterministic_under_repartition(spark):
     a = hll_distinct(df, "g", F.col("v")).collect()[0]
     b = hll_distinct(df.repartition(13), "g", F.col("v")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_qsketch_brackets_exact_order_statistics(spark):
+    import random
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    random.seed(11)
+    vals = {
+        "wide": [random.randint(0, 200000) for _ in range(4000)],
+        "tiny": [random.randint(0, 15) for _ in range(731)],
+    }
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in vals.items() for v in vs], "g string, x long"
+    )
+    sk = qsketch_build(df, "g", F.col("x"))
+    out = qsketch_quantiles(sk, [50, 90, 99]).collect()
+    assert len(out) == 6
+    for r in out:
+        s = sorted(vals[r.group])
+        exact = s[(r.n - 1) * r.q_pct // 100]
+        assert r.lo <= exact <= r.hi, (r, exact)
+        # rel error <= 2^-(S+1) = 1/32
+        assert abs(r.est - exact) <= max(exact, 1) / 32 + 1
+        if r.group == "tiny":  # below 2^S every bucket is a singleton
+            assert r.lo == r.hi == r.est == exact
+
+
+def test_qsketch_merge_equals_sketch_of_union(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_merge,
+    )
+
+    a = spark.createDataFrame(
+        [("g", i * 17 % 9973) for i in range(2000)], "g string, x long"
+    )
+    b = spark.createDataFrame(
+        [("g", i * 31 % 9973) for i in range(1500)], "g string, x long"
+    )
+    merged = qsketch_merge(
+        qsketch_build(a, "g", F.col("x")), qsketch_build(b, "g", F.col("x"))
+    )
+    direct = qsketch_build(a.unionByName(b), "g", F.col("x"))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_qsketch_deterministic_under_repartition(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i * i % 50021) for i in range(3000)], "g string, x long"
+    )
+    a = qsketch_quantiles(
+        qsketch_build(df, "g", F.col("x")), [50, 99]
+    ).orderBy("q_pct").collect()
+    b = qsketch_quantiles(
+        qsketch_build(df.repartition(13), "g", F.col("x")), [50, 99]
+    ).orderBy("q_pct").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
