@@ -403,13 +403,23 @@ def hll_registers(
     )
 
     h = (hasher or portable_token_hash)(value)
-    u = _scrambled_u(h)
+    # u and v are materialized as COLUMNS in their own projections so
+    # the threshold ladder compares a slot, not the inlined
+    # hash+scramble subtree. Inlining u into all 39 compares
+    # re-evaluates the per-char hash 39x per row — measured 7.8 s vs
+    # 1.4 s for the same aggregate at sf0.1. CollapseProject keeps the
+    # split because a non-cheap alias consumed more than once is never
+    # re-inlined.
+    pts = df.select(
+        F.col(group_col).alias("group"), _scrambled_u(h).alias("__u")
+    )
+    rv = pts.select(
+        "group",
+        (F.col("__u") % F.lit(HLL_M)).alias("reg"),
+        F.shiftright(F.col("__u"), HLL_P).alias("__v"),
+    )
     return (
-        df.select(
-            F.col(group_col).alias("group"),
-            (u % F.lit(HLL_M)).alias("reg"),
-            hll_rho(F.shiftright(u, HLL_P)).alias("rho"),
-        )
+        rv.select("group", "reg", hll_rho(F.col("__v")).alias("rho"))
         .groupBy("group", "reg")
         .agg(F.max("rho").alias("rho"))
     )

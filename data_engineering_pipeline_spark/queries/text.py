@@ -1188,7 +1188,14 @@ def text_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
         lambda s: s.isNotNull(),
     )
-    ex = docs.select("source", F.explode(bigrams).alias("bg"))
+    # The verifier column forces a distinct anyway, and HLL itself is
+    # duplicate-insensitive — so dedupe (source, bg) BEFORE the
+    # per-char portable hash and both arms reuse one shuffle (worth
+    # ~0.6 s at sf0.1; the 14 -> 2.3 s win was the ladder-input
+    # column materialization in hll_registers — BASELINE addendum
+    # 22b). The verifier-free 100 TB path (hll_registers on raw
+    # occurrences, xxhash64) needs no distinct and no string shuffle.
+    ex = docs.select("source", F.explode(bigrams).alias("bg")).distinct()
     return hll_distinct(ex, "source", F.col("bg")).orderBy("group")
 
 
