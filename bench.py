@@ -94,6 +94,8 @@ HEADLINE = [
     "ann-index-ivfpq",
     "text-vocab-hll",  # HLL registers next to KMV: same stream, m ints
     "text-quantiles-sketch",  # additive dyadic quantile sketch read-back
+    "curation-split-leakage",  # component-colocated split (CC + bucket)
+    "search-hybrid-rrf",  # BM25 + cosine arms fused by integer RRF
 ]
 
 TIMED_RUNS = 3

@@ -335,3 +335,72 @@ def weighted_bottom_k_sample(
         .limit(k)
         .drop("__ticket")
     )
+
+
+def component_split_bucket(component: Column) -> Column:
+    """A deterministic bucket in [0, 100) from an int64 component
+    label: the KMV two-round quadratic cross-mix applied to the
+    label's residues, folded to a percentage. Pure int64 arithmetic —
+    reproducible in ANSI SQL — and scrambled enough that sequential
+    min-id component labels spread uniformly across buckets."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        KMV_MOD1,
+        KMV_MOD2,
+        KMV_ROUNDS,
+        KMV_SCRAMBLE1,
+        KMV_SCRAMBLE2,
+    )
+
+    h1 = component % F.lit(KMV_MOD1)
+    h2 = component % F.lit(KMV_MOD2)
+    for _ in range(KMV_ROUNDS):
+        h1, h2 = (
+            (h1 * h1 + F.lit(KMV_SCRAMBLE1) * h1 + h2) % F.lit(KMV_MOD1),
+            (h2 * h2 + F.lit(KMV_SCRAMBLE2) * h2 + h1) % F.lit(KMV_MOD2),
+        )
+    return (h1 * F.lit(KMV_MOD2) + h2) % F.lit(100)
+
+
+def leakage_safe_split(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak a near-duplicate
+    across splits: documents are grouped into connected components of
+    the duplicate-pair graph, and the whole component is assigned to
+    one split by a deterministic hash of its label. A random or
+    per-document hash split puts ~2·p·(1-p) of every duplicate pair
+    astride the train/eval boundary — the classic eval-contamination
+    bug; splitting by component makes straddling structurally
+    impossible (same component => same bucket => same split).
+
+    Output: (id_col, component, bucket, split). Scale: components
+    shuffle only the pair graph (operators/graph.py iterative
+    min-label propagation); the bucket/split assignment is one
+    map-side expression over the component table. Deterministic
+    across runs and engines, so the split is stable as the corpus
+    grows — only documents whose component changes can move."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        ids, pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+    bucket = component_split_bucket(F.col("component"))
+    split = (
+        F.when(bucket < F.lit(train_pct), F.lit("train"))
+        .when(bucket < F.lit(train_pct + val_pct), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(
+        id_col,
+        "component",
+        bucket.cast("long").alias("bucket"),
+        split.alias("split"),
+    )

@@ -583,13 +583,10 @@ def qsketch_quantiles(
     nearest-rank r = (n-1)*p div 100 + 1, answered by the first
     bucket whose cumulative count reaches r. lo <= the exact r-th
     order statistic <= hi always; est is the integer midpoint. The
-    percentile frame is a constant-key broadcast equi-join (rows =
-    len(pcts)), the cumulative walk is one window over <= ~800
-    bucket rows per group — nothing here touches the corpus."""
-    spark = sketch.sparkSession
-    qf = spark.createDataFrame(
-        [(int(p),) for p in pcts], "q_pct int"
-    ).withColumn("__one", F.lit(1))
+    percentile list is exploded as a LITERAL ARRAY onto the bucket
+    rows (map-side row multiplication, no join node), and the
+    cumulative walk is one window over <= ~800 bucket rows per
+    group — nothing here touches the corpus."""
     w = (
         Window.partitionBy("group")
         .orderBy("bid")
@@ -599,8 +596,9 @@ def qsketch_quantiles(
         "n", F.sum("cnt").over(Window.partitionBy("group"))
     )
     cand = (
-        cum.withColumn("__one", F.lit(1))
-        .join(F.broadcast(qf), "__one")
+        cum.withColumn(
+            "q_pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+        )
         .withColumn("r", F.expr("(n - 1) * q_pct div 100 + 1"))
         .filter(F.col("cum") >= F.col("r"))
         .groupBy("group", "q_pct", "n")

@@ -22,6 +22,10 @@ _CHECK_FIRST = [
     # round 7: queries whose implementation changed this round lead
     # (merge-on-read mode, duplicate-source guard, centroid-versioned
     # ANN index) — no prior driver row covers the new code paths
+    "text-vocab-hll",  # new: HyperLogLog registers vs exact distinct
+    "text-quantiles-sketch",  # new: dyadic quantile sketch bracket
+    "curation-split-leakage",  # new: component-colocated train split
+    "search-hybrid-rrf",  # new: BM25 + cosine reciprocal-rank fusion
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -729,3 +729,89 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select_topk(dsir_scores(docs, dedup_hash=True), _DSIR_K)
+
+
+_SPLIT_ORACLE = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.7
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v
+    ), comp AS (
+      SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v
+    ), h0 AS (
+      SELECT doc_id, component,
+             component % 1000000007 AS h1,
+             component % 999999937 AS h2
+      FROM comp
+    ), r1 AS (
+      SELECT doc_id, component,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM h0
+    ), bkt AS (
+      SELECT doc_id, component,
+             ((g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+              + (g2 * g2 + 69621 * g2 + g1) % 999999937) % 100 AS bucket
+      FROM r1
+    )
+    SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt ORDER BY doc_id
+"""
+
+
+@_register("curation-split-leakage", _SPLIT_ORACLE)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.py
+    leakage_safe_split): near-duplicate components are assigned to
+    splits AS A UNIT, so no duplicate pair can straddle the
+    train/eval boundary — the structural fix for the eval-
+    contamination bug a per-document split always has. The pair graph
+    is the graded MinHash-LSH banding (provably equal to the exact
+    pairs at the 0.7 threshold, as dedup-keep-best); the oracle
+    recomputes the exact transitive closure via WITH RECURSIVE and
+    the same two-round quadratic bucket hash in pure int64 — every
+    row bit-exact. Scale: components shuffle the pair graph only;
+    the split is one map expression; assignment is stable across
+    runs, engines, and corpus growth."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from data_engineering_pipeline_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD, bands=16
+    ).select("id_a", "id_b")
+    return leakage_safe_split(docs.select("doc_id"), pairs).orderBy(
+        "doc_id"
+    )

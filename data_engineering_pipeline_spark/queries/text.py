@@ -1296,17 +1296,15 @@ def text_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcts = [50, 90, 99]
     qq = qsketch_quantiles(qsketch_build(lens, "group", F.col("x")), pcts)
-    qf = spark.createDataFrame(
-        [(int(p),) for p in pcts], "q_pct int"
-    ).withColumn("__one", F.lit(1))
     rkv = lens.withColumn(
         "rk", F.row_number().over(Window.partitionBy("group").orderBy("x"))
     ).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("group"))
     )
     exq = (
-        rkv.withColumn("__one", F.lit(1))
-        .join(F.broadcast(qf), "__one")
+        rkv.withColumn(
+            "q_pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+        )
         .filter(F.col("rk") == F.expr("(n - 1) * q_pct div 100 + 1"))
         .select("group", "q_pct", F.col("x").alias("exact_val"))
     )

@@ -93,6 +93,7 @@ INTENDED_NESTED_LOOP = {
     "q22-idle-customers",
     "q11-important-stock",  # grand-total: 1-row broadcast onto groups
     "text-bm25",
+    "search-hybrid-rrf",  # BM25 corpus-stats broadcast + brute cosine arm
     "curation-mixture",  # smallest-stratum size: 1-row broadcast
     "curation-temperature",  # same smallest-stratum 1-row broadcast
     "curation-temperature-alpha",  # same smallest-stratum 1-row broadcast

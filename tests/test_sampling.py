@@ -197,3 +197,61 @@ def test_weighted_bottom_k_biases_by_weight(spark):
     )
     with pytest.raises(Exception, match="weight out of"):
         weighted_bottom_k_sample(bad, 2, "w", F.col("k")).collect()
+
+
+def test_leakage_safe_split_colocates_components(spark):
+    from data_engineering_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chains {0-1-2}, {10-11}, {50-51-52-53}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51), (51, 52), (52, 53)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(ids, pairs).collect()
+    assert len(out) == 200
+    by_id = {r.doc_id: r for r in out}
+    for grp in [(0, 1, 2), (10, 11), (50, 51, 52, 53)]:
+        splits = {by_id[i].split for i in grp}
+        comps = {by_id[i].component for i in grp}
+        assert len(splits) == 1 and len(comps) == 1, (grp, splits)
+    # deterministic: same input -> same assignment
+    again = {r.doc_id: r.split for r in leakage_safe_split(ids, pairs).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+    # ~90/5/5 over 200 mostly-singleton components: train dominates,
+    # all three splits realized somewhere in a 0..199 id space
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert counts["train"] > 150 and set(counts) == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_no_pair_straddles_on_corpus(spark, sf_smoke):
+    """On the real corpus: every graded near-dup pair lands inside
+    one split — the structural guarantee the operator exists for."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from data_engineering_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from data_engineering_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 0.7, bands=16).select(
+        "id_a", "id_b"
+    )
+    out = leakage_safe_split(docs.select("doc_id"), pairs)
+    straddle = (
+        pairs.join(
+            out.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("sa")), "id_a")
+        .join(out.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
