@@ -639,6 +639,52 @@ def hll_sketch_sink(
     )
 
 
+def qsketch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    group_col: str,
+    value_col: str,
+) -> StreamingQuery:
+    """Maintain per-group dyadic quantile sketches incrementally: each
+    micro-batch's (group, bid, cnt) cells ADD into the stored sketch —
+    the additive merge rule, so the running sketch always equals the
+    sketch of everything ingested and any quantile is readable at any
+    time via qsketch_quantiles(SnapshotTable(...).read(), pcts).
+    Exactly-once via the txn protocol (replays are no-ops). State is
+    bounded by the bucket universe (~52 * 2^S rows per group), not by
+    data volume — the streaming complement of op-percentile for
+    latency/length/size distributions at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_merge,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        if t.txn_version(app_id) >= batch_id:
+            return
+        sk = qsketch_build(batch_df, group_col, F.col(value_col))
+        if t.latest_version() is not None:
+            sk = qsketch_merge(t.read(), sk)
+        t.overwrite(sk, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kmv_sketch_sink(
     stream_df: DataFrame,
     path: str,

@@ -833,3 +833,61 @@ def test_hll_sketch_sink_merges_and_survives_replay(spark, tmp_path):
         tuple(r) for r in SnapshotTable(spark, table).read().collect()
     }
     assert after == before
+
+
+def test_qsketch_sink_adds_and_survives_replay(spark, tmp_path):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+    from data_engineering_pipeline_spark.streaming.sinks import (
+        qsketch_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = [("g", i * 13 % 5003) for i in range(1500)]
+    b2 = [("g", i * 29 % 5003) for i in range(1200)]
+    spark.createDataFrame(b1, "grp string, x long").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    table = str(tmp_path / "qsk")
+
+    def drain(ck):
+        stream = spark.readStream.schema("grp string, x long").parquet(
+            str(src / "*")
+        )
+        qsketch_sink(
+            stream, table, str(tmp_path / ck), "qskapp", "grp", "x"
+        ).awaitTermination()
+
+    drain("ck1")
+    spark.createDataFrame(b2, "grp string, x long").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    drain("ck1")
+
+    stored = SnapshotTable(spark, table).read()
+    # incremental sketch == batch sketch over the concatenation
+    union = spark.createDataFrame(b1 + b2, "grp string, x long")
+    from pyspark.sql import functions as FF
+
+    direct = qsketch_build(union, "grp", FF.col("x"))
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # a quantile read from the stored sketch brackets the exact value
+    q = qsketch_quantiles(stored, [90]).collect()[0]
+    xs = sorted(v for _, v in b1 + b2)
+    exact = xs[(q.n - 1) * 90 // 100]
+    assert q.lo <= exact <= q.hi and q.n == len(xs)
+
+    before = {tuple(r) for r in stored.collect()}
+    drain("ck2")  # full replay, fresh checkpoint, same app id
+    after = {
+        tuple(r) for r in SnapshotTable(spark, table).read().collect()
+    }
+    assert after == before
