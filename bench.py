@@ -96,6 +96,7 @@ HEADLINE = [
     "text-quantiles-sketch",  # additive dyadic quantile sketch read-back
     "curation-split-leakage",  # component-colocated split (CC + bucket)
     "search-hybrid-rrf",  # BM25 + cosine arms fused by integer RRF
+    "corpus-new-vocab",  # KMV set-difference growth monitor
 ]
 
 TIMED_RUNS = 3

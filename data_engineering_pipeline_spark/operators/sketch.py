@@ -638,3 +638,71 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
     )
+
+
+def kmv_difference_pairs(
+    pts: DataFrame, pairs: DataFrame, k: int = 128
+) -> DataFrame:
+    """Estimated |B \\ A| for each group pair from KMV point sets —
+    the corpus-growth question ("how many NEW distinct items does
+    crawl B add over crawl A") answered from sketch-sized state.
+
+    The k smallest points of A ∪ B are a uniform union sample (every
+    union-minimum lives in its owner's bottom-k, so two k-row sketches
+    reconstruct it exactly); the fraction of the sample in B-only,
+    times the KMV union-size estimate (k-1)*M/u_k, estimates the
+    difference. When the union sample is under-full the two sketches
+    ARE the full sets and the count is exact (same fallback as
+    kmv_distinct). The graded path runs over full point sets so the
+    exact difference rides along as the verifier — provably the same
+    sampled numbers, since union-minimum membership flags are
+    identical between full sets and sketches.
+
+    pts: (group, u) distinct scrambled points (kmv_points);
+    pairs: (ga, gb). Output: (group_a, group_b, n_new_exact,
+    n_sample, n_new_sample, n_new_est). Scale: state is k longs per
+    group, pair comparison never re-reads the corpus; the verifier
+    column is what makes this query corpus-bound — drop it and only
+    sketches move."""
+    am = pairs.join(pts.withColumnRenamed("group", "ga"), "ga").select(
+        "ga", "gb", "u", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    bm = pairs.join(pts.withColumnRenamed("group", "gb"), "gb").select(
+        "ga", "gb", "u", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    uni = (
+        am.unionByName(bm)
+        .groupBy("ga", "gb", "u")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("u")
+    ranked = uni.withColumn("__rk", F.row_number().over(wu))
+    new_flag = F.col("ib") * (F.lit(1) - F.col("ia"))
+    in_k = F.col("__rk") <= F.lit(k)
+    agg = ranked.groupBy(
+        F.col("ga").alias("group_a"), F.col("gb").alias("group_b")
+    ).agg(
+        F.sum(new_flag).cast("long").alias("n_new_exact"),
+        F.sum(in_k.cast("int")).cast("long").alias("n_sample"),
+        F.sum(F.when(in_k, new_flag).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_new_sample"),
+        F.max(F.when(in_k, F.col("u"))).alias("__uk"),
+    )
+    est = F.when(
+        F.col("n_sample") < F.lit(k), F.col("n_new_sample").cast("double")
+    ).otherwise(
+        (
+            F.col("n_new_sample").cast("double")
+            / F.col("n_sample").cast("double")
+        )
+        * (F.lit(kmv_numerator(k)) / F.col("__uk").cast("double"))
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_new_exact",
+        "n_sample",
+        "n_new_sample",
+        est.alias("n_new_est"),
+    )

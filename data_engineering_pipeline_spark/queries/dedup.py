@@ -494,3 +494,137 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_OVERLAP_K,
         shingle_hash=portable_token_hash,
     ).orderBy("group_a", "group_b")
+
+
+_NEWVOCAB_K = 128
+
+_KMV_H1_BG = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_KMV_H2_BG = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(bg, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 131 + c) % 999999937)"
+)
+
+
+def _new_vocab_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_numerator,
+    )
+
+    k = _NEWVOCAB_K
+    return f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    hh AS (SELECT source, {_KMV_H1_BG} AS h1, {_KMV_H2_BG} AS h2 FROM ex),
+    r1 AS (
+      SELECT source,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM hh
+    ),
+    pts AS (
+      SELECT DISTINCT source,
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM r1
+    ),
+    g AS (
+      SELECT source, TRY_CAST(substr(source, 4) AS INTEGER) AS n
+      FROM (SELECT DISTINCT source FROM pts)
+    ),
+    prs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM g a JOIN g b ON b.n = a.n + 1
+    ),
+    uni AS (
+      SELECT ga, gb, u, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.ga, p.gb, s.u, 1 AS ia, 0 AS ib
+        FROM prs p JOIN pts s ON s.source = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.u, 0 AS ia, 1 AS ib
+        FROM prs p JOIN pts s ON s.source = p.gb
+      ) GROUP BY 1, 2, 3
+    ),
+    rk AS (
+      SELECT ga, gb, u, ia, ib,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS rk
+      FROM uni
+    ),
+    ag AS (
+      SELECT ga AS group_a, gb AS group_b,
+             CAST(sum(ib * (1 - ia)) AS BIGINT) AS n_new_exact,
+             CAST(sum(CASE WHEN rk <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+             CAST(sum(CASE WHEN rk <= {k} THEN ib * (1 - ia) ELSE 0 END)
+                  AS BIGINT) AS n_new_sample,
+             max(CASE WHEN rk <= {k} THEN u END) AS uk
+      FROM rk GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, n_new_exact, n_sample, n_new_sample,
+           CASE WHEN n_sample < {k} THEN CAST(n_new_sample AS DOUBLE)
+                ELSE (CAST(n_new_sample AS DOUBLE)
+                      / CAST(n_sample AS DOUBLE))
+                     * ({kmv_numerator(k):.17e} / CAST(uk AS DOUBLE))
+           END AS n_new_est
+    FROM ag ORDER BY group_a
+    """
+
+
+@_register("corpus-new-vocab", _new_vocab_oracle())
+def corpus_new_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth monitor: for every consecutive source pair
+    (srcN, srcN+1), the estimated number of NEW distinct bigrams the
+    later source adds — |B \\ A| from KMV point sets
+    (operators/sketch.py kmv_difference_pairs): the union's bottom-k
+    is a uniform sample whose B-only fraction scales the KMV
+    union-size estimate. The exact difference rides along as the
+    verifier column, and every output value is deterministic given
+    the portable hash (two IEEE divisions and one multiply in the
+    same tree on both engines). At 100 TB the sketches are k longs
+    per crawl, maintained incrementally (kmv_sketch_sink), and
+    'what did this crawl add' never re-reads either corpus."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_difference_pairs,
+        kmv_points,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
+        lambda s: s.isNotNull(),
+    )
+    ex = docs.select("source", F.explode(bigrams).alias("bg"))
+    pts = kmv_points(ex, "source", F.col("bg"))
+    g = pts.select("group").distinct().withColumn(
+        "n", F.substring("group", 4, 10).try_cast("int")
+    )
+    pairs = (
+        g.select(F.col("group").alias("ga"), F.col("n"))
+        .join(
+            g.select(F.col("group").alias("gb"), (F.col("n") - 1).alias("n")),
+            "n",
+        )
+        .select("ga", "gb")
+    )
+    return kmv_difference_pairs(pts, pairs, k=_NEWVOCAB_K).orderBy(
+        "group_a"
+    )

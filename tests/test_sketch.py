@@ -308,3 +308,34 @@ def test_qsketch_deterministic_under_repartition(spark):
         qsketch_build(df.repartition(13), "g", F.col("x")), [50, 99]
     ).orderBy("q_pct").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kmv_difference_tracks_planted_set_difference(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_difference_pairs,
+        kmv_points,
+    )
+
+    # A = {0..2999}, B = {2000..5999}: |B \ A| = 3000 of 6000 union
+    rows = [("A", f"item-{i}") for i in range(3000)] + [
+        ("B", f"item-{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    pts = kmv_points(df, "g", F.col("v"))
+    pairs = spark.createDataFrame([("A", "B")], "ga string, gb string")
+    r = kmv_difference_pairs(pts, pairs, k=128).collect()[0]
+    assert r.n_new_exact == 4000 - 1000  # 2000..5999 minus 2000..2999
+    assert r.n_sample == 128
+    # est within ~4 combined sigma (~20% at k=128 for f=0.5)
+    assert abs(r.n_new_est - r.n_new_exact) / r.n_new_exact < 0.35, r
+    # under-full union -> exact count, est == exact
+    small = spark.createDataFrame(
+        [("A", f"s{i}") for i in range(30)]
+        + [("B", f"s{i}") for i in range(20, 60)],
+        "g string, v string",
+    )
+    r2 = kmv_difference_pairs(
+        kmv_points(small, "g", F.col("v")), pairs, k=128
+    ).collect()[0]
+    assert r2.n_new_exact == 30 and r2.n_new_est == 30.0
+    assert r2.n_sample == 60  # |union| < k: the sample IS the union
