@@ -1097,7 +1097,11 @@ def text_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
         lambda s: s.isNotNull(),
     )
-    ex = docs.select("source", F.explode(bigrams).alias("bg"))
+    # KMV takes distinct u anyway, so dedupe (source, bg) BEFORE the
+    # per-char portable hash — one shuffle both arms reuse, hashing
+    # once per distinct bigram instead of per occurrence (the HLL
+    # query's same trade, BASELINE addendum 22b).
+    ex = docs.select("source", F.explode(bigrams).alias("bg")).distinct()
     return kmv_distinct(ex, "source", F.col("bg"), k=_KMV_K).orderBy(
         "group"
     )
