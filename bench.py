@@ -97,6 +97,7 @@ HEADLINE = [
     "curation-split-leakage",  # component-colocated split (CC + bucket)
     "search-hybrid-rrf",  # BM25 + cosine arms fused by integer RRF
     "corpus-new-vocab",  # KMV set-difference growth monitor
+    "text-contamination-bloom",  # broadcast-bit-table decontamination screen
 ]
 
 TIMED_RUNS = 3

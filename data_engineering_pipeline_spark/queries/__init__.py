@@ -27,6 +27,7 @@ _CHECK_FIRST = [
     "curation-split-leakage",  # new: component-colocated train split
     "search-hybrid-rrf",  # new: BM25 + cosine reciprocal-rank fusion
     "corpus-new-vocab",  # new: KMV set-difference growth monitor
+    "text-contamination-bloom",  # new: Bloom pre-screen, no-FN invariant
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -628,3 +628,142 @@ def corpus_new_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_difference_pairs(pts, pairs, k=_NEWVOCAB_K).orderBy(
         "group_a"
     )
+
+
+def _bloom_contam_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_SALTS,
+        BLOOM_WORD,
+    )
+
+    pos_list = ", ".join(
+        f"(h1 + {i} * h2 + {c}) % {BLOOM_BITS}"
+        for i, c in enumerate(BLOOM_SALTS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), ev AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      FROM sh WHERE TRY_CAST(substr(source, 4) AS INTEGER) >= 10
+    ), tr AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+      WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 10
+    ), trh AS (
+      SELECT DISTINCT {_porthash_sql('shingle')} AS h FROM tr
+    ), bpos AS (
+      SELECT h >> 31 AS h1, h % 2147483648 AS h2 FROM trh
+    ), bex AS (
+      SELECT unnest([{pos_list}]) AS pos FROM bpos
+    ), words AS (
+      SELECT pos // {BLOOM_WORD} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INT))
+               AS bits
+      FROM bex GROUP BY 1
+    ), evh AS (
+      SELECT doc_id, n_sh, shingle, {_porthash_sql('shingle')} AS h
+      FROM ev
+    ), epos AS (
+      SELECT doc_id, shingle, unnest([{pos_list}]) AS pos FROM (
+        SELECT doc_id, shingle, h >> 31 AS h1, h % 2147483648 AS h2
+        FROM evh)
+    ), ebit AS (
+      SELECT e.doc_id, e.shingle,
+             coalesce((w.bits >> CAST(e.pos % {BLOOM_WORD} AS INT))
+                      & CAST(1 AS BIGINT), 0) AS bit
+      FROM epos e LEFT JOIN words w ON w.word = e.pos // {BLOOM_WORD}
+    ), emem AS (
+      SELECT doc_id, shingle, min(bit) AS m FROM ebit GROUP BY 1, 2
+    ), bcount AS (
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_contam_bloom
+      FROM emem GROUP BY 1
+    ), ovl AS (
+      SELECT e.doc_id, count(*) AS n_contam
+      FROM evh e JOIN trh ON trh.h = e.h GROUP BY 1
+    ), evdocs AS (SELECT DISTINCT doc_id, n_sh FROM ev)
+    SELECT d.doc_id, CAST(d.n_sh AS BIGINT) AS n_sh,
+           CAST(coalesce(o.n_contam, 0) AS BIGINT) AS n_contam,
+           CAST(coalesce(b.n_contam_bloom, 0) AS BIGINT) AS n_contam_bloom
+    FROM evdocs d
+    LEFT JOIN ovl o ON o.doc_id = d.doc_id
+    LEFT JOIN bcount b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@_register("text-contamination-bloom", _bloom_contam_oracle())
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screening through a BLOOM FILTER
+    (operators/sketch.py bloom_build/bloom_member): the held-out
+    docs' shingles are tested against a ~34k-row broadcast bit table
+    built from the training crawl, next to the exact hash-join count.
+    The graded invariant is structural: a Bloom filter has NO false
+    negatives, so n_contam_bloom >= n_contam on every row — and both
+    engines compute both columns bit-identically (positions are exact
+    int64 double-hashing on the portable hash's residues; words hold
+    62 bits so every mask literal stays positive). This is the 100 TB
+    decontamination pre-filter: the crawl-side screen ships the bit
+    array to the scan instead of joining the benchmark shingle set,
+    and only probable hits reach the exact verifier join."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+        shingle_sets,
+    )
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).try_cast("int")
+    train = docs.filter(srcnum < 10)
+    ev = docs.filter(srcnum >= 10)
+    train_sh = (
+        _exploded_shingles(train, "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = bloom_build(train_sh, F.col("shingle"))
+    evs = shingle_sets(ev, "doc_id", "text", 3)
+    ev_ex = evs.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bl = (
+        bloom_member(ev_ex, bloom, F.col("shingle"))
+        .groupBy("doc_id")
+        .agg(F.sum("is_member").cast("long").alias("n_contam_bloom"))
+    )
+    tr_h = train_sh.select(
+        portable_token_hash(F.col("shingle")).alias("hk")
+    ).distinct()
+    ev_h = ev_ex.select(
+        "doc_id", portable_token_hash(F.col("shingle")).alias("hk")
+    )
+    exact = (
+        ev_h.join(tr_h, "hk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        evs.select("doc_id", F.col("n_sh").cast("long").alias("n_sh"))
+        .join(exact, "doc_id", "left")
+        .join(bl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+            F.coalesce("n_contam_bloom", F.lit(0))
+            .cast("long")
+            .alias("n_contam_bloom"),
+        )
+        .orderBy("doc_id")
+    )

@@ -339,3 +339,46 @@ def test_kmv_difference_tracks_planted_set_difference(spark):
     ).collect()[0]
     assert r2.n_new_exact == 30 and r2.n_new_est == 30.0
     assert r2.n_sample == 60  # |union| < k: the sample IS the union
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(5000)], "v string"
+    )
+    bloom = bloom_build(members, F.col("v"))
+    probe = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(5000)]
+        + [(f"absent-{i}",) for i in range(5000)],
+        "v string",
+    )
+    out = {r.v: r.is_member for r in bloom_member(probe, bloom, F.col("v")).collect()}
+    # structural: every true member tests positive
+    assert all(out[f"member-{i}"] == 1 for i in range(5000))
+    # false positives bounded: kn/m = 4*5000/2^21 ~ 0.0095 ->
+    # FPR ~ (1 - e^-0.0095)^4 ~ 8e-9; allow a generous margin
+    fp = sum(out[f"absent-{i}"] for i in range(5000))
+    assert fp <= 2, fp
+
+
+def test_bloom_merges_by_word_bit_or(spark):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+    )
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(500)], "v string")
+    merged = (
+        bloom_build(a, F.col("v"))
+        .unionByName(bloom_build(b, F.col("v")))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), F.col("v"))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
