@@ -177,6 +177,19 @@ def kmv_numerator(k: int) -> float:
     return float(k - 1) * float(KMV_SPACE)
 
 
+def int_residue_hash(x: Column) -> Column:
+    """Packed portable 'hash' of a NONNEGATIVE int64 value: its two
+    modular residues in the same packed layout as
+    portable_token_hash (h1 * 2^31 + h2), so integer keys (user ids,
+    entity ids) flow through the same scramble -> sketch path as
+    strings. The raw residues of sequential ids are lattice-shaped —
+    exactly the failure the two quadratic cross-mix rounds were
+    measured to fix (see the KMV comment above), so this is only
+    valid COMBINED with _scrambled_u, never as a uniform point by
+    itself."""
+    return (x % F.lit(KMV_MOD1)) * F.lit(KMV_PACK) + (x % F.lit(KMV_MOD2))
+
+
 def _scrambled_u(h: Column) -> Column:
     """The uniform estimation point u in [0, KMV_SPACE) from a portable
     hash value — the two-round quadratic cross-mix documented above.

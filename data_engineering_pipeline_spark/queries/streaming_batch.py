@@ -460,3 +460,81 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_no")
     )
+
+
+def _hll_users_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_THRESHOLDS,
+        hll_numerator,
+    )
+
+    ladder = " + ".join(f"CAST(v < {t} AS INT)" for t in HLL_THRESHOLDS)
+    return f"""
+    WITH hh AS (
+      SELECT event_type,
+             user_id % 1000000007 AS h1,
+             user_id % 999999937 AS h2
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM hh
+    ),
+    hu AS (
+      SELECT event_type,
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM r1
+    ),
+    rv AS (
+      SELECT event_type, u % {HLL_M} AS reg, u // {HLL_M} AS v FROM hu
+    ),
+    rh AS (
+      SELECT event_type, reg, max(1 + {ladder}) AS rho
+      FROM rv GROUP BY event_type, reg
+    ),
+    ag AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_regs,
+             sum(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - rho)) AS s
+      FROM rh GROUP BY event_type
+    ),
+    xc AS (
+      SELECT event_type, CAST(count(DISTINCT u) AS BIGINT) AS n_distinct
+      FROM hu GROUP BY event_type
+    )
+    SELECT ag.event_type AS "group", n_distinct, n_regs,
+           CAST({HLL_M} - n_regs AS BIGINT) AS n_zero,
+           {hll_numerator():.17e}
+             / CAST(s + ({HLL_M} - n_regs)
+                        * (CAST(1 AS BIGINT) << {HLL_RHO_CAP})
+                    AS DOUBLE) AS n_est
+    FROM ag JOIN xc ON ag.event_type = xc.event_type
+    ORDER BY "group"
+    """
+
+
+@_register("events-distinct-users-hll", _hll_users_oracle())
+def events_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct users per event type, HyperLogLog-estimated over
+    INTEGER keys (operators/sketch.py int_residue_hash -> the same
+    scramble/register path the text sketches use), with the exact
+    distinct count as the verifier. This is the sketch tier on the
+    events stream: per-type register tables are 64 small ints,
+    maintained incrementally by hll_sketch_sink with per-register max
+    — the shape of 'daily active users at 100 TB of events' — and
+    every output value is bit-exact cross-engine."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_distinct,
+        int_residue_hash,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(
+        ev, "event_type", F.col("user_id"), hasher=int_residue_hash
+    ).orderBy("group")

@@ -382,3 +382,29 @@ def test_bloom_merges_by_word_bit_or(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_hll_int_keys_track_exact_distinct(spark):
+    """Sequential int64 ids through int_residue_hash + the scramble:
+    the lattice the raw residues have must be fully mixed (estimates
+    inside the 3-sigma band), and duplicates stay free."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_distinct,
+        int_residue_hash,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3000)] * 2
+        + [("b", i) for i in range(700)],
+        "g string, user_id long",
+    )
+    out = {
+        r.group: r
+        for r in hll_distinct(
+            df, "g", F.col("user_id"), hasher=int_residue_hash
+        ).collect()
+    }
+    assert out["a"].n_distinct == 3000
+    assert abs(out["a"].n_est - 3000) / 3000 < 0.4
+    assert out["b"].n_distinct == 700
+    assert abs(out["b"].n_est - 700) / 700 < 0.4
