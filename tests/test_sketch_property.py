@@ -1,0 +1,91 @@
+"""Property tests for the sketch tier: each sketch carries an
+invariant that must hold on EVERY input (not just in expectation), so
+they are ideal hypothesis targets — the quantile bracket, HLL merge
+algebra, and the Bloom no-false-negative guarantee. Example counts are
+small (each example runs Spark jobs); the registry oracles pin the
+same operators relationally."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300
+    ),
+    pct=st.integers(min_value=1, max_value=99),
+)
+def test_qsketch_bracket_holds_on_any_input(spark, xs, pct):
+    """The chosen bucket's [lo, hi] must bracket the exact
+    nearest-rank order statistic for ANY value multiset and ANY
+    percentile — a structural consequence of monotone bucketing, so a
+    single violation is a plumbing bug, never noise."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", x) for x in xs], "g string, x long")
+    r = qsketch_quantiles(
+        qsketch_build(df, "g", F.col("x")), [pct]
+    ).collect()[0]
+    exact = sorted(xs)[(len(xs) - 1) * pct // 100]
+    assert r.n == len(xs)
+    assert r.lo <= exact <= r.hi, (xs, pct, r, exact)
+    assert r.lo <= r.est <= r.hi
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=80),
+    b=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=80),
+)
+def test_hll_merge_commutes_and_is_idempotent(spark, a, b):
+    """Register merge is max per (group, reg): merge(A, B) ==
+    merge(B, A) == merge(A, A, B) == registers(A ++ B) exactly."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    da = spark.createDataFrame([("g", v) for v in a], "g string, v string")
+    db = spark.createDataFrame([("g", v) for v in b], "g string, v string")
+    ra = hll_registers(da, "g", F.col("v"))
+    rb = hll_registers(db, "g", F.col("v"))
+    want = {
+        tuple(r)
+        for r in hll_registers(
+            da.unionByName(db), "g", F.col("v")
+        ).collect()
+    }
+    assert {tuple(r) for r in hll_merge(ra, rb).collect()} == want
+    assert {tuple(r) for r in hll_merge(rb, ra).collect()} == want
+    assert {tuple(r) for r in hll_merge(ra, ra, rb).collect()} == want
+
+
+@settings(**_SETTINGS)
+@given(
+    members=st.lists(
+        st.text(min_size=1, max_size=16), min_size=1, max_size=120
+    )
+)
+def test_bloom_never_misses_a_member(spark, members):
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    df = spark.createDataFrame([(v,) for v in set(members)], "v string")
+    bloom = bloom_build(df, F.col("v"))
+    out = bloom_member(df, bloom, F.col("v")).collect()
+    assert all(r.is_member == 1 for r in out)
