@@ -116,13 +116,38 @@ def curate_batch(
     n_shards: int = 8,
     min_quality: float = 0.0,
     alpha: float = 0.5,
+    split_threshold: float | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
     per-stage surviving counts — the run report an orchestrator logs."""
     return curate_increment(
         spark, docs, work_dir, batch_id=0, n_shards=n_shards,
         min_quality=min_quality, alpha=alpha,
+        split_threshold=split_threshold,
     )
+
+
+def _assign_splits(curated_docs: DataFrame, threshold: float) -> DataFrame:
+    """Leakage-safe split column over the curated survivors: pairs at
+    `threshold` (LOWER than the dedup threshold, so moderately-similar
+    docs that survived dedup still co-locate) -> connected components
+    -> deterministic 90/5/5 component-hash split. A rebuild-time
+    decision, like rate freezing: split membership is versioned with
+    the curated snapshot it was computed on."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from data_engineering_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    pairs = minhash_lsh_pairs(
+        curated_docs, "doc_id", "text", threshold, bands=16
+    ).select("id_a", "id_b")
+    assign = leakage_safe_split(
+        curated_docs.select("doc_id"), pairs
+    ).select("doc_id", "split")
+    return curated_docs.join(assign, "doc_id")
 
 
 def curate_increment(
@@ -134,6 +159,7 @@ def curate_increment(
     min_quality: float = 0.0,
     alpha: float = 0.5,
     mode: str = "rebuild",
+    split_threshold: float | None = None,
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
     append is (app, batch_id)-idempotent; near-dedup probes only the
@@ -150,7 +176,16 @@ def curate_increment(
     FROZEN at the last rebuild, the standard production tradeoff:
     counts drift until the next rebuild refreezes them; a lang unseen
     at freeze time keeps everything. Exact duplicates are caught by
-    the MinHash probe (identical texts collide in every band)."""
+    the MinHash probe (identical texts collide in every band).
+
+    split_threshold: when set, rebuilds add a leakage-safe 'split'
+    column (train/val/test co-located by near-dup component at this
+    threshold — _assign_splits). Split assignment is a REBUILD-TIME
+    decision with the same contract as rate freezing: delta
+    increments merge new docs with split NULL ('unassigned'), and the
+    next rebuild assigns them — training exports filter
+    split = 'train', so an unassigned doc is conservatively absent
+    from every split until a rebuild versions it in."""
     if mode not in ("rebuild", "delta"):
         raise ValueError("mode must be 'rebuild' or 'delta'")
     p = _paths(work_dir)
@@ -208,6 +243,11 @@ def curate_increment(
         surv = new_docs.join(drop_new, "doc_id", "left_anti")
         surv = _filter_quality(surv, min_quality)
         surv = _apply_frozen_rates(surv, rates)
+        if "split" in curated.read().columns:
+            # splits are assigned at rebuild time; new docs merge in
+            # unassigned (absent from every split until the next
+            # rebuild versions them in)
+            surv = surv.withColumn("split", F.lit(None).cast("string"))
         stats["batch_survivors"] = surv.count()
         # merge-on-read: the increment's write cost is the batch's
         # rows (postimages/inserts + a tiny deletion vector), never a
@@ -242,6 +282,8 @@ def curate_increment(
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
     sampled = _rebalance(filtered, alpha)
+    if split_threshold is not None:
+        sampled = _assign_splits(sampled, split_threshold)
     # refreeze the per-lang rates for subsequent delta increments
     _keep_ppm_of(filtered, alpha).write.mode("overwrite").parquet(
         p["rates"]

@@ -318,3 +318,51 @@ def test_delta_mode_multi_batch_convergence_and_obatch_writes(
     sa = spark.read.parquet(f"{work}/shards").orderBy("doc_id").collect()
     sb = spark.read.parquet(f"{one}/shards").orderBy("doc_id").collect()
     assert sa == sb
+
+
+def test_split_assignment_rebuild_and_delta_contract(spark, tmp_path):
+    """split_threshold adds a leakage-safe split column at rebuild
+    time: near-dup components share a split, singletons distribute
+    ~90/5/5; delta increments merge new docs UNASSIGNED (null split —
+    absent from every split until the next rebuild); a rebuild then
+    assigns them and convergence still holds bit-exact."""
+    wd = str(tmp_path / "wd")
+    rows = _corpus(0, 120)
+    # plant a near-dup pair that SURVIVES dedup (similar but below the
+    # 0.7 dedup threshold, above the 0.45 split threshold)
+    base = (
+        "shared preamble words appear here in this planted document "
+        "about topics alpha beta gamma delta epsilon zeta eta theta"
+    )
+    rows.append(_doc(1000, "en", base + " first variant tail words"))
+    rows.append(_doc(1001, "en", base + " second variant ending here"))
+    r0 = curate_batch(
+        spark, _mk_docs(spark, rows), wd, split_threshold=0.45
+    )
+    assert r0["curated"] > 0
+    cur = SnapshotTable(spark, os.path.join(wd, "curated")).read()
+    assert "split" in cur.columns
+    got = {r.doc_id: r.split for r in cur.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    if 1000 in got and 1001 in got:  # both survived dedup
+        assert got[1000] == got[1001]  # planted pair co-located
+    # delta increment: new docs arrive unassigned
+    r1 = curate_increment(
+        spark, _mk_docs(spark, _corpus(2000, 30)), wd, batch_id=1,
+        mode="delta", split_threshold=0.45,
+    )
+    assert r1["batch_survivors"] > 0
+    cur1 = SnapshotTable(spark, os.path.join(wd, "curated")).read()
+    new_splits = [r.split for r in cur1.filter(F.col("doc_id") >= 2000).collect()]
+    assert new_splits and all(s is None for s in new_splits)
+    # old docs keep their rebuild-time split through the delta merge
+    kept = {r.doc_id: r.split for r in cur1.filter(F.col("doc_id") < 2000).collect()}
+    assert all(kept[d] == got[d] for d in kept)
+    # next rebuild assigns everyone
+    r2 = curate_increment(
+        spark, _mk_docs(spark, _corpus(3000, 10)), wd, batch_id=2,
+        mode="rebuild", split_threshold=0.45,
+    )
+    assert r2["curated"] > 0
+    cur2 = SnapshotTable(spark, os.path.join(wd, "curated")).read()
+    assert cur2.filter(F.col("split").isNull()).count() == 0
