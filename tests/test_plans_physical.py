@@ -168,3 +168,13 @@ def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert build_failures == []
     assert offenders == []
+
+
+def test_bloom_probe_broadcasts_the_word_table(spark, sf_smoke):
+    """The contamination pre-screen's point is shipping the bit table
+    to the scan: the probe join must be a broadcast hash join on word
+    id — a sort-merge join would shuffle the eval shingles and defeat
+    the design."""
+    df = QUERIES["text-contamination-bloom"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
