@@ -98,6 +98,7 @@ HEADLINE = [
     "search-hybrid-rrf",  # BM25 + cosine arms fused by integer RRF
     "corpus-new-vocab",  # KMV set-difference growth monitor
     "text-contamination-bloom",  # broadcast-bit-table decontamination screen
+    "events-rolling-distinct-hll",  # sliding-window register merge
 ]
 
 TIMED_RUNS = 3

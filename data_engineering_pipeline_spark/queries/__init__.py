@@ -29,6 +29,7 @@ _CHECK_FIRST = [
     "corpus-new-vocab",  # new: KMV set-difference growth monitor
     "text-contamination-bloom",  # new: Bloom pre-screen, no-FN invariant
     "events-distinct-users-hll",  # new: HLL over integer keys (DAU shape)
+    "events-rolling-distinct-hll",  # new: sliding-window register merge
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -408,3 +408,67 @@ def test_hll_int_keys_track_exact_distinct(spark):
     assert abs(out["a"].n_est - 3000) / 3000 < 0.4
     assert out["b"].n_distinct == 700
     assert abs(out["b"].n_est - 700) / 700 < 0.4
+
+
+def test_rolling_hll_expansion_equals_window_merge(spark):
+    """The expand-by-window register trick must equal the definition:
+    registers of hour h == registers over all events in [h-23, h].
+    Checked against a Python trailing-distinct model on planted data,
+    plus the estimate accuracy band."""
+    import random
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+        int_residue_hash,
+    )
+
+    random.seed(3)
+    rows = []
+    by_hour: dict[int, set] = {}
+    for h in range(50, 90):
+        users = {random.randint(0, 4000) for _ in range(200)}
+        by_hour[h] = users
+        rows += [(h, u) for u in users]
+    df = spark.createDataFrame(rows, "hour long, user_id long")
+    regs = hll_registers(
+        df, "hour", F.col("user_id"), hasher=int_residue_hash
+    )
+    rolled = (
+        regs.withColumn(
+            "h", F.explode(F.sequence(F.col("group"), F.col("group") + 23))
+        )
+        .groupBy(F.col("h").alias("group"), "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # definitional check at two probe hours: direct registers over the
+    # trailing slice == the expansion's rolled registers
+    for probe in (60, 85):
+        direct = hll_registers(
+            df.filter(
+                (F.col("hour") >= probe - 23) & (F.col("hour") <= probe)
+            ).withColumn("hour", F.lit(probe)),
+            "hour",
+            F.col("user_id"),
+            hasher=int_residue_hash,
+        )
+        got = {
+            (r.reg, r.rho)
+            for r in rolled.filter(F.col("group") == probe).collect()
+        }
+        want = {(r.reg, r.rho) for r in direct.collect()}
+        assert got == want, probe
+    est = {
+        r.group: r.n_est
+        for r in hll_estimate_from_registers(rolled)
+        .filter(F.col("group").isin(60, 85))
+        .collect()
+    }
+    for probe in (60, 85):
+        exact = len(
+            set().union(
+                *(by_hour.get(h, set()) for h in range(probe - 23, probe + 1))
+            )
+        )
+        assert abs(est[probe] - exact) / exact < 0.4, (probe, est[probe], exact)
