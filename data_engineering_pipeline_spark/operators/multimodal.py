@@ -302,3 +302,150 @@ def sample_frames(
     return media.select("media_id", "content").mapInPandas(
         _frames, FRAME_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("out_md5", T.StringType()),
+        T.StructField("out_bytes", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    records_per_batch: int = 256,
+) -> DataFrame:
+    """Thumbnail resize via Arrow-batched mapInPandas — the remaining
+    multimodal verb next to decode/feature-extract/frame-sample. Pure
+    per-partition map (no shuffle).
+
+    REAL for the self-decodable rasters: PPM P6 and uncompressed
+    24-bit BMP are nearest-neighbor-resampled with numpy integer
+    index math (src_y = y * H div out_h) and re-encoded as P6 —
+    fmt='ppm', exact bytes unit-tested against hand-computed pixels.
+    Anything else gets the DETERMINISTIC FAKE thumbnail (fmt='fake'):
+    a P6 header plus out_w*out_h*3 bytes strided from the blob
+    (stride = max(1, n div k)) — the branch a PIL/ffmpeg call
+    replaces at deployment, and the branch the DuckDB oracle replays
+    byte-for-byte (out_md5 is the hashable surface for binary
+    output, as multimodal-frames)."""
+    resize_cols = [f.name for f in RESIZE_SCHEMA]
+    tw, th = int(out_w), int(out_h)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        header = f"P6\n{tw} {th}\n255\n".encode()
+
+        def ppm_pixels(buf):
+            # P6 header: magic then 3 ints (w h maxval); '#' comments
+            # ok — same tokenizer as decode_media's ppm()
+            if buf[:2] != b"P6":
+                return None
+            toks, pos = [], 2
+            while len(toks) < 3 and pos < len(buf):
+                while pos < len(buf) and buf[pos : pos + 1].isspace():
+                    pos += 1
+                if buf[pos : pos + 1] == b"#":
+                    while pos < len(buf) and buf[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(buf[start:pos])
+            try:
+                w, h, maxval = (int(t) for t in toks)
+            except ValueError:
+                return None
+            if maxval != 255 or w <= 0 or h <= 0:
+                return None
+            data = buf[pos + 1 : pos + 1 + w * h * 3]
+            if len(data) < w * h * 3:
+                return None
+            return w, h, np.frombuffer(data, "u1").reshape(h, w, 3)
+
+        def bmp_pixels(buf):
+            if buf[:2] != b"BM" or len(buf) < 54:
+                return None
+            off, _hdr, w, h, _planes, bpp = struct.unpack_from(
+                "<IIiiHH", buf, 10
+            )
+            if bpp != 24 or h <= 0:
+                return None
+            row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            if len(buf) < off + row * h:
+                return None
+            px = np.zeros((h, w, 3), "u1")
+            for y in range(h):
+                r = np.frombuffer(
+                    buf, "u1", count=w * 3, offset=off + y * row
+                ).reshape(w, 3)
+                px[h - 1 - y] = r[:, ::-1]  # bottom-up BGR -> top-down RGB
+            return w, h, px
+
+        def fake_thumb(buf):
+            n, k = len(buf), tw * th * 3
+            stride = max(1, n // k)
+            cnt = min(k, n)
+            body = bytes(buf[i * stride] for i in range(cnt))
+            return header + body
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(buf) if buf is not None else b""
+                px = None
+                for parser in (ppm_pixels, bmp_pixels):
+                    try:
+                        px = parser(buf)
+                    except Exception:
+                        px = None
+                    if px is not None:
+                        break
+                if px is not None:
+                    w, h, arr = px
+                    ys = (np.arange(th) * h) // th
+                    xs = (np.arange(tw) * w) // tw
+                    out = header + arr[ys][:, xs].tobytes()
+                    fmt = "ppm"
+                else:
+                    out = fake_thumb(buf)
+                    fmt = "fake"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_w": tw,
+                        "out_h": th,
+                        "fmt": fmt,
+                        "out_len": len(out),
+                        "out_md5": hashlib.md5(out).hexdigest(),
+                        "out_bytes": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=resize_cols)
+
+    sized = media.sparkSession.conf
+    prev = sized.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        sized.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(records_per_batch),
+        )
+        return media.select("media_id", "content").mapInPandas(
+            _resize, RESIZE_SCHEMA
+        )
+    finally:
+        if prev is not None:
+            sized.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

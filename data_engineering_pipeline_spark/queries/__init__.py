@@ -30,6 +30,7 @@ _CHECK_FIRST = [
     "text-contamination-bloom",  # new: Bloom pre-screen, no-FN invariant
     "events-distinct-users-hll",  # new: HLL over integer keys (DAU shape)
     "events-rolling-distinct-hll",  # new: sliding-window register merge
+    "multimodal-resize",  # new: nearest-neighbor thumbnail plumbing
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -89,3 +89,62 @@ ORACLES["multimodal-frames"] = """
     FROM b WHERE n_frames >= 1
     ORDER BY media_id, frame_no
 """
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize plumbing end to end (operators/multimodal.py
+    resize_media): document blobs carry no raster magic, so every row
+    exercises the deterministic-fake branch — the Spark surface under
+    grade is the mapInPandas batch shape, the strided thumbnail
+    derivation, and the md5-hashable binary contract (the REAL
+    nearest-neighbor PPM/BMP resample is pinned by unit tests with
+    hand-computed pixels, the same split as multimodal-decode)."""
+    from data_engineering_pipeline_spark.operators.multimodal import (
+        binarize_documents,
+        resize_media,
+    )
+    from data_engineering_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = binarize_documents(docs)
+    return (
+        resize_media(media, out_w=8, out_h=8)
+        .select("media_id", "out_w", "out_h", "fmt", "out_len", "out_md5")
+        .orderBy("media_id")
+    )
+
+
+QUERIES["multimodal-resize"] = multimodal_resize
+
+# Fake-branch replay: ASCII text == blob bytes, so the strided
+# thumbnail body is substr at 1 + i*stride and the md5 is over the
+# same P6 header + body string. Header 'P6\n8 8\n255\n' = 11 bytes.
+ORACLES["multimodal-resize"] = """
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT media_id, text, n,
+             greatest(1, n // 192) AS stride,
+             least(192, n) AS cnt
+      FROM b
+    ),
+    ch AS (
+      SELECT media_id, i, substr(text, CAST(1 + i * stride AS BIGINT), 1) AS c
+      FROM p, UNNEST(range(cnt)) AS t(i)
+    ),
+    agg AS (
+      SELECT media_id, string_agg(c, '' ORDER BY i) AS body
+      FROM ch GROUP BY media_id
+    )
+    SELECT p.media_id,
+           CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+           'fake' AS fmt,
+           CAST(11 + cnt AS BIGINT) AS out_len,
+           md5('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10)
+               || coalesce(body, '')) AS out_md5
+    FROM p LEFT JOIN agg USING (media_id)
+    ORDER BY media_id
+"""
