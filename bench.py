@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus-new-vocab",  # KMV set-difference growth monitor
     "text-contamination-bloom",  # broadcast-bit-table decontamination screen
     "events-rolling-distinct-hll",  # sliding-window register merge
+    "multimodal-resize",  # Arrow thumbnail map stage
 ]
 
 TIMED_RUNS = 3

@@ -89,3 +89,28 @@ def test_bloom_never_misses_a_member(spark, members):
     bloom = bloom_build(df, F.col("v"))
     out = bloom_member(df, bloom, F.col("v")).collect()
     assert all(r.is_member == 1 for r in out)
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=50),
+    b=st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=50),
+)
+def test_kmv_difference_exact_when_union_underfull(spark, a, b):
+    """Whenever |A ∪ B| < k the union sample IS the union, so the
+    estimate must equal the exact difference — for ANY pair of sets."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        kmv_difference_pairs,
+        kmv_points,
+    )
+
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v string")
+    pairs = spark.createDataFrame([("A", "B")], "ga string, gb string")
+    r = kmv_difference_pairs(
+        kmv_points(df, "g", F.col("v")), pairs, k=128
+    ).collect()[0]
+    exact = len(set(b) - set(a))
+    assert r.n_new_exact == exact
+    if r.n_sample < 128:
+        assert r.n_new_est == float(exact)
