@@ -100,6 +100,7 @@ HEADLINE = [
     "text-contamination-bloom",  # broadcast-bit-table decontamination screen
     "events-rolling-distinct-hll",  # sliding-window register merge
     "multimodal-resize",  # Arrow thumbnail map stage
+    "search-mmr-rerank",  # hybrid arms + greedy diversity rerank
 ]
 
 TIMED_RUNS = 3

@@ -194,3 +194,88 @@ def bpe_train_merges(
         merges,
         "merge_rank int, lhs string, rhs string, pair_count long",
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein 1998): pick the highest-score candidate, then repeatedly
+    the candidate maximizing score - max(similarity to anything
+    already picked) — the diversity-aware rerank that keeps a top-k
+    from filling up with near-duplicates of one result.
+
+    Inputs are INTEGER-scaled (score int64; sims (ia, ib, sim) int64),
+    so the greedy argmax with (obj desc, id asc) tie-break is exact
+    and engine-reproducible — the DuckDB oracle replays the whole
+    selection as a recursive CTE. The recurrence is inherently
+    sequential but over a CANDIDATE LIST (top-N of an upstream
+    retrieval stage — tens of rows by construction), so it runs as one
+    applyInPandas group, the same shape as pack_greedy: the corpus
+    never enters this operator. Output: (rank, id_col, mmr_obj) —
+    mmr_obj is the objective value AT selection time."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("mmr_obj", T.LongType()),
+        ]
+    )
+    joined = (
+        candidates.select(
+            F.col(id_col).alias("__ia"), F.col(score_col).alias("__score")
+        )
+        .join(
+            sims.select(
+                F.col("ia").alias("__ia"),
+                F.col("ib").alias("__ib"),
+                F.col("sim").alias("__sim"),
+            ),
+            "__ia",
+            "left",
+        )
+        .withColumn("__g", F.lit(1))
+    )
+    kk = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        scores: dict[int, int] = {}
+        sim: dict[tuple[int, int], int] = {}
+        for ia_v, sc_v, ib_v, sim_v in zip(
+            pdf["__ia"], pdf["__score"], pdf["__ib"], pdf["__sim"]
+        ):
+            ia = int(ia_v)
+            scores[ia] = int(sc_v)
+            if not pd.isna(ib_v):
+                sim[(ia, int(ib_v))] = int(sim_v)
+        remaining = set(scores)
+        picked: list[int] = []
+        rows = []
+        while remaining and len(picked) < kk:
+            best, best_obj = None, None
+            for c in sorted(remaining):
+                penalty = max(
+                    (sim.get((c, s), 0) for s in picked), default=0
+                )
+                obj = scores[c] - (penalty if picked else 0)
+                if best_obj is None or obj > best_obj:
+                    best, best_obj = c, obj
+            picked.append(best)
+            remaining.discard(best)
+            rows.append(
+                {"rank": len(picked), id_col: best, "mmr_obj": best_obj}
+            )
+        return pd.DataFrame(rows, columns=["rank", id_col, "mmr_obj"])
+
+    def _apply(key, pdf):
+        return _greedy(pdf)
+
+    return joined.groupBy("__g").applyInPandas(_apply, out_schema)

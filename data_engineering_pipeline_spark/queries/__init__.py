@@ -31,6 +31,7 @@ _CHECK_FIRST = [
     "events-distinct-users-hll",  # new: HLL over integer keys (DAU shape)
     "events-rolling-distinct-hll",  # new: sliding-window register merge
     "multimodal-resize",  # new: nearest-neighbor thumbnail plumbing
+    "search-mmr-rerank",  # new: greedy MMR diversity rerank
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -127,8 +127,7 @@ _VECS_SQL = """
     nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
 
-ORACLES["search-hybrid-rrf"] = f"""
-    WITH t2 AS (
+_RRF_CTES = f"""t2 AS (
       SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
     ),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM t2),
@@ -176,10 +175,121 @@ ORACLES["search-hybrid-rrf"] = f"""
                   + coalesce({RRF_SCALE} // ({RRF_K} + rank_sem), 0)
                   AS BIGINT) AS rrf
       FROM lexr FULL JOIN semr USING (doc_id)
-    )
+    )"""
+
+ORACLES["search-hybrid-rrf"] = f"""
+    WITH {_RRF_CTES}
     SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
                 AS INTEGER) AS "rank",
            doc_id, rrf, rank_lex, rank_sem
     FROM fused QUALIFY "rank" <= {RRF_TOP}
     ORDER BY "rank"
+"""
+
+MMR_K = 10
+_MMR_SIM_SCALE = 10_000_000  # 4-dp cosine -> exact int64 penalty
+
+
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware rerank of the hybrid candidates: greedy maximal
+    marginal relevance (operators/search.py mmr_rerank) over the RRF
+    top-20, objective = rrf - max(scaled 4-dp cosine to anything
+    already picked). Pair similarities are computed SPARK-SIDE with
+    the same fold the ANN oracles pin (then floor-scaled to int64),
+    so the whole greedy selection is exact integer arithmetic and the
+    DuckDB oracle replays it as a recursive CTE. The candidate pair
+    join is 20x19 rows — an intended bounded nested loop; the corpus
+    never enters the rerank."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.search import (
+        mmr_rerank,
+    )
+    from data_engineering_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        norm,
+    )
+
+    cand = search_hybrid_rrf(spark, sf_dir).select(
+        "doc_id", F.col("rrf").alias("score")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        _as_double(F.col("embedding")).alias("__v"),
+    ).select("doc_id", "__v", norm(F.col("__v")).alias("__n"))
+    cv = cand.join(nv, "doc_id").select("doc_id", "__v", "__n")
+    a = cv.select(
+        F.col("doc_id").alias("ia"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cv.select(
+        F.col("doc_id").alias("ib"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(
+                F.round(
+                    dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    4,
+                )
+                * F.lit(float(_MMR_SIM_SCALE))
+            ).alias("sim"),
+        )
+    )
+    return mmr_rerank(cand, sims, k=MMR_K).orderBy("rank")
+
+
+QUERIES["search-mmr-rerank"] = search_mmr_rerank
+
+ORACLES["search-mmr-rerank"] = f"""
+    WITH RECURSIVE {_RRF_CTES},
+    topn AS (
+      SELECT doc_id, rrf FROM (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) WHERE rn <= {RRF_TOP}
+    ),
+    msim AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(floor(round(list_dot_product(va.v, vb.v)
+                              / (va.nrm * vb.nrm), 4)
+                        * {_MMR_SIM_SCALE}) AS BIGINT) AS sim
+      FROM topn a JOIN topn b ON a.doc_id <> b.doc_id
+      JOIN nv va ON va.vec_id = a.doc_id
+      JOIN nv vb ON vb.vec_id = b.doc_id
+    ),
+    sel(step, doc_id, obj, picked) AS (
+      SELECT 1, doc_id, rrf, [doc_id] FROM (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM topn) WHERE rn = 1
+      UNION ALL
+      SELECT step + 1, doc_id, obj, list_append(picked, doc_id) FROM (
+        SELECT s.step, c.doc_id,
+               c.rrf - max(CASE WHEN list_contains(s.picked, m.ib)
+                                THEN m.sim END) AS obj,
+               s.picked,
+               row_number() OVER (
+                 ORDER BY c.rrf
+                          - max(CASE WHEN list_contains(s.picked, m.ib)
+                                     THEN m.sim END) DESC,
+                          c.doc_id) AS rn
+        FROM sel s
+        JOIN topn c ON NOT list_contains(s.picked, c.doc_id)
+        LEFT JOIN msim m ON m.ia = c.doc_id
+        WHERE s.step < {MMR_K}
+        GROUP BY s.step, c.doc_id, c.rrf, s.picked
+      ) WHERE rn = 1
+    )
+    SELECT CAST(step AS INTEGER) AS rank, doc_id, obj AS mmr_obj
+    FROM sel ORDER BY rank
 """

@@ -94,6 +94,7 @@ INTENDED_NESTED_LOOP = {
     "q11-important-stock",  # grand-total: 1-row broadcast onto groups
     "text-bm25",
     "search-hybrid-rrf",  # BM25 corpus-stats broadcast + brute cosine arm
+    "search-mmr-rerank",  # 20x19 candidate-pair join — bounded by RRF_TOP
     "curation-mixture",  # smallest-stratum size: 1-row broadcast
     "curation-temperature",  # same smallest-stratum 1-row broadcast
     "curation-temperature-alpha",  # same smallest-stratum 1-row broadcast

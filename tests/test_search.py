@@ -47,3 +47,52 @@ def test_rrf_both_arms_beat_single_arm_at_same_depth(spark, sf_smoke):
     for r in both:
         if r.rank_lex <= RRF_K + 1 and r.rank_sem <= RRF_K + 1:
             assert r.rrf > single_top
+
+
+def test_mmr_alternates_redundant_clusters(spark):
+    """Two tight clusters: pure score order would take all of cluster
+    A first; MMR must interleave because the in-cluster penalty
+    exceeds the score gaps. Hand-computed greedy on exact ints."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.search import (
+        mmr_rerank,
+    )
+
+    # cluster A: ids 1-3 (scores 100, 99, 98), cluster B: 11-13
+    # (97, 96, 95); in-cluster sim 50, cross-cluster sim 1
+    cands = spark.createDataFrame(
+        [(1, 100), (2, 99), (3, 98), (11, 97), (12, 96), (13, 95)],
+        "doc_id long, score long",
+    )
+    ids = [1, 2, 3, 11, 12, 13]
+    simrows = []
+    for a in ids:
+        for b in ids:
+            if a != b:
+                in_cluster = (a < 10) == (b < 10)
+                simrows.append((a, b, 50 if in_cluster else 1))
+    sims = spark.createDataFrame(simrows, "ia long, ib long, sim long")
+    out = mmr_rerank(cands, sims, k=6).orderBy("rank").collect()
+    got = [(r.rank, r.doc_id, r.mmr_obj) for r in out]
+    # greedy: 1 (100); 11 (97-1=96); then A and B alternate:
+    # 2 (99-50=49), 12 (96-50=46), 3 (98-50=48)... recompute exactly:
+    # step3: cand 2: 99-50=49; 3: 98-50=48; 12: 96-50=46; 13: 95-50=45 -> 2
+    # step4: 3: 48; 12: 46; 13: 45 -> 3 (A again: in-cluster max already 50)
+    # step5: 12: 46; 13: 45 -> 12; step6: 13: 45
+    assert got == [
+        (1, 1, 100),
+        (2, 11, 96),
+        (3, 2, 49),
+        (4, 3, 48),
+        (5, 12, 46),
+        (6, 13, 45),
+    ]
+    # determinism under repartition of the inputs
+    again = [
+        (r.rank, r.doc_id, r.mmr_obj)
+        for r in mmr_rerank(
+            cands.repartition(5), sims.repartition(7), k=6
+        ).orderBy("rank").collect()
+    ]
+    assert again == got
