@@ -202,6 +202,7 @@ def mmr_rerank(
     k: int,
     id_col: str = "doc_id",
     score_col: str = "score",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy maximal-marginal-relevance selection (Carbonell &
     Goldstein 1998): pick the highest-score candidate, then repeatedly
@@ -209,44 +210,56 @@ def mmr_rerank(
     already picked) — the diversity-aware rerank that keeps a top-k
     from filling up with near-duplicates of one result.
 
-    Inputs are INTEGER-scaled (score int64; sims (ia, ib, sim) int64),
-    so the greedy argmax with (obj desc, id asc) tie-break is exact
-    and engine-reproducible — the DuckDB oracle replays the whole
-    selection as a recursive CTE. The recurrence is inherently
-    sequential but over a CANDIDATE LIST (top-N of an upstream
-    retrieval stage — tens of rows by construction), so it runs as one
-    applyInPandas group, the same shape as pack_greedy: the corpus
-    never enters this operator. Output: (rank, id_col, mmr_obj) —
-    mmr_obj is the objective value AT selection time."""
+    Inputs are INTEGER-scaled (score int64; sims (ia, ib, sim) int64,
+    plus group_col on both when set), so the greedy argmax with
+    (obj desc, id asc) tie-break is exact and engine-reproducible —
+    the DuckDB oracle replays the whole selection as a recursive CTE.
+    The recurrence is inherently sequential but over a CANDIDATE LIST
+    (top-N of an upstream retrieval stage — tens of rows per group by
+    construction), so it runs as applyInPandas with one group per
+    retrieval query (group_col; a single global group when None), the
+    same shape as pack_greedy: the corpus never enters this operator,
+    and distinct queries rerank in parallel. Output:
+    ([group_col,] rank, id_col, mmr_obj) — mmr_obj is the objective
+    value AT selection time."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("rank", T.IntegerType()),
-            T.StructField(id_col, T.LongType()),
-            T.StructField("mmr_obj", T.LongType()),
-        ]
-    )
-    joined = (
-        candidates.select(
-            F.col(id_col).alias("__ia"), F.col(score_col).alias("__score")
+    out_fields = [
+        T.StructField("rank", T.IntegerType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("mmr_obj", T.LongType()),
+    ]
+    if group_col is not None:
+        out_fields.insert(
+            0, candidates.schema[group_col]
         )
-        .join(
-            sims.select(
-                F.col("ia").alias("__ia"),
-                F.col("ib").alias("__ib"),
-                F.col("sim").alias("__sim"),
-            ),
-            "__ia",
-            "left",
-        )
-        .withColumn("__g", F.lit(1))
+    out_schema = T.StructType(out_fields)
+    gkeys = [group_col] if group_col is not None else []
+    cand_side = candidates.select(
+        *gkeys,
+        F.col(id_col).alias("__ia"),
+        F.col(score_col).alias("__score"),
     )
+    sim_side = sims.select(
+        *gkeys,
+        F.col("ia").alias("__ia"),
+        F.col("ib").alias("__ib"),
+        F.col("sim").alias("__sim"),
+    )
+    joined = cand_side.join(sim_side, [*gkeys, "__ia"], "left")
+    if group_col is None:
+        joined = joined.withColumn("__g", F.lit(1))
+    gb = group_col if group_col is not None else "__g"
     kk = int(k)
+    out_cols = ([group_col] if group_col is not None else []) + [
+        "rank",
+        id_col,
+        "mmr_obj",
+    ]
 
-    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scores: dict[int, int] = {}
         sim: dict[tuple[int, int], int] = {}
         for ia_v, sc_v, ib_v, sim_v in zip(
@@ -270,12 +283,10 @@ def mmr_rerank(
                     best, best_obj = c, obj
             picked.append(best)
             remaining.discard(best)
-            rows.append(
-                {"rank": len(picked), id_col: best, "mmr_obj": best_obj}
-            )
-        return pd.DataFrame(rows, columns=["rank", id_col, "mmr_obj"])
+            row = {"rank": len(picked), id_col: best, "mmr_obj": best_obj}
+            if group_col is not None:
+                row[group_col] = key[0]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
 
-    def _apply(key, pdf):
-        return _greedy(pdf)
-
-    return joined.groupBy("__g").applyInPandas(_apply, out_schema)
+    return joined.groupBy(gb).applyInPandas(_apply, out_schema)

@@ -96,3 +96,25 @@ def test_mmr_alternates_redundant_clusters(spark):
         ).orderBy("rank").collect()
     ]
     assert again == got
+
+
+def test_mmr_grouped_reranks_queries_independently(spark):
+    from data_engineering_pipeline_spark.operators.search import (
+        mmr_rerank,
+    )
+
+    cands = spark.createDataFrame(
+        [("q1", 1, 100), ("q1", 2, 99), ("q2", 1, 50), ("q2", 3, 90)],
+        "q string, doc_id long, score long",
+    )
+    sims = spark.createDataFrame(
+        [("q1", 1, 2, 80), ("q1", 2, 1, 80),
+         ("q2", 1, 3, 5), ("q2", 3, 1, 5)],
+        "q string, ia long, ib long, sim long",
+    )
+    out = mmr_rerank(cands, sims, k=2, group_col="q").collect()
+    got = {(r.q, r.rank): (r.doc_id, r.mmr_obj) for r in out}
+    assert got == {
+        ("q1", 1): (1, 100), ("q1", 2): (2, 99 - 80),
+        ("q2", 1): (3, 90), ("q2", 2): (1, 50 - 5),
+    }
