@@ -824,3 +824,58 @@ def bloom_member(
         probed.groupBy(*keys)
         .agg(F.min("__bit").cast("int").alias("is_member"))
     )
+
+
+def refresh_cms_sketch(src, sketch, keys: list[str], value_col: str):
+    """Incrementally maintain a Count-Min sketch of `src` (a
+    SnapshotTable) inside `sketch`, driven by the CHANGE DATA FEED —
+    the sketch-tier materialized view. CMS is LINEAR in the input
+    multiset, so deletions are EXACT: inserts/update-postimages add
+    +1 into their cells, deletes/update-preimages add -1, and the
+    maintained cell table equals cms_build(current snapshot)
+    cell-for-cell after ANY DML history (the property HLL/KMV lack —
+    max-based sketches cannot retract; their refreshers must fall
+    back to rebuild on deletes, documented in hll_sketch_sink).
+
+    Refresh cost tracks churn (changes() reads the netted diff, on
+    CDF tables just the captured change rows), the rewrite is
+    O(populated cells) <= CMS_DEPTH * CMS_WIDTH. Exactly-once via the
+    txn protocol: the applied source version IS the watermark; a
+    replayed refresh is a no-op; an expired watermark falls back to
+    one full rebuild (same contract as refresh_aggregate). Returns
+    the new sketch version, or None when already current."""
+    import os
+
+    head = src.latest_version()
+    if head is None:
+        return None
+    app = f"incr-cms:{os.path.abspath(src.path)}:{value_col}"
+    applied = sketch.txn_version(app)
+    if applied >= head:
+        return None
+
+    def build(df: DataFrame, weight: Column | None = None) -> DataFrame:
+        return cms_build(df, F.col(value_col), weight=weight)
+
+    if applied < 0:
+        cells = build(src.read())
+    else:
+        try:
+            cdc = src.changes(applied, head, keys)
+        except ValueError:
+            # watermark expired by retention: one full rebuild
+            # re-stamps the txn watermark instead of wedging forever
+            return sketch.overwrite(build(src.read()), txn=(app, head))
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta = build(cdc, weight=sign)
+        cells = (
+            sketch.read()
+            .unionByName(delta)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+    return sketch.overwrite(cells, txn=(app, head))

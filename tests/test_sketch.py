@@ -472,3 +472,57 @@ def test_rolling_hll_expansion_equals_window_merge(spark):
             )
         )
         assert abs(est[probe] - exact) / exact < 0.4, (probe, est[probe], exact)
+
+
+def test_cms_refresh_from_cdc_equals_rebuild(spark, tmp_path):
+    """CMS linearity through the change feed: after appends, a
+    delete, an update, and a merge, the incrementally-maintained cell
+    table equals cms_build(current snapshot) EXACTLY; replays are
+    no-ops."""
+    from pyspark.sql import functions as FF
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        cms_build,
+        refresh_cms_sketch,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"), cdf=True)
+    sk = SnapshotTable(spark, str(tmp_path / "cms"))
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"tok-{i % 17}") for i in range(lo, hi)],
+            "id long, v string",
+        )
+
+    src.append(mk(0, 400))
+    refresh_cms_sketch(src, sk, ["id"], "v")
+
+    src.append(mk(400, 600))
+    src.delete_where("id % 10 = 3")
+    src.update_where("id % 7 = 0", {"v": "'tok-updated'"})
+    refresh_cms_sketch(src, sk, ["id"], "v")
+
+    src.merge_into(
+        spark.createDataFrame(
+            [(5, "tok-merged"), (9000, "tok-new")], "id long, v string"
+        ),
+        ["id"],
+        when_matched="update",
+    )
+    refresh_cms_sketch(src, sk, ["id"], "v")
+
+    got = {tuple(r) for r in sk.read().collect()}
+    want = {
+        tuple(r)
+        for r in cms_build(src.read(), FF.col("v")).collect()
+        if r.cnt != 0
+    }
+    assert got == want and got
+    # replay: already-applied head is a no-op (same stored version)
+    v = sk.latest_version()
+    assert refresh_cms_sketch(src, sk, ["id"], "v") is None
+    assert sk.latest_version() == v
