@@ -879,3 +879,45 @@ def refresh_cms_sketch(src, sketch, keys: list[str], value_col: str):
             .filter(F.col("cnt") != 0)
         )
     return sketch.overwrite(cells, txn=(app, head))
+
+
+def refresh_hll_sketch(src, sketch, group_col: str, value_col: str,
+                       hasher: Callable[[Column], Column] | None = None):
+    """Incrementally maintain per-group HLL register tables of `src`
+    (a SnapshotTable) inside `sketch` from the change feed. Register
+    max is monotone, so INSERT-ONLY change ranges fold in
+    incrementally (merge by per-(group, reg) max over just the change
+    rows); any retraction in the range (delete / update_preimage —
+    max cannot un-see a value) falls back to ONE full rebuild from
+    the head snapshot, exactly like the documented HLL/KMV
+    limitation that refresh_cms_sketch doesn't have. Exactly-once via
+    the txn watermark; expired history also rebuilds. Returns
+    ("incremental" | "rebuild" | None) for observability."""
+    import os
+
+    head = src.latest_version()
+    if head is None:
+        return None
+    app = f"incr-hll:{os.path.abspath(src.path)}:{group_col}:{value_col}"
+    applied = sketch.txn_version(app)
+    if applied >= head:
+        return None
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        return hll_registers(df, group_col, F.col(value_col), hasher)
+
+    mode = "rebuild"
+    if applied >= 0:
+        try:
+            cdc = src.changes(applied, head, [group_col, value_col])
+            retracts = cdc.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).limit(1).count()
+            if retracts == 0:
+                merged = hll_merge(sketch.read(), regs_of(cdc))
+                sketch.overwrite(merged, txn=(app, head))
+                return "incremental"
+        except ValueError:
+            pass  # expired watermark: rebuild below
+    sketch.overwrite(regs_of(src.read()), txn=(app, head))
+    return mode

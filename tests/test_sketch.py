@@ -526,3 +526,43 @@ def test_cms_refresh_from_cdc_equals_rebuild(spark, tmp_path):
     v = sk.latest_version()
     assert refresh_cms_sketch(src, sk, ["id"], "v") is None
     assert sk.latest_version() == v
+
+
+def test_hll_refresh_incremental_then_rebuild_on_delete(spark, tmp_path):
+    from pyspark.sql import functions as FF
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        hll_registers,
+        refresh_hll_sketch,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"), cdf=True)
+    sk = SnapshotTable(spark, str(tmp_path / "hll"))
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, "g", f"val-{i}") for i in range(lo, hi)],
+            "id long, grp string, v string",
+        )
+
+    src.append(mk(0, 300))
+    assert refresh_hll_sketch(src, sk, "grp", "v") == "rebuild"  # bootstrap
+    src.append(mk(300, 500))
+    assert refresh_hll_sketch(src, sk, "grp", "v") == "incremental"
+
+    def want():
+        return {
+            tuple(r)
+            for r in hll_registers(src.read(), "grp", FF.col("v")).collect()
+        }
+
+    assert {tuple(r) for r in sk.read().collect()} == want()
+    # a delete in the range forces the rebuild path — and still lands
+    # exactly on the head snapshot's registers
+    src.delete_where("id % 5 = 0")
+    assert refresh_hll_sketch(src, sk, "grp", "v") == "rebuild"
+    assert {tuple(r) for r in sk.read().collect()} == want()
+    assert refresh_hll_sketch(src, sk, "grp", "v") is None  # replay no-op
