@@ -613,7 +613,12 @@ def corpus_new_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s.isNotNull(),
     )
     ex = docs.select("source", F.explode(bigrams).alias("bg"))
-    pts = kmv_points(ex, "source", F.col("bg"))
+    # pts feeds the pair frame AND both membership branches —
+    # checkpoint so the explode+hash+distinct runs once
+    # (measured 2.98 -> 2.39 s at sf0.1)
+    pts = kmv_points(ex, "source", F.col("bg")).localCheckpoint(
+        eager=False
+    )
     g = pts.select("group").distinct().withColumn(
         "n", F.substring("group", 4, 10).try_cast("int")
     )

@@ -211,6 +211,10 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm,
     )
 
+    # NOTE: checkpointing this 20-row frame was A/B'd and does NOT
+    # help (3.21 vs 3.14 s at sf0.1 — noise): Spark already reuses
+    # the RRF chain's exchanges across the three consumers, so the
+    # plan executes the arms once either way.
     cand = search_hybrid_rrf(spark, sf_dir).select(
         "doc_id", F.col("rrf").alias("score")
     )
