@@ -1101,7 +1101,11 @@ def text_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-char portable hash — one shuffle both arms reuse, hashing
     # once per distinct bigram instead of per occurrence (the HLL
     # query's same trade, BASELINE addendum 22b).
-    ex = docs.select("source", F.explode(bigrams).alias("bg")).distinct()
+    ex = (
+        docs.select("source", F.explode(bigrams).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both arms read it once
+    )
     return kmv_distinct(ex, "source", F.col("bg"), k=_KMV_K).orderBy(
         "group"
     )
@@ -1199,7 +1203,11 @@ def text_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column materialization in hll_registers — BASELINE addendum
     # 22b). The verifier-free 100 TB path (hll_registers on raw
     # occurrences, xxhash64) needs no distinct and no string shuffle.
-    ex = docs.select("source", F.explode(bigrams).alias("bg")).distinct()
+    ex = (
+        docs.select("source", F.explode(bigrams).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both arms read it: 3.0->2.0 s
+    )
     return hll_distinct(ex, "source", F.col("bg")).orderBy("group")
 
 
