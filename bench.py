@@ -101,6 +101,7 @@ HEADLINE = [
     "events-rolling-distinct-hll",  # sliding-window register merge
     "multimodal-resize",  # Arrow thumbnail map stage
     "search-mmr-rerank",  # hybrid arms + greedy diversity rerank
+    "text-kneser-ney-ppl",  # KN-smoothed LM scorer
 ]
 
 TIMED_RUNS = 3

@@ -32,6 +32,7 @@ _CHECK_FIRST = [
     "events-rolling-distinct-hll",  # new: sliding-window register merge
     "multimodal-resize",  # new: nearest-neighbor thumbnail plumbing
     "search-mmr-rerank",  # new: greedy MMR diversity rerank
+    "text-kneser-ney-ppl",  # new: KN-smoothed LM perplexity buckets
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -1474,3 +1474,135 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, "text", _BPE_N_MERGES).orderBy(
         "merge_rank"
     )
+
+
+@_register(
+    "text-kneser-ney-ppl",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    types AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    n1f AS (SELECT w1, count(*) AS nf FROM types GROUP BY w1),
+    n1b AS (SELECT w2, count(*) AS nb2 FROM types GROUP BY w2),
+    nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM types),
+    lq AS (
+      SELECT ty.w1, ty.w2,
+             CAST(floor(ln(
+               (CAST(ty.c12 AS DOUBLE) - 0.75) / CAST(x.c1 AS DOUBLE)
+               + (0.75 * CAST(f.nf AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                 * (CAST(b.nb2 AS DOUBLE) / o.nb)
+             ) * 1000000000 + 0.5) AS BIGINT) AS lq
+      FROM types ty
+      JOIN ctx x ON ty.w1 = x.w1
+      JOIN n1f f ON ty.w1 = f.w1
+      JOIN n1b b ON ty.w2 = b.w2
+      CROSS JOIN nbt o
+    ),
+    d AS (
+      SELECT bg.doc_id, count(*) AS n, CAST(sum(lq.lq) AS BIGINT) AS s
+      FROM bg JOIN lq ON bg.w1 = lq.w1 AND bg.w2 = lq.w2
+      GROUP BY bg.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+             CAST(-s AS DOUBLE) / n / 1000000000.0 AS kn_ce
+      FROM d
+    )
+    SELECT doc_id, n_bigrams, kn_ce,
+           CAST(ntile(3) OVER (ORDER BY kn_ce, doc_id) AS BIGINT)
+             AS ppl_bucket
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy with perplexity
+    terciles — the production-grade smoothing next to the fixed-
+    interpolation LM of text-bigram-ppl (Kneser & Ney 1995; Chen &
+    Goodman 1998):
+
+        p(w2|w1) = (c12 - D)/c1 + (D * N1+(w1,.)/c1) * N1+(.,w2)/NB
+
+    with D = 0.75 (exactly representable: 3/4) — absolute discounting
+    plus the CONTINUATION back-off: a word's back-off mass is how many
+    distinct contexts it follows, not its raw frequency, which is what
+    stops high-count-but-single-context tokens (the 'San Francisco'
+    effect) from leaking probability. Every scored bigram is seen
+    (c12 >= 1 > D), so the discount never clips and the max() is
+    dropped from the expression. Same cross-engine device as
+    text-bigram-ppl: one quantized ln per bigram TYPE, exact integer
+    doc sums, identical expression tree both engines. Scale notes
+    identical to text-bigram-ppl (type/context stats are partial-agg
+    groupBys; broadcast type dim; global ntile -> approx-quantile
+    cutoffs at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(element_at(__toks, i) AS w1, "
+                "element_at(__toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n1f = types.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    n1b = types.groupBy("w2").agg(F.count(F.lit(1)).alias("nb2"))
+    nbt = types.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    lq = (
+        types.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(n1f), "w1")
+        .join(F.broadcast(n1b), "w2")
+        .join(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") - F.lit(0.75))
+                    / F.col("c1").cast("double")
+                    + (
+                        F.lit(0.75)
+                        * F.col("nf").cast("double")
+                        / F.col("c1").cast("double")
+                    )
+                    * (F.col("nb2").cast("double") / F.col("nb"))
+                )
+                * 1_000_000_000
+                + F.lit(0.5)
+            ).alias("lq"),
+        )
+    )
+    d = (
+        bg.join(F.broadcast(lq), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lq").alias("s"))
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bigrams"),
+        ((-F.col("s")).cast("double") / F.col("n") / F.lit(1e9)).alias(
+            "kn_ce"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("kn_ce", "doc_id")
+    return (
+        scored.withColumn(
+            "ppl_bucket", F.ntile(3).over(w).cast("long")
+        )
+        .orderBy("doc_id")
+    )

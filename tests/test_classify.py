@@ -213,3 +213,46 @@ def test_dsir_dedup_hash_plan_is_result_identical(spark):
         for r in dsir_scores(docs, dedup_hash=True).collect()
     }
     assert a == b and len(a) == 50 and 100 not in a
+
+
+def test_kneser_ney_distribution_normalizes(spark):
+    """On a tiny corpus: for every context w1, the interpolated-KN
+    probability over the FULL vocabulary (seen bigrams discounted +
+    continuation back-off for everything) sums to 1 — the algebraic
+    identity sum_seen (c12-D)/c1 + (D*nf/c1) * sum_all N1b/NB = 1.
+    Recomputed in Python from the same counts the query uses."""
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+        "the mat and the rug",
+    ]
+    toks = [t.split() for t in texts]
+    bigrams = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bigrams[(a, b)] += 1
+    ctx = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), c in bigrams.items():
+        ctx[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nb = len(bigrams)
+    vocab = {w for ts in toks for w in ts}
+    D = 0.75
+    for w1 in ctx:
+        total = 0.0
+        for w2 in vocab:
+            cont = n1b.get(w2, 0) / nb
+            seen = bigrams.get((w1, w2), 0)
+            if seen:
+                total += (seen - D) / ctx[w1] + (D * n1f[w1] / ctx[w1]) * cont
+            else:
+                total += (D * n1f[w1] / ctx[w1]) * cont
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+    # the registered Spark query's own math is pinned relationally by
+    # the oracle sweep (test_oracle_queries.py)
