@@ -100,6 +100,7 @@ INTENDED_NESTED_LOOP = {
     "curation-temperature-alpha",  # same smallest-stratum 1-row broadcast
     "text-crossentropy",  # corpus-total ln: 1-row broadcast
     "text-bigram-ppl",  # corpus-total token count: 1-row broadcast
+    "text-kneser-ney-ppl",  # distinct-bigram total: 1-row broadcast
     "text-keyphrases",  # corpus-total bigram count: 1-row broadcast
     # pair enumeration over GROUPS (sources/crawls — hundreds, never
     # rows); the corpus itself is touched once, sketch-side only
