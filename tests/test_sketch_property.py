@@ -114,3 +114,66 @@ def test_kmv_difference_exact_when_union_underfull(spark, a, b):
     assert r.n_new_exact == exact
     if r.n_sample < 128:
         assert r.n_new_est == float(exact)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    simvals=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=64, max_size=64
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_mmr_matches_python_greedy_trace(spark, data, simvals, k):
+    """The distributed MMR must reproduce the reference greedy exactly
+    — argmax of score - max(sim to picked), ties to the smallest id —
+    on ANY candidate set and similarity matrix."""
+    from data_engineering_pipeline_spark.operators.search import (
+        mmr_rerank,
+    )
+
+    ids = [i for i, _ in data]
+    scores = dict(data)
+    sim = {}
+    it = iter(simvals * 2)
+    for a in ids:
+        for b in ids:
+            if a != b:
+                sim[(a, b)] = next(it)
+
+    def model():
+        remaining, picked, out = set(ids), [], []
+        while remaining and len(picked) < k:
+            best, best_obj = None, None
+            for c in sorted(remaining):
+                pen = max((sim.get((c, s), 0) for s in picked), default=0)
+                obj = scores[c] - (pen if picked else 0)
+                if best_obj is None or obj > best_obj:
+                    best, best_obj = c, obj
+            picked.append(best)
+            remaining.discard(best)
+            out.append((len(picked), best, best_obj))
+        return out
+
+    cands = spark.createDataFrame(
+        [(i, s) for i, s in data], "doc_id long, score long"
+    )
+    sims = spark.createDataFrame(
+        [(a, b, v) for (a, b), v in sim.items()] or [(0, 0, 0)],
+        "ia long, ib long, sim long",
+    )
+    if not sim:
+        sims = sims.filter("ia <> ib")
+    got = [
+        (r.rank, r.doc_id, r.mmr_obj)
+        for r in mmr_rerank(cands, sims, k=k).orderBy("rank").collect()
+    ]
+    assert got == model()
