@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal-resize",  # Arrow thumbnail map stage
     "search-mmr-rerank",  # hybrid arms + greedy diversity rerank
     "text-kneser-ney-ppl",  # KN-smoothed LM scorer
+    "text-kneser-ney3-ppl",  # trigram KN recursive chain
 ]
 
 TIMED_RUNS = 3

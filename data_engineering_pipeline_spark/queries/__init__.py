@@ -33,6 +33,7 @@ _CHECK_FIRST = [
     "multimodal-resize",  # new: nearest-neighbor thumbnail plumbing
     "search-mmr-rerank",  # new: greedy MMR diversity rerank
     "text-kneser-ney-ppl",  # new: KN-smoothed LM perplexity buckets
+    "text-kneser-ney3-ppl",  # new: trigram KN recursive backoff chain
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

@@ -1606,3 +1606,187 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "text-kneser-ney3-ppl",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-2]) AS w1,
+             unnest(toks[2:len(toks)-1]) AS w2,
+             unnest(toks[3:len(toks)]) AS w3
+      FROM t WHERE len(toks) >= 3
+    ),
+    bgt AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT doc_id,
+               unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM t WHERE len(toks) >= 2) GROUP BY w1, w2
+    ),
+    ty3 AS (SELECT w1, w2, w3, count(*) AS c123
+            FROM tri GROUP BY w1, w2, w3),
+    ctx12 AS (SELECT w1, w2, count(*) AS c12c FROM tri GROUP BY w1, w2),
+    nf12 AS (SELECT w1, w2, count(*) AS nf3 FROM ty3 GROUP BY w1, w2),
+    nb23 AS (SELECT w2, w3, count(*) AS nprec FROM ty3 GROUP BY w2, w3),
+    nmid2 AS (SELECT w2, count(*) AS nmid FROM ty3 GROUP BY w2),
+    nf2 AS (SELECT w2, count(DISTINCT w3) AS nf2c FROM ty3 GROUP BY w2),
+    ncont AS (SELECT w2 AS w, count(*) AS nc FROM bgt GROUP BY w2),
+    nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bgt),
+    lq AS (
+      SELECT y.w1, y.w2, y.w3,
+             CAST(floor(ln(
+               (CAST(y.c123 AS DOUBLE) - 0.75) / CAST(x.c12c AS DOUBLE)
+               + (0.75 * CAST(f.nf3 AS DOUBLE) / CAST(x.c12c AS DOUBLE))
+                 * (
+                   (CAST(p.nprec AS DOUBLE) - 0.75)
+                     / CAST(m.nmid AS DOUBLE)
+                   + (0.75 * CAST(g.nf2c AS DOUBLE)
+                      / CAST(m.nmid AS DOUBLE))
+                     * (CAST(q.nc AS DOUBLE) / o.nb)
+                 )
+             ) * 1000000000 + 0.5) AS BIGINT) AS lq
+      FROM ty3 y
+      JOIN ctx12 x ON y.w1 = x.w1 AND y.w2 = x.w2
+      JOIN nf12 f ON y.w1 = f.w1 AND y.w2 = f.w2
+      JOIN nb23 p ON y.w2 = p.w2 AND y.w3 = p.w3
+      JOIN nmid2 m ON y.w2 = m.w2
+      JOIN nf2 g ON y.w2 = g.w2
+      JOIN ncont q ON y.w3 = q.w
+      CROSS JOIN nbt o
+    ),
+    d AS (
+      SELECT tri.doc_id, count(*) AS n, CAST(sum(lq.lq) AS BIGINT) AS s
+      FROM tri JOIN lq
+        ON tri.w1 = lq.w1 AND tri.w2 = lq.w2 AND tri.w3 = lq.w3
+      GROUP BY tri.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_trigrams,
+             CAST(-s AS DOUBLE) / n / 1000000000.0 AS kn3_ce
+      FROM d
+    )
+    SELECT doc_id, n_trigrams, kn3_ce,
+           CAST(ntile(3) OVER (ORDER BY kn3_ce, doc_id) AS BIGINT)
+             AS ppl_bucket
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_kneser_ney3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Kneser-Ney cross-entropy terciles — the full recursive
+    chain (Chen & Goodman 1998): the trigram level discounts raw
+    counts and backs off into a bigram level built from CONTINUATION
+    counts (N1+(.w2w3)/N1+(.w2.) — how many distinct contexts the
+    bigram completes, not how often), which itself backs off into the
+    unigram continuation over bigram types. Every scored event is
+    seen at every level (c123 >= 1 and N1+(.w2w3) >= 1, both > D =
+    3/4 exactly), so no max clip appears anywhere in the expression
+    and the whole three-level formula is one deterministic IEEE tree,
+    quantized once per trigram TYPE. Docs with < 3 tokens drop.
+    Scale shape as the bigram scorers: type/context stats are
+    partial-agg groupBys, the type dim broadcasts, the ntile swaps
+    for approx-quantile cutoffs at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    tri = toked.filter(F.size("__toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 2), "
+                "i -> struct(element_at(__toks, i) AS w1, "
+                "element_at(__toks, i + 1) AS w2, "
+                "element_at(__toks, i + 2) AS w3))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2", "b.w3")
+    bgt = (
+        toked.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(element_at(__toks, i) AS w1, "
+                    "element_at(__toks, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ty3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    ctx12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12c"))
+    nf12 = ty3.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf3"))
+    nb23 = ty3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nprec"))
+    nmid2 = ty3.groupBy("w2").agg(F.count(F.lit(1)).alias("nmid"))
+    nf2 = ty3.groupBy("w2").agg(F.countDistinct("w3").alias("nf2c"))
+    ncont = bgt.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    nbt = bgt.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    lq = (
+        ty3.join(F.broadcast(ctx12), ["w1", "w2"])
+        .join(F.broadcast(nf12), ["w1", "w2"])
+        .join(F.broadcast(nb23), ["w2", "w3"])
+        .join(F.broadcast(nmid2), "w2")
+        .join(F.broadcast(nf2), "w2")
+        .join(
+            F.broadcast(ncont.withColumnRenamed("w2", "w3")), "w3"
+        )
+        .join(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(
+                F.log(
+                    (F.col("c123").cast("double") - F.lit(0.75))
+                    / F.col("c12c").cast("double")
+                    + (
+                        F.lit(0.75)
+                        * F.col("nf3").cast("double")
+                        / F.col("c12c").cast("double")
+                    )
+                    * (
+                        (F.col("nprec").cast("double") - F.lit(0.75))
+                        / F.col("nmid").cast("double")
+                        + (
+                            F.lit(0.75)
+                            * F.col("nf2c").cast("double")
+                            / F.col("nmid").cast("double")
+                        )
+                        * (F.col("nc").cast("double") / F.col("nb"))
+                    )
+                )
+                * 1_000_000_000
+                + F.lit(0.5)
+            ).alias("lq"),
+        )
+    )
+    d = (
+        tri.join(F.broadcast(lq), ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lq").alias("s"))
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_trigrams"),
+        ((-F.col("s")).cast("double") / F.col("n") / F.lit(1e9)).alias(
+            "kn3_ce"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("kn3_ce", "doc_id")
+    return (
+        scored.withColumn(
+            "ppl_bucket", F.ntile(3).over(w).cast("long")
+        )
+        .orderBy("doc_id")
+    )

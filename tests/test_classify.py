@@ -256,3 +256,61 @@ def test_kneser_ney_distribution_normalizes(spark):
         assert abs(total - 1.0) < 1e-9, (w1, total)
     # the registered Spark query's own math is pinned relationally by
     # the oracle sweep (test_oracle_queries.py)
+
+
+def test_kneser_ney3_distribution_normalizes(spark):
+    """Trigram KN: for every seen context (w1, w2), the probability
+    over the FULL vocabulary sums to 1 — each backoff level hands its
+    discounted mass down exactly (trigram -> continuation bigram ->
+    continuation unigram over bigram types)."""
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug today",
+        "a cat and a dog sat",
+        "the mat and the rug",
+    ]
+    toks = [t.split() for t in texts]
+    tri = Counter()
+    bg = Counter()
+    for ts in toks:
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] += 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] += 1
+    ctx12 = Counter()
+    nf12 = Counter()
+    nb23 = Counter()
+    nmid = Counter()
+    nf2 = {}
+    for (a, b, c), n in tri.items():
+        ctx12[(a, b)] += n
+        nf12[(a, b)] += 1
+        nb23[(b, c)] += 1
+        nmid[b] += 1
+        nf2.setdefault(b, set()).add(c)
+    ncont = Counter()
+    for (a, b) in bg:
+        ncont[b] += 1
+    NB = len(bg)
+    vocab = {w for ts in toks for w in ts}
+    D = 0.75
+
+    def p_cont(w3):
+        return ncont.get(w3, 0) / NB
+
+    def p_mid(w2, w3):
+        lam = D * len(nf2.get(w2, ())) / nmid[w2]
+        seen = nb23.get((w2, w3), 0)
+        base = (seen - D) / nmid[w2] if seen else 0.0
+        return base + lam * p_cont(w3)
+
+    for (w1, w2) in ctx12:
+        lam = D * nf12[(w1, w2)] / ctx12[(w1, w2)]
+        total = 0.0
+        for w3 in vocab:
+            seen = tri.get((w1, w2, w3), 0)
+            base = (seen - D) / ctx12[(w1, w2)] if seen else 0.0
+            total += base + lam * p_mid(w2, w3)
+        assert abs(total - 1.0) < 1e-9, ((w1, w2), total)
