@@ -539,12 +539,23 @@ def _qsk_octave(x: Column) -> Column:
 
 
 def qsketch_build(
-    df: DataFrame, group_col: str, value: Column
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    weight: Column | None = None,
 ) -> DataFrame:
     """(group, bid, cnt): the quantile sketch — one map-side-combined
-    count aggregate; merge sketches by adding cnt per (group, bid)."""
+    count aggregate; merge sketches by adding cnt per (group, bid).
+
+    `weight` (int64) makes it a WEIGHTED quantile sketch: cnt becomes
+    sum(weight), and qsketch_quantiles then answers weighted nearest-
+    rank quantiles ("the median TOKEN's document length" instead of
+    the median document's) — the statistic SQL engines don't ship.
+    Same additive merge, same bracket guarantee over the weighted
+    rank."""
     x = value.cast("long").alias("__x")
-    base = df.select(F.col(group_col).alias("group"), x)
+    w = (F.lit(1) if weight is None else weight.cast("long")).alias("__w")
+    base = df.select(F.col(group_col).alias("group"), x, w)
     e = _qsk_octave(F.col("__x"))
     bid = F.when(F.col("__x") < F.lit(QSK_K), F.col("__x")).otherwise(
         e.cast("long") * F.lit(QSK_K)
@@ -553,9 +564,9 @@ def qsketch_build(
     )
     return (
         base.withColumn("__e", e)
-        .select("group", bid.alias("bid"))
+        .select("group", bid.alias("bid"), "__w")
         .groupBy("group", "bid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 

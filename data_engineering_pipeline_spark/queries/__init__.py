@@ -34,6 +34,7 @@ _CHECK_FIRST = [
     "search-mmr-rerank",  # new: greedy MMR diversity rerank
     "text-kneser-ney-ppl",  # new: KN-smoothed LM perplexity buckets
     "text-kneser-ney3-ppl",  # new: trigram KN recursive backoff chain
+    "text-quantiles-weighted",  # new: token-weighted length percentiles
     "curation-boilerplate",  # new: document-frequency line filter
     "curation-dsir",  # new: hashed-bigram importance scores + top-k
     "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact

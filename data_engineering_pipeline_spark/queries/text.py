@@ -1790,3 +1790,126 @@ def text_kneser_ney3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _qskw_oracle() -> str:
+    from data_engineering_pipeline_spark.operators.sketch import (
+        QSK_E_MAX,
+        QSK_K,
+        QSK_S,
+    )
+
+    ladder = " + ".join(
+        f"CAST(x >= {1 << r} AS INT)" for r in range(1, QSK_E_MAX + 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS x FROM documents
+    ),
+    eb AS (SELECT source, x, ({ladder}) AS e FROM t),
+    bk AS (
+      SELECT source, x,
+             CASE WHEN x < {QSK_K} THEN x
+                  ELSE CAST(e * {QSK_K} AS BIGINT)
+                       + (x >> (e - {QSK_S})) - {QSK_K}
+             END AS bid
+      FROM eb
+    ),
+    sk AS (
+      SELECT source, bid, CAST(sum(x) AS BIGINT) AS cnt
+      FROM bk GROUP BY source, bid
+    ),
+    cm AS (
+      SELECT source, bid, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bid) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM sk
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) q(q_pct)),
+    cand AS (
+      SELECT source, q_pct, CAST(n AS BIGINT) AS n, min(bid) AS bid
+      FROM cm, qs WHERE cum >= (n - 1) * q_pct // 100 + 1
+      GROUP BY source, q_pct, n
+    ),
+    bounds AS (
+      SELECT source, q_pct, n,
+             CAST(CASE WHEN bid < {QSK_K} THEN bid
+                  ELSE ({QSK_K} + bid % {QSK_K})
+                       << (CAST(bid // {QSK_K} AS INT) - {QSK_S})
+             END AS BIGINT) AS lo,
+             CAST(CASE WHEN bid < {QSK_K} THEN bid
+                  ELSE (({QSK_K} + bid % {QSK_K} + 1)
+                        << (CAST(bid // {QSK_K} AS INT) - {QSK_S})) - 1
+             END AS BIGINT) AS hi
+      FROM cand
+    ),
+    xv AS (
+      SELECT source, x, CAST(sum(x) AS BIGINT) AS wsum
+      FROM t GROUP BY source, x
+    ),
+    xc AS (
+      SELECT source, x,
+             sum(wsum) OVER (PARTITION BY source ORDER BY x) AS cum,
+             sum(wsum) OVER (PARTITION BY source) AS w
+      FROM xv
+    ),
+    exq AS (
+      SELECT source, q_pct, min(x) AS exact_val
+      FROM xc, qs WHERE cum >= (w - 1) * q_pct // 100 + 1
+      GROUP BY source, q_pct
+    )
+    SELECT b.source AS "group", b.q_pct, n, exact_val, lo, hi,
+           (lo + hi) // 2 AS est
+    FROM bounds b JOIN exq USING (source, q_pct)
+    ORDER BY "group", q_pct
+    """
+
+
+@_register("text-quantiles-weighted", _qskw_oracle())
+def text_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted document-length quantiles per source from the
+    weighted dyadic sketch (qsketch_build with weight = the length
+    itself): p50 answers "the median TOKEN lives in a document of
+    what length" — the view that matters when long documents dominate
+    the token budget, and a statistic plain SQL percentiles don't
+    give. Same additive sketch, same structural bracket: the chosen
+    bucket's [lo, hi] contains the exact weighted order statistic
+    (verifier column). n is the total token weight per source."""
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from data_engineering_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.col("source").alias("group"),
+        F.size(tokens("text")).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    pcts = [50, 90, 99]
+    qq = qsketch_quantiles(
+        qsketch_build(lens, "group", F.col("x"), weight=F.col("x")), pcts
+    )
+    xv = lens.groupBy("group", "x").agg(F.sum("x").alias("wsum"))
+    wv = Window.partitionBy("group").orderBy("x")
+    xc = xv.withColumn(
+        "cum",
+        F.sum("wsum").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("w", F.sum("wsum").over(Window.partitionBy("group")))
+    exq = (
+        xc.withColumn(
+            "q_pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+        )
+        .filter(F.col("cum") >= F.expr("(w - 1) * q_pct div 100 + 1"))
+        .groupBy("group", "q_pct")
+        .agg(F.min("x").alias("exact_val"))
+    )
+    return (
+        qq.join(exq, ["group", "q_pct"])
+        .select("group", "q_pct", "n", "exact_val", "lo", "hi", "est")
+        .orderBy("group", "q_pct")
+    )

@@ -566,3 +566,39 @@ def test_hll_refresh_incremental_then_rebuild_on_delete(spark, tmp_path):
     assert refresh_hll_sketch(src, sk, "grp", "v") == "rebuild"
     assert {tuple(r) for r in sk.read().collect()} == want()
     assert refresh_hll_sketch(src, sk, "grp", "v") is None  # replay no-op
+
+
+def test_weighted_qsketch_brackets_weighted_order_statistic(spark):
+    """Weighted quantile: with weight == value, the p50 must sit where
+    cumulative VALUE mass crosses half — far above the unweighted
+    median when a few large values dominate. Bracket checked against a
+    Python weighted-rank model."""
+    import random
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    random.seed(5)
+    vals = [random.randint(1, 100) for _ in range(900)] + [
+        random.randint(50000, 90000) for _ in range(100)
+    ]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x long")
+    sk = qsketch_build(df, "g", F.col("x"), weight=F.col("x"))
+    out = {r.q_pct: r for r in qsketch_quantiles(sk, [50, 90]).collect()}
+    w_total = sum(vals)
+    for pct in (50, 90):
+        r = out[pct]
+        assert r.n == w_total
+        rank = (w_total - 1) * pct // 100 + 1
+        cum = 0
+        for v in sorted(vals):
+            cum += v
+            if cum >= rank:
+                exact = v
+                break
+        assert r.lo <= exact <= r.hi, (pct, r, exact)
+    # the big tail dominates the token mass: weighted p50 is in the
+    # large cluster even though 90% of DOCS are small
+    assert out[50].lo >= 50000 // 2
