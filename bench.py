@@ -103,6 +103,7 @@ HEADLINE = [
     "search-mmr-rerank",  # hybrid arms + greedy diversity rerank
     "text-kneser-ney-ppl",  # KN-smoothed LM scorer
     "text-kneser-ney3-ppl",  # trigram KN recursive chain
+    "text-quantiles-weighted",  # token-weighted percentile read-back
 ]
 
 TIMED_RUNS = 3
