@@ -1,12 +1,24 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+compact JSON line: {"metric", "value", "unit", "queries", "sf",
+"n_queries", "detail_file"}.
+
+Output contract (round-8 fix, VERDICT r7 item 1): the driver captures
+only a ~2,000-char tail of stdout, and at 53 queries the full per-query
+walls + MAD dict grew to 3.3 KB, which the driver could not parse
+(BENCH_r07 `parsed: null`). So the printed line now carries only the
+headline metric plus the top-10 per-query walls (kept under ~1,200
+chars at any plausible registry size), and the FULL per-query detail —
+every wall, every MAD, any errors — goes to a sidecar JSON file
+(default BENCH_DETAIL.json next to this script; BENCH_DETAIL_WRITE.json
+in write mode; override with $SPARK_GRAFT_BENCH_DETAIL).
 
 Per query: one warm-up execution (JIT/codegen/cache warm), then the
 median of 3 timed runs. The headline metric is the sum of per-query
-medians; a parallel "spread" dict carries each query's median absolute
-deviation (MAD) across the timed runs, so a reader can tell machine
-noise from a real regression mechanically (|delta| >> MAD = real).
+medians; the sidecar's "spread" dict carries each query's median
+absolute deviation (MAD) across the timed runs, so a reader can tell
+machine noise from a real regression mechanically (|delta| >> MAD =
+real).
 
 Two execution modes (same queries, same JSON contract):
   default            each run .collect()s — measures compute + the
@@ -166,7 +178,7 @@ def main() -> None:
     total = round(
         sum(v for v in timings.values() if isinstance(v, (int, float))), 4
     )
-    out = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -175,11 +187,45 @@ def main() -> None:
         "sf": sf,
     }
     if write_mode:
-        out["mode"] = "write"
+        detail["mode"] = "write"
         shutil.rmtree(out_root, ignore_errors=True)
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_name = "BENCH_DETAIL_WRITE.json" if write_mode else "BENCH_DETAIL.json"
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, default_name)
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # Compact printed line: headline metric + the top-10 most expensive
+    # walls only. The driver parses a ~2,000-char stdout tail; this line
+    # stays well under that at any registry size.
+    numeric = {
+        k: v for k, v in timings.items() if isinstance(v, (int, float))
+    }
+    top10 = dict(
+        sorted(numeric.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "sf": sf,
+        "n_queries": len(numeric),
+        "detail_file": os.path.basename(detail_path),
+    }
+    if write_mode:
+        out["mode"] = "write"
+    if errors:
+        out["n_errors"] = len(errors)
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench line {len(line)} chars exceeds contract"
+    print(line)
     spark.stop()
 
 

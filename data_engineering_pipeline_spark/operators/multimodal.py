@@ -436,16 +436,20 @@ def resize_media(
                 )
             yield pd.DataFrame(rows, columns=resize_cols)
 
-    sized = media.sparkSession.conf
-    prev = sized.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    # Same conf dance as decode_media: read with the Spark default and
+    # unconditionally restore, so an unset conf doesn't get pinned to
+    # `records_per_batch` for the rest of the session. Note the knob only
+    # affects execution that happens while it is set — callers who need it
+    # for the returned lazy frame should trigger the action inside their
+    # own conf scope.
+    conf = media.sparkSession.conf
+    prev = conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch)
+    )
     try:
-        sized.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(records_per_batch),
-        )
         return media.select("media_id", "content").mapInPandas(
             _resize, RESIZE_SCHEMA
         )
     finally:
-        if prev is not None:
-            sized.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

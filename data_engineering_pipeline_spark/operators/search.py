@@ -221,7 +221,13 @@ def mmr_rerank(
     same shape as pack_greedy: the corpus never enters this operator,
     and distinct queries rerank in parallel. Output:
     ([group_col,] rank, id_col, mmr_obj) — mmr_obj is the objective
-    value AT selection time."""
+    value AT selection time.
+
+    Similarity is treated as SYMMETRIC: the penalty for candidate c
+    against picked s is max(sim[(c,s)], sim[(s,c)], 0), so sims may
+    carry either direction (e.g. only ia < ib pairs) or both — a
+    one-directional input is not silently under-penalized. When both
+    directions are present with different values the larger wins."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -276,7 +282,11 @@ def mmr_rerank(
             best, best_obj = None, None
             for c in sorted(remaining):
                 penalty = max(
-                    (sim.get((c, s), 0) for s in picked), default=0
+                    (
+                        max(sim.get((c, s), 0), sim.get((s, c), 0))
+                        for s in picked
+                    ),
+                    default=0,
                 )
                 obj = scores[c] - (penalty if picked else 0)
                 if best_obj is None or obj > best_obj:

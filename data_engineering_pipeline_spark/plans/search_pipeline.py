@@ -78,6 +78,19 @@ def hybrid_search(
     reads only the probed cells' files; fusion and the pair-similarity
     join touch <= top rows per query; the MMR recurrence runs one
     Arrow group per query."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    # Pin ONE index version up front: the candidate search and the
+    # vector fetch for the MMR similarity join below must read the same
+    # snapshot — a concurrent rebuild between unpinned reads would yield
+    # candidates whose vec_ids are missing from the newer vector read,
+    # silently dropping sims rows and zeroing their MMR penalties
+    # (ann_index_search_pq already does this internally).
+    index_table = SnapshotTable(spark, index_path)
+    index_version = index_table.latest_version()
+
     lex = bm25_scores(docs, query_terms)
     wl = Window.orderBy(F.desc("score"), "doc_id")
     lexr = (
@@ -91,6 +104,7 @@ def hybrid_search(
         index_path,
         k=arm_depth + 1,  # headroom for the self-hit
         n_probe=n_probe,
+        version=index_version,
     ).filter(F.col("corpus_id") != F.col("query_id"))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), "corpus_id"
@@ -116,11 +130,7 @@ def hybrid_search(
         .select("query_id", "doc_id", F.col("rrf").alias("score"))
         .localCheckpoint(eager=False)
     )
-    from data_engineering_pipeline_spark.sources.snapshot_table import (
-        SnapshotTable,
-    )
-
-    vecs = SnapshotTable(spark, index_path).read().select(
+    vecs = index_table.read(version=index_version).select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").alias("__v"),
     ).withColumn("__n", norm(F.col("__v")))

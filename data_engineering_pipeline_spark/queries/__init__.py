@@ -19,97 +19,48 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # canaries. Everything stays registered and locally oracle-tested
 # (tests/test_oracle_queries.py) regardless of rotation.
 _CHECK_FIRST = [
-    # round 7: queries whose implementation changed this round lead
-    # (merge-on-read mode, duplicate-source guard, centroid-versioned
-    # ANN index) — no prior driver row covers the new code paths
-    "text-vocab-hll",  # new: HyperLogLog registers vs exact distinct
-    "text-quantiles-sketch",  # new: dyadic quantile sketch bracket
-    "curation-split-leakage",  # new: component-colocated train split
-    "search-hybrid-rrf",  # new: BM25 + cosine reciprocal-rank fusion
-    "corpus-new-vocab",  # new: KMV set-difference growth monitor
-    "text-contamination-bloom",  # new: Bloom pre-screen, no-FN invariant
-    "events-distinct-users-hll",  # new: HLL over integer keys (DAU shape)
-    "events-rolling-distinct-hll",  # new: sliding-window register merge
-    "multimodal-resize",  # new: nearest-neighbor thumbnail plumbing
-    "search-mmr-rerank",  # new: greedy MMR diversity rerank
-    "text-kneser-ney-ppl",  # new: KN-smoothed LM perplexity buckets
-    "text-kneser-ney3-ppl",  # new: trigram KN recursive backoff chain
-    "text-quantiles-weighted",  # new: token-weighted length percentiles
-    "curation-boilerplate",  # new: document-frequency line filter
-    "curation-dsir",  # new: hashed-bigram importance scores + top-k
-    "text-vocab-kmv",  # new: KMV distinct-count sketch vs exact
-    "text-heavy-hitters-cms",  # new: Count-Min heavy hitters vs exact
-    "ann-topk-pq",  # new: product-quantized ANN (ADC scoring)
-    "text-bpe-train",  # new: BPE merge-rule training (6 rounds)
-    "ann-index-ivfpq",  # new: IVF+PQ two-phase probe on the index table
-    "op-snapshot-datasource",  # new: Python DataSource batch + pushdown
-    "op-snapshot-format-write",  # new: two-phase format write path
-    "text-dup-spans",  # new: exact substring (n-gram span) duplication
-    "op-snapshot-wap",  # new: write-audit-publish via clone promotion
-    "op-snapshot-change-feed",  # new: per-commit CDC transitions
-    "op-snapshot-change-feed-format",  # new: CDC through the format
-    "op-snapshot-incr-agg-cdf",  # new: capture-net refresh path
-    "op-snapshot-stream-source",  # new: streaming source over the log
-    "op-snapshot-clone",  # new: shallow clone isolation
-    "op-snapshot-time-travel",  # new: timestamp AS OF resolution
-    "op-snapshot-merge-mor",  # new: merge-on-read deletion vectors
-    "op-snapshot-cdf-mor",  # new: CDC across DV-only commits
-    "op-snapshot-prune-box",  # new: Z-order + box-pruned read
-    "op-snapshot-bloom-read",  # new: bloom-indexed point read
-    "op-snapshot-incr-join",  # new: CDC-maintained join view
-    "op-snapshot-star-agg",  # new: join view + rollup chain
-    "op-snapshot-restore",  # new: rollback incl. DV state
-    "op-snapshot-merge",  # dup-source guard + composite-key pruning
-    "op-snapshot-delete",  # MoR deletion-vector read path shared
-    "op-snapshot-update",
-    "op-snapshot-cdf",  # CDC across MoR commits
-    "ann-index-table",  # centroids now versioned with the snapshot
-    "curation-shards",  # expired-watermark fallback added
-    # VERDICT r6 item #1: the 72 driver-unsampled queries, oldest driver
-    # evidence first. op-scalar-suite was last driver-checked in r1, the
-    # relational extras in r2, multimodal-decode in r4 — driver evidence
-    # dies on testdata regen, so these lead the r7 window.
-    "op-scalar-suite",  # r1
-    "op-join-semi",  # r2 block starts
-    "op-join-anti",
-    "op-join-outer",
-    "op-rollup",
-    "op-cube",
-    "op-pivot-events",
-    "op-unpivot",
-    "op-percentile",
-    "op-set-ops",
-    "op-agg-distinct",
-    "op-topk-per-group",
-    "op-window-ranks",
+    # round 8 (VERDICT r7 item 2): registry growth is frozen this round —
+    # the entire front of the window is the 65 queries whose last driver
+    # evidence predates round 6, oldest first. The 13 r2-evidence and 6
+    # r4-evidence rows predate the r5 testdata regen, so for those 19 the
+    # driver has never seen a pass on current data; they lead uncondition-
+    # ally. Then the 46 r5-cohort rows, §2 core operators first. Any new
+    # query added this round goes at the TAIL, after the stale set.
+    # -- r2 driver evidence (13) --
     "op-subquery-correlated",
     "op-subquery-scalar",
-    "op-resample-ffill",
-    "op-hash-sample",
-    "op-stratified-sample",
-    "op-date-trunc-trend",
+    "op-window-ranks",
+    "op-set-ops",
+    "op-unpivot",
     "op-string-funcs",
     "op-explode-arrays",
-    "op-quality-report",
-    "op-json-schema-extract",
     "op-histogram",
+    "op-json-schema-extract",
+    "op-quality-report",
+    "op-agg-distinct",
+    "op-date-trunc-trend",
     "events-window-sliding",
-    "multimodal-decode",  # r4
-    # the r5 cohort: last driver row predates the r6 window; re-prove on
-    # current testdata. §2 core operators first, then suites.
+    # -- r4 driver evidence (6) --
+    "multimodal-decode",
+    "op-hash-sample",
+    "op-percentile",
+    "op-resample-ffill",
+    "op-stratified-sample",
+    "op-topk-per-group",
+    # -- r5 cohort (46), §2 core operators first --
+    "parity-pipeline",
+    "op-window-lag1",
+    "op-window-roll5",
+    "op-join-inner-equi",
+    "op-sink-upsert",
+    "op-scan-ordered",
     "op-json-extract",
     "op-validate-cast",
     "op-project-alias",
     "op-filter-notnull",
-    "op-join-inner-equi",
     "op-agg-count",
     "op-groupby-collect",
-    "op-window-lag1",
     "op-sort-limit-topk",
-    "parity-pipeline",
-    "op-sink-upsert",
-    "op-scan-ordered",
-    "op-window-roll5",
     "q2-min-cost-supplier",
     "q11-important-stock",
     "q12-ship-speed",
@@ -143,8 +94,7 @@ _CHECK_FIRST = [
     "multimodal-frames",
     "op-zorder-key",
     "op-scd2-history",
-    # round-6 canaries (driver-green in r6 on current testdata) — kept at
-    # the tail so any window overflow drops re-proven rows, not stale ones
+    # -- r6 evidence canaries --
     "q1-pricing-summary",
     "q6-forecast-revenue",
     "text-quality",
@@ -155,6 +105,10 @@ _CHECK_FIRST = [
     "op-snapshot-incr-agg",
     "op-graph-pagerank",
     "classify-quality",
+    # -- round-8 new/changed queries (tail by directive) --
+    "op-snapshot-rename",  # new: column-mapping rename mid-history
+    "curation-ppl-gate",  # new: KN-perplexity bucket gate corpus mix
+    "op-snapshot-merge",  # touched: uniqueness proof folded into stat-prune
 ]
 
 
