@@ -974,6 +974,72 @@ def op_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "op-snapshot-rename",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 397 = 0
+    ORDER BY order_id
+    """,
+)
+def op_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING on the snapshot table
+    (sources/snapshot_table.py rename_column): the stat-pruned AND
+    bloom-indexed key column is renamed MID-HISTORY — half the table's
+    files were written under the old physical name — and the read
+    under the new name must still (a) serve every row of both file
+    generations with values correctly paired, (b) stat-prune with a
+    point set, and (c) bloom-prune, both resolving per-file metadata
+    keyed by the OLD name through the stable column ids. The oracle
+    recomputes the row set relationally, so a broken name resolution
+    (lost rows, resurrected bytes, prune dropping live keys) surfaces
+    as a row/value mismatch. Point and bloom probe lists are bounded
+    driver-side collects (~max_orderkey/397 values)."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="snap_rename_q_")
+    t = SnapshotTable(
+        spark, os.path.join(base, "t"),
+        stat_cols=["o_orderkey"], bloom_cols=["o_custkey"],
+    )
+    # generation 1: written under the ORIGINAL column name
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    # the metadata-only rename; stats/bloom sidecars stay keyed by the
+    # old physical name and resolve through the column ids
+    t.rename_column("o_orderkey", "order_id")
+    # generation 2: written under the NEW name
+    t.append(
+        orders.filter(F.col("o_orderstatus") != "F")
+        .withColumnRenamed("o_orderkey", "order_id")
+    )
+    probes = orders.filter(F.col("o_orderkey") % 397 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    pts = sorted(r["o_orderkey"] for r in probes)
+    custs = sorted({r["o_custkey"] for r in probes})
+    return (
+        t.read(
+            prune=[("order_id", pts)],
+            bloom=[("o_custkey", custs)],
+        )
+        .filter(F.col("order_id").isin(pts))
+        .select(
+            "order_id",
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("order_id")
+    )
+
+
+@_register(
     "op-snapshot-cdf",
     """
     WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),

@@ -493,7 +493,12 @@ class SnapshotTable:
             for r in m["removes"]:
                 live.pop(r, None)
             for a in m["adds"]:
-                live[a["path"]] = a
+                # stamp the ADDING version: column mapping resolves a
+                # file's physical column names from the colmap that was
+                # current when the file entered the log (explicit
+                # per-entry "cmap" — stamped by restore/clone/publish —
+                # wins over the version stamp)
+                live[a["path"]] = {**a, "v": v}
             # merge-on-read: a deletion-vector commit attaches dv files
             # to still-live targets; a target's DVs die with it (the
             # pop above) — compaction implicitly retires them
@@ -567,6 +572,155 @@ class SnapshotTable:
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(expr))
         return df
+
+    # ---------------- column mapping (rename / drop) ----------------
+    #
+    # Iceberg/Delta-style COLUMN MAPPING: every column gets a stable
+    # integer id the first time it appears, and all metadata that must
+    # survive a rename — per-file stats keys, bloom sidecar columns,
+    # CDC rows, prune predicates — resolves through ids instead of
+    # names. The mapping lives in the versioned `colmap` table property
+    # (JSON {current_name: id}); a data file's PHYSICAL column names
+    # are the names that were current when it was committed, recovered
+    # from the colmap at the file's adding version (stamped on every
+    # live entry during replay) or from an explicit per-entry "cmap"
+    # (stamped by restore/clone/publish, whose adds re-reference files
+    # born under older mappings). Tables that never rename/drop never
+    # get a colmap and take the exact pre-mapping code paths — zero
+    # plan or metadata change.
+
+    def _colmap_at(self, version: int | None) -> dict[str, int] | None:
+        """{current_name: id} as of `version`, None when the table has
+        no column mapping at that version (pre-bootstrap)."""
+        if version is None or self.latest_version() is None:
+            return None
+        raw = self.properties_at(version).get("colmap")
+        if not raw:
+            return None
+        return {n: int(i) for n, i in json.loads(raw).items()}
+
+    def _colmap_base(self) -> dict[str, int] | None:
+        """The PRE-BOOTSTRAP name->id mapping — the interpretation for
+        files (and checkpoint entries) that predate the mapping: their
+        physical names are exactly the names current at bootstrap,
+        because renames only exist after it. Stamped as the
+        `colmap_base` property by the bootstrapping rename/drop (the
+        first `colmap` itself already reflects that commit's change,
+        so it is NOT a valid interpretation of older files). Memoized
+        once found (immutable); absence is never memoized — a table
+        can bootstrap later in this handle's life."""
+        memo = self.__dict__.get("_colmap_base_memo")
+        if memo is not None:
+            return memo
+        head = self.latest_version()
+        if head is None:
+            return None
+        raw = self.properties_at(head).get("colmap_base")
+        base = (
+            {n: int(i) for n, i in json.loads(raw).items()}
+            if raw else None
+        )
+        if base is not None:
+            self._colmap_base_memo = base
+        return base
+
+    def _entry_phys(self, e: dict) -> dict[int, str]:
+        """id -> physical column name for one live-file entry."""
+        cmap = e.get("cmap")
+        if cmap is not None:
+            return {int(i): n for n, i in cmap.items()}
+        cm = self._colmap_at(e.get("v")) if e.get("v") is not None else None
+        if cm is None:
+            cm = self._colmap_base() or {}
+        return {i: n for n, i in cm.items()}
+
+    def _entry_cmap(self, e: dict) -> dict[str, int]:
+        """{physical_name: id} for one entry — the explicit form
+        restore/clone/publish stamp onto re-referenced adds so the
+        mapping survives without the original log."""
+        return {n: i for i, n in self._entry_phys(e).items()}
+
+    def _stats_name(self, e: dict, col: str,
+                    colmap: dict[str, int] | None) -> str:
+        """The key under which `col` (a CURRENT name) appears in this
+        entry's stats / bloom sidecar — its physical name at write
+        time. Falls back to the name itself when unmapped (the file
+        then simply has no stats under it: conservative keep)."""
+        if colmap is None or col not in colmap:
+            return col
+        return self._entry_phys(e).get(colmap[col], col)
+
+    def _next_col_id(self, version: int) -> int:
+        props = self.properties_at(version)
+        if "colmap_seq" in props:
+            return int(props["colmap_seq"])
+        cm = self._colmap_at(version) or {}
+        return (max(cm.values()) + 1) if cm else 0
+
+    def _remap_names(self, df: DataFrame, from_v: int, to_v: int,
+                     keep: tuple = ()) -> DataFrame:
+        """Rename df's columns from their `from_v` names to their
+        `to_v` names through the ids; columns dropped by `to_v` are
+        omitted, `keep` columns (feed bookkeeping) pass through. No-op
+        when the table has no mapping."""
+        from pyspark.sql import functions as F
+
+        cm_from = self._colmap_at(from_v)
+        cm_to = self._colmap_at(to_v)
+        if cm_from is None and cm_to is None:
+            return df
+        base = self._colmap_base() or {}
+        cm_from = cm_from if cm_from is not None else base
+        cm_to = cm_to if cm_to is not None else base
+        id_to_new = {i: n for n, i in cm_to.items()}
+        sel = []
+        for c in df.columns:
+            if c in keep or c not in cm_from:
+                sel.append(F.col(c))
+                continue
+            i = cm_from[c]
+            if i in id_to_new:
+                sel.append(F.col(c).alias(id_to_new[i]))
+            # else: dropped by to_v — omit
+        return df.select(*sel)
+
+    def _name_at(self, version: int, col: str, ref_version: int) -> str:
+        """The name `col` (current at ref_version) had at `version`."""
+        cm_ref = self._colmap_at(ref_version)
+        if cm_ref is None or col not in cm_ref:
+            return col
+        i = cm_ref[col]
+        cm_v = self._colmap_at(version)
+        if cm_v is None:
+            cm_v = self._colmap_base() or {}
+        for n, j in cm_v.items():
+            if j == i:
+                return n
+        return col
+
+    def _colmap_props(self, head: int | None, schema,
+                      replace: bool) -> dict | None:
+        """Property updates a commit recording `schema` must carry to
+        keep the colmap consistent: new columns get fresh ids; an
+        overwrite (replace) restricts the mapping to the surviving
+        names. None when the table has no mapping (nothing to do) or
+        nothing changed. Called per commit-loop retry — the head (and
+        therefore the base mapping) can move between attempts."""
+        cm = self._colmap_at(head) if head is not None else None
+        if cm is None or schema is None:
+            return None
+        names = schema.fieldNames()
+        out = dict(cm)
+        if replace:
+            out = {n: i for n, i in out.items() if n in names}
+        seq = self._next_col_id(head)
+        for n in names:
+            if n not in out:
+                out[n] = seq
+                seq += 1
+        if out == cm and seq == self._next_col_id(head):
+            return None
+        return {"colmap": json.dumps(out), "colmap_seq": str(seq)}
 
     def _write_blooms(self, moved: list[str], stats: list[dict],
                       bloom_cols: list[str] | None = None) -> None:
@@ -734,11 +888,16 @@ class SnapshotTable:
         the handle."""
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
+        cm = self._colmap_at(v)
         pos_cache = self._bloom_pos_memo
 
-        def might_contain(doc: dict, col: str, values: list) -> bool:
+        def might_contain(doc: dict, col: str, values: list,
+                          phys: str) -> bool:
+            # sidecar headers key the PHYSICAL (write-time) name; the
+            # probe type comes from the current schema (types never
+            # change across a rename)
             cols = doc["cols"]
-            if col not in cols:
+            if phys not in cols:
                 return True
             if schema is None or col not in schema.fieldNames():
                 return True
@@ -750,7 +909,7 @@ class SnapshotTable:
                 pos_cache[key] = self._bloom_probe_positions(
                     col, values, doc["m"], dtype
                 )
-            bits = cols[col]
+            bits = cols[phys]
             for ps in pos_cache[key]:
                 hit = True
                 for p in ps:
@@ -771,7 +930,10 @@ class SnapshotTable:
                 out[name] = e
                 continue
             if all(
-                might_contain(doc, col, list(values))
+                might_contain(
+                    doc, col, list(values),
+                    self._stats_name(e, col, cm),
+                )
                 for col, values in preds
             ):
                 out[name] = e
@@ -930,8 +1092,7 @@ class SnapshotTable:
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
-            if properties is not None:
-                manifest["properties"] = properties
+            props = dict(properties) if properties is not None else None
             if dv_adds:
                 manifest["dv_adds"] = dv_adds
             if cdc_adds:
@@ -943,6 +1104,17 @@ class SnapshotTable:
                     if cur is not None:
                         eff = _merge_schemas(cur, schema)
                 manifest["schema"] = eff.json()
+                # column-mapped tables: new columns get stable ids in
+                # the SAME commit that introduces them (re-computed per
+                # retry — the head's mapping can move under us). A
+                # caller-supplied colmap (rename/drop) wins.
+                cm_props = self._colmap_props(head, eff, replace_schema)
+                if cm_props:
+                    merged = dict(cm_props)
+                    merged.update(props or {})
+                    props = merged
+            if props is not None:
+                manifest["properties"] = props
             if self._try_commit(next_v, manifest):
                 return next_v
             # lost the race: loop re-reads the new head and re-validates
@@ -1004,8 +1176,14 @@ class SnapshotTable:
             }
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
-            if properties is not None:
-                manifest["properties"] = properties
+            props = dict(properties) if properties is not None else None
+            cm_props = self._colmap_props(head, eff, False)
+            if cm_props:
+                merged = dict(cm_props)
+                merged.update(props or {})
+                props = merged
+            if props is not None:
+                manifest["properties"] = props
             if report is not None:
                 manifest["expectations"] = report
             if self._try_commit(next_v, manifest):
@@ -1207,9 +1385,13 @@ class SnapshotTable:
         if cluster_by:
             bounds: dict[str, tuple[float, float]] = {}
             entries = list(read_files.values())
+            cl_cm = self._colmap_at(head)
             for c in cluster_by:
-                per_file = [e["stats"][c] for e in entries
-                            if c in e.get("stats", {})]
+                per_file = [
+                    e["stats"][self._stats_name(e, c, cl_cm)]
+                    for e in entries
+                    if self._stats_name(e, c, cl_cm) in e.get("stats", {})
+                ]
                 if len(per_file) == len(entries) and per_file:
                     bounds[c] = (min(p[0] for p in per_file),
                                  max(p[1] for p in per_file))
@@ -1484,7 +1666,14 @@ class SnapshotTable:
                 )
 
         ranges = {k: (rng[f"lo_{k}"], rng[f"hi_{k}"]) for k in keys}
-        candidates = _prune_candidates(live, keys, ranges, points)
+        merge_cm = self._colmap_at(head)
+        candidates = _prune_candidates(
+            live, keys, ranges, points,
+            stats_name=(
+                (lambda e, k: self._stats_name(e, k, merge_cm))
+                if merge_cm is not None else None
+            ),
+        )
         if points and candidates:
             # bloom pre-prune (no-op without sidecars): on an
             # UNCLUSTERED table every file's [min,max] spans the key
@@ -2030,6 +2219,11 @@ class SnapshotTable:
                 f"change_feed requires v_from < v_to "
                 f"(got {v_from} >= {v_to})"
             )
+        # feed rows are served under the END version's column names;
+        # commits before a rename emit their own (older) names and get
+        # remapped through the ids (no-op on unmapped tables)
+        mapped = self._colmap_at(v_to) is not None
+        feed_keep = ("_change_type", "_commit_version")
         parts = []
         for v in range(v_from + 1, v_to + 1):
             try:
@@ -2047,6 +2241,8 @@ class SnapshotTable:
                     os.path.join(self.path, "data", e["path"])
                     for e in m["cdc"]
                 ])
+                if mapped:
+                    df = self._remap_names(df, v, v_to, keep=feed_keep)
                 parts.append(df.withColumn("_commit_version", stamp))
                 continue
             no_change = not m["removes"] and not m.get("dv_adds")
@@ -2054,8 +2250,12 @@ class SnapshotTable:
                 continue  # pure metadata commit
             if no_change:
                 # append/clone: the added files ARE the insert rows
-                entries = {a["path"]: a for a in m["adds"]}
-                df = self._df_for(entries, self._schema_at(v))
+                # (read straight under the END version's names — the
+                # mapped read resolves each entry's physical names)
+                entries = {a["path"]: {**a, "v": v} for a in m["adds"]}
+                df = self._df_for(
+                    entries, self._schema_at(v), at_version=v_to
+                )
                 parts.append(
                     df.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", stamp)
@@ -2063,10 +2263,18 @@ class SnapshotTable:
                 continue
             if m["op"] in ("compact", "purge"):
                 continue  # physical rewrite, no logical change
-            parts.append(
-                self.changes(v - 1, v, keys)
-                .withColumn("_commit_version", stamp)
+            if m["op"] in ("rename", "drop_column"):
+                continue  # metadata-only schema change, no row change
+            keys_v = (
+                [self._name_at(v, k, v_to) for k in keys]
+                if mapped else keys
             )
+            diff = self.changes(v - 1, v, keys_v).withColumn(
+                "_commit_version", stamp
+            )
+            if mapped:
+                diff = self._remap_names(diff, v, v_to, keep=feed_keep)
+            parts.append(diff)
         if not parts:
             # empty feed with the right shape
             return (
@@ -2227,13 +2435,20 @@ class SnapshotTable:
         added = {
             n: e for n, e in b.items() if n not in a or n in dv_changed
         }
-        # both sides read under v_to's schema: columns added between
-        # the versions diff as null -> value transitions
+        # both sides read under v_to's schema AND column names: columns
+        # added between the versions diff as null -> value transitions;
+        # a rename between them is pure metadata (same ids, no change)
         sch = self._schema_at(v_to)
-        proto = self._df_for(a if a else b, sch)
+        proto = self._df_for(a if a else b, sch, at_version=v_to)
         cols = [c for c in proto.columns if c not in keys]
-        old = self._read_files(removed, sch) if removed else proto.limit(0)
-        new = self._read_files(added, sch) if added else proto.limit(0)
+        old = (
+            self._read_files(removed, sch, at_version=v_to)
+            if removed else proto.limit(0)
+        )
+        new = (
+            self._read_files(added, sch, at_version=v_to)
+            if added else proto.limit(0)
+        )
         o = old.select(*keys, F.struct(*cols).alias("__o"))
         n = new.select(*keys, F.struct(*cols).alias("__n"))
         j = o.join(n, keys, "full_outer")
@@ -2458,18 +2673,107 @@ class SnapshotTable:
             self.path, "data", p
         )
 
-    def _df_for(self, files: dict[str, dict], schema=None) -> DataFrame:
-        paths = [
-            self._data_path(name, files[name]) for name in sorted(files)
+    def _mapping_groups(self, files: dict[str, dict],
+                        at_version: int | None):
+        """Column-mapping read plan: group `files` by their physical-
+        name signature for the read version's columns. Returns None on
+        the FAST PATH — no colmap, or every file's physical names match
+        the current names (identity), which covers every table that
+        has never renamed: the caller then takes the exact pre-mapping
+        read. Otherwise returns (current fields, [(signature, paths)])
+        where a signature holds, per current field, the physical name
+        in that group's files (None = the files predate the column —
+        null-fill)."""
+        v = self.latest_version() if at_version is None else at_version
+        colmap = self._colmap_at(v)
+        if colmap is None or not files:
+            return None
+        schema = self._schema_at(v)
+        if schema is None:
+            return None
+        cur = [(f, colmap.get(f.name)) for f in schema.fields]
+        groups: dict[tuple, list[str]] = {}
+        identity = True
+        for name in sorted(files):
+            e = files[name]
+            phys_of = self._entry_phys(e)
+            write_ids = {n: i for i, n in phys_of.items()}
+            sig = tuple(
+                phys_of.get(fid, None) if fid is not None else f.name
+                for f, fid in cur
+            )
+            groups.setdefault(sig, []).append(self._data_path(name, e))
+            for (f, fid), p in zip(cur, sig):
+                if p is not None and p != f.name:
+                    identity = False  # plain rename: physical != current
+                elif p is None and write_ids.get(f.name) not in (
+                    None, fid
+                ):
+                    # drop-then-readd: the file may physically hold a
+                    # DIFFERENT (dropped) column under this reused name
+                    # — a plain schema read would resurrect its bytes
+                    identity = False
+        if identity:
+            return None
+        return [f for f, _ in cur], sorted(
+            groups.items(),
+            key=lambda kv: tuple(p or "" for p in kv[0]),
+        )
+
+    def _df_for(self, files: dict[str, dict], schema=None,
+                at_version: int | None = None,
+                with_meta: bool = False) -> DataFrame:
+        """Scan a file set under the read version's column names.
+        `with_meta=True` appends `__file`/`__pos` (file name, row
+        index) — the coordinates DV masking and DML need."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        meta_cols = [
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
         ]
-        if schema is not None:
-            # explicit schema: files written before a column existed
-            # read it as null — the schema-evolution read contract
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        mg = self._mapping_groups(files, at_version)
+        if mg is None:
+            paths = [
+                self._data_path(name, files[name])
+                for name in sorted(files)
+            ]
+            if schema is not None:
+                # explicit schema: files written before a column existed
+                # read it as null — the schema-evolution read contract
+                df = self.spark.read.schema(schema).parquet(*paths)
+            else:
+                df = self.spark.read.parquet(*paths)
+            return df.select("*", *meta_cols) if with_meta else df
+
+        cur_fields, groups = mg
+        parts = []
+        for sig, paths in groups:
+            read_fields = [
+                StructField(phys, f.dataType, True)
+                for f, phys in zip(cur_fields, sig)
+                if phys is not None
+            ]
+            raw = self.spark.read.schema(
+                StructType(read_fields)
+            ).parquet(*paths)
+            sel = [
+                F.col(phys).alias(f.name) if phys is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f, phys in zip(cur_fields, sig)
+            ]
+            if with_meta:
+                sel += meta_cols
+            parts.append(raw.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _read_files(self, files: dict[str, dict], schema=None,
-                    with_pos: bool = False) -> DataFrame:
+                    with_pos: bool = False,
+                    at_version: int | None = None) -> DataFrame:
         """The DV-AWARE read every content consumer goes through:
         files carrying deletion vectors get their masked rows dropped
         by a (file, position) anti-join; files without DVs take the
@@ -2489,20 +2793,17 @@ class SnapshotTable:
 
         dvd = {n: e for n, e in files.items() if e.get("dvs")}
         if not dvd and not with_pos:
-            return self._df_for(files, schema)
+            return self._df_for(files, schema, at_version)
 
         def tagged(sub: dict[str, dict]) -> DataFrame:
-            return self._df_for(sub, schema).select(
-                "*",
-                F.col("_metadata.file_name").alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+            return self._df_for(sub, schema, at_version, with_meta=True)
 
         plain = {n: e for n, e in files.items() if n not in dvd}
         parts = []
         if plain:
             parts.append(
-                tagged(plain) if with_pos else self._df_for(plain, schema)
+                tagged(plain) if with_pos
+                else self._df_for(plain, schema, at_version)
             )
         if dvd:
             dv_paths = sorted(
@@ -2532,9 +2833,9 @@ class SnapshotTable:
                       for x in (F.lit(n), F.lit(i))]
                 )
                 key = (
-                    fmap[F.col("_metadata.file_name")].cast("long")
+                    fmap[F.col("__file")].cast("long")
                     * F.lit(1 << 40)
-                    + F.col("_metadata.row_index")
+                    + F.col("__pos")
                 ).alias("__key")
                 dv = dv_raw.select(
                     (
@@ -2546,10 +2847,10 @@ class SnapshotTable:
                 if small:
                     dv = F.broadcast(dv)
                 kept = (
-                    self._df_for(dvd, schema)
+                    tagged(dvd)
                     .select("*", key)
                     .join(dv, "__key", "left_anti")
-                    .drop("__key")
+                    .drop("__key", "__file", "__pos")
                 )
                 parts.append(kept)
             else:
@@ -2566,14 +2867,9 @@ class SnapshotTable:
                     kept if with_pos else kept.drop("__file", "__pos")
                 )
         if not parts:
-            empty = self._df_for(files, schema).limit(0)
-            if with_pos:
-                empty = empty.select(
-                    "*",
-                    F.col("_metadata.file_name").alias("__file"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
-            return empty
+            return self._df_for(
+                files, schema, at_version, with_meta=with_pos
+            ).limit(0)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2623,12 +2919,12 @@ class SnapshotTable:
             raise ValueError("empty table (no committed version)")
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
-        files = self._apply_prunes(files, prune, bloom, version)
+        files = self._apply_prunes(files, prune, bloom, v)
         if not files:
             # every file pruned: empty frame with the right schema
             any_files = self._live_files(version)
-            return self._df_for(any_files, schema).limit(0)
-        return self._read_files(files, schema)
+            return self._df_for(any_files, schema, v).limit(0)
+        return self._read_files(files, schema, at_version=v)
 
     def _apply_prunes(
         self,
@@ -2639,14 +2935,22 @@ class SnapshotTable:
     ) -> dict[str, dict]:
         """The shared file-pruning ladder: manifest stat predicates
         (range or point-set), then bloom sidecars — both conservative
-        over-approximations of "might contain"."""
+        over-approximations of "might contain". Predicates name
+        columns by their CURRENT names; per-file stats are keyed by
+        the names current when the file was written, so lookups go
+        through the column mapping (identity when the table never
+        renamed)."""
         if prune:
+            v = self.latest_version() if version is None else version
+            cm = self._colmap_at(v)
+
             def keep(e, pred) -> bool:
                 if len(pred) == 3:
                     col, lo, hi = pred
-                    return _may_contain(e["stats"].get(col), lo, hi)
+                    mm = e["stats"].get(self._stats_name(e, col, cm))
+                    return _may_contain(mm, lo, hi)
                 col, values = pred
-                mm = e["stats"].get(col)
+                mm = e["stats"].get(self._stats_name(e, col, cm))
                 return mm is None or any(
                     _may_contain(mm, x, x) for x in values
                 )
@@ -2662,6 +2966,158 @@ class SnapshotTable:
         if bloom and files:
             files = self._bloom_keep_files(files, bloom, version)
         return files
+
+    # ------------- column rename / drop (metadata-only) -------------
+
+    def _mapping_refs_guard(self, col: str) -> None:
+        """Refuse a rename/drop of a column referenced by a CHECK
+        constraint or a generated-column expression: those are SQL
+        text keyed on names, and silently rewriting user SQL is worse
+        than an explicit error (Delta makes the same demand — drop and
+        recreate the constraint around the rename)."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        for n, pred in self.constraints().items():
+            if pat.search(pred):
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint "
+                    f"{n!r} ({pred!r}); drop the constraint, change the "
+                    "column, then re-add it with the new name"
+                )
+        for c, expr in self._effective_generated().items():
+            if c == col:
+                raise ValueError(
+                    f"column {col!r} is a generated column; drop the "
+                    "generation rule first"
+                )
+            if pat.search(expr):
+                raise ValueError(
+                    f"column {col!r} is referenced by generated column "
+                    f"{c!r} ({expr!r}); update the generation rule first"
+                )
+
+    def _bootstrap_colmap(
+        self, head: int
+    ) -> tuple[dict[str, int], int, dict | None]:
+        """Current mapping plus the next free id; when this is the
+        table's first rename/drop, the mapping is bootstrapped from
+        the schema (ids by field position) and returned as the third
+        element too — the caller must stamp it as `colmap_base` so
+        pre-bootstrap files keep resolving to their true (bootstrap)
+        physical names."""
+        cm = self._colmap_at(head)
+        if cm is not None:
+            return dict(cm), self._next_col_id(head), None
+        schema = self._schema_at(head)
+        if schema is None:
+            raise ValueError(
+                "table has no recorded schema; column mapping needs one"
+            )
+        cm = {n: i for i, n in enumerate(schema.fieldNames())}
+        return cm, len(cm), dict(cm)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as ONE metadata commit — no data movement
+        (Delta column mapping / Iceberg's id-based rename). The column
+        keeps its stable id, so per-file stats, bloom sidecars, CDC
+        rows and prune predicates written under the old name keep
+        working: reads resolve the new name through the id to each
+        file's physical (write-time) name. Time travel to a
+        pre-rename version serves the old name (the mapping is
+        versioned with the log). stat_cols/bloom_cols properties (and
+        this handle's own lists) follow the rename; columns referenced
+        by constraints or generated columns are refused."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot rename a column of an empty table")
+        schema = self._schema_at(head)
+        if schema is None or old not in schema.fieldNames():
+            raise ValueError(f"no column {old!r} at head version {head}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        self._mapping_refs_guard(old)
+        cm, seq, base = self._bootstrap_colmap(head)
+        cm = {(new if n == old else n): i for n, i in cm.items()}
+        props = {"colmap": json.dumps(cm), "colmap_seq": str(seq)}
+        if base is not None:
+            props["colmap_base"] = json.dumps(base)
+        # metadata columns follow the rename — on the persisted
+        # properties AND this handle's own lists (so its next commit's
+        # property stamp doesn't resurrect the old name). Handles
+        # created before the rename should be rebuilt.
+        stat = self._effective_stat_cols()
+        if old in stat:
+            self.stat_cols = [new if c == old else c for c in stat]
+            props["stat_cols"] = ",".join(self.stat_cols)
+        bloom = self._effective_bloom_cols()
+        if old in bloom:
+            self.bloom_cols = [new if c == old else c for c in bloom]
+            props["bloom_cols"] = ",".join(self.bloom_cols)
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType([
+            StructField(new if f.name == old else f.name,
+                        f.dataType, f.nullable)
+            for f in schema.fields
+        ])
+        return self._commit_loop(
+            "rename", [], self._fixed_head_guard(head),
+            schema=new_schema, replace_schema=True, properties=props,
+        )
+
+    def _fixed_head_guard(self, head: int):
+        """removes_fn for metadata-only schema commits (rename/drop):
+        they validated against `head` and replace the schema, so ANY
+        concurrent commit (which may have evolved schema or mapping)
+        conflicts — the caller re-runs against fresh state."""
+        def removes(live_now: dict[str, dict]) -> list[str]:
+            if self.latest_version() != head:
+                raise SnapshotConflict(
+                    "table changed under this schema change; re-run"
+                )
+            return []
+
+        return removes
+
+    def drop_column(self, col: str) -> int:
+        """DROP COLUMN as ONE metadata commit: the column leaves the
+        schema and the mapping; its bytes stay in the data files
+        (parquet column pruning means readers never touch them) and
+        remain served by time travel to pre-drop versions. A later
+        ADD of the same name is a NEW column (fresh id) — old values
+        do not resurrect, exactly Delta/Iceberg drop semantics."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot drop a column of an empty table")
+        schema = self._schema_at(head)
+        if schema is None or col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} at head version {head}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        self._mapping_refs_guard(col)
+        cm, seq, base = self._bootstrap_colmap(head)
+        cm.pop(col, None)
+        props = {"colmap": json.dumps(cm), "colmap_seq": str(seq)}
+        if base is not None:
+            props["colmap_base"] = json.dumps(base)
+        stat = self._effective_stat_cols()
+        if col in stat:
+            self.stat_cols = [c for c in stat if c != col]
+            props["stat_cols"] = ",".join(self.stat_cols)
+        bloom = self._effective_bloom_cols()
+        if col in bloom:
+            self.bloom_cols = [c for c in bloom if c != col]
+            props["bloom_cols"] = ",".join(self.bloom_cols)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        return self._commit_loop(
+            "drop_column", [], self._fixed_head_guard(head),
+            schema=new_schema, replace_schema=True, properties=props,
+        )
 
     # ------------- table-level CHECK constraints -------------
 
@@ -2787,7 +3243,28 @@ class SnapshotTable:
         if version == head:
             return head  # already there: no-op, no empty commit
         old = self._live_files(version)  # raises if expired/unknown
-        adds = [dict(e) for e in old.values()]
+        mapped = self._colmap_at(version) is not None or (
+            self._colmap_at(head) is not None
+        )
+        adds = []
+        for e in old.values():
+            entry = dict(e)
+            if mapped:
+                # the re-added entries will be stamped with the RESTORE
+                # commit's version on replay — their true write-time
+                # mapping must ride along explicitly
+                entry["cmap"] = self._entry_cmap(e)
+            adds.append(entry)
+        props = None
+        if mapped:
+            # the restored head serves the TARGET version's names; ids
+            # already spent stay spent (colmap_seq never rewinds)
+            cm = self._colmap_at(version)
+            props = {
+                "colmap": json.dumps(cm if cm is not None else
+                                     self._colmap_base() or {}),
+                "colmap_seq": str(self._next_col_id(head)),
+            }
 
         def removes(now: dict[str, dict]) -> list[str]:
             return sorted(now)
@@ -2795,6 +3272,7 @@ class SnapshotTable:
         return self._commit_loop(
             "restore", adds, removes,
             schema=self._schema_at(version), replace_schema=True,
+            properties=props,
         )
 
     def clone_to(self, dest_path: str, version: int | None = None,
@@ -2830,6 +3308,7 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
         props = self.properties_at(v)
+        mapped = self._colmap_at(v) is not None
         adds = []
         for name, e in live.items():
             entry = dict(e)
@@ -2838,6 +3317,10 @@ class SnapshotTable:
                 entry["dvs"] = [
                     os.path.abspath(self._dv_path(p)) for p in e["dvs"]
                 ]
+            if mapped:
+                # the clone cannot replay THIS table's log to recover
+                # each file's write-time mapping — materialize it
+                entry["cmap"] = self._entry_cmap(e)
             adds.append(entry)
         dest = SnapshotTable(
             self.spark, dest_path,
@@ -2945,12 +3428,29 @@ class SnapshotTable:
             adopted[loc] = name
             return name
 
+        clone_mapped = clone._colmap_at(head_c) is not None
+        src_head = self.latest_version()
+        if (not clone_mapped and src_head is not None
+                and self._colmap_at(src_head) is not None):
+            # the source bootstrapped column mapping after the fork —
+            # a metadata-only change the file-level conflict guard
+            # cannot see; the clone's unmapped entries would be
+            # misread under the source's (possibly renamed) mapping
+            raise SnapshotConflict(
+                "source gained column mapping since the fork; "
+                "re-clone and re-apply"
+            )
         adds: list[dict] = []
         inherited: dict[str, tuple] = {}  # name -> expected dv names
         for name, e in live_c.items():
+            # "v" is a clone-log version stamp — meaningless in this
+            # table's log; the write-time mapping travels explicitly
             entry = {
-                k: v for k, v in e.items() if k not in ("loc", "dvs")
+                k: v for k, v in e.items()
+                if k not in ("loc", "dvs", "v")
             }
+            if clone_mapped:
+                entry["cmap"] = clone._entry_cmap(e)
             dvs = []
             for p in e.get("dvs", ()):
                 dloc = os.path.abspath(clone._dv_path(p))
@@ -3017,10 +3517,29 @@ class SnapshotTable:
                 if n not in keep and n not in kept_post_fork
             )
 
+        pub_props = None
+        if clone_mapped:
+            # the published head serves the CLONE's names (it may have
+            # renamed); ids are shared with this table by construction
+            # (the clone copied them at fork time)
+            pub_props = {
+                "colmap": json.dumps(clone._colmap_at(head_c)),
+                "colmap_seq": str(
+                    max(
+                        clone._next_col_id(head_c),
+                        self._next_col_id(self.latest_version())
+                        if self.latest_version() is not None else 0,
+                    )
+                ),
+            }
+            base_c = clone._colmap_base()
+            if base_c is not None:
+                pub_props["colmap_base"] = json.dumps(base_c)
         try:
             return self._commit_loop(
                 "publish", adds, removes,
                 schema=schema, replace_schema=True,
+                properties=pub_props,
             )
         except SnapshotConflict:
             for dst, _orig in moved:
@@ -3071,17 +3590,21 @@ def _prune_candidates(
     keys: list[str],
     ranges: dict[str, tuple],
     points: dict[str, list],
+    stats_name=None,
 ) -> dict[str, dict]:
     """Files that MAY hold one of the merge source's keys, judged from
     manifest stats alone (driver-side, O(files x keys)): each key
     column must pass either the point-set test (any source value in
     the file's [min,max] — tight for sparse scattered batches) or the
     range test (big batches). A column with no recorded stats can
-    never prune a file."""
+    never prune a file. `stats_name(entry, col)` resolves the per-file
+    stats key on column-mapped tables (identity when None)."""
 
     def may_hold(e: dict) -> bool:
         for k in keys:
-            mm = e["stats"].get(k)
+            mm = e["stats"].get(
+                stats_name(e, k) if stats_name is not None else k
+            )
             if mm is None:
                 continue
             if points:

@@ -1,0 +1,261 @@
+"""Column mapping (rename / drop) on the snapshot table: stable column
+ids make renames metadata-only while per-file stats, bloom sidecars,
+prune predicates, CDC, time travel, restore and clones keep working —
+the Delta column-mapping / Iceberg id-based contract. The adversarial
+cases: files written BEFORE the rename carry the old physical name, so
+every metadata consumer must resolve through ids, never names."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.sources.snapshot_table import (
+    SnapshotConflict,
+    SnapshotTable,
+)
+
+
+def _batch(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("val"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+@pytest.fixture()
+def renamed_table(spark, tmp_path):
+    """Two file generations under the OLD name, rename, one generation
+    under the NEW name — the mid-history shape every test needs."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stat_cols=["k"], bloom_cols=["k"]
+    )
+    t.append(_batch(spark, 0, 100, "g0"))
+    t.append(_batch(spark, 100, 200, "g1"))
+    t.rename_column("k", "key_id")
+    t.append(
+        _batch(spark, 200, 300, "g2").withColumnRenamed("k", "key_id")
+    )
+    return t
+
+
+def test_rename_reads_all_generations(renamed_table):
+    df = renamed_table.read()
+    assert df.columns == ["key_id", "val", "tag"]
+    rows = df.collect()
+    assert len(rows) == 300
+    assert {r.key_id for r in rows} == set(range(300))
+    # values stay paired with their keys across the mapping
+    assert all(r.val == r.key_id * 10 for r in rows)
+
+
+def test_rename_stat_prune_spans_generations(renamed_table):
+    t = renamed_table
+    # range prune under the NEW name must skip files from BOTH
+    # generations (old files' stats are keyed by the old name)
+    live = t._live_files()
+    pruned = t._apply_prunes(
+        live, [("key_id", 50, 60)], None, t.latest_version()
+    )
+    assert 0 < len(pruned) < len(live)
+    df = t.read(prune=[("key_id", 50, 60)])
+    got = sorted(
+        r.key_id for r in df.filter(F.col("key_id").between(50, 60))
+        .collect()
+    )
+    assert got == list(range(50, 61))
+
+
+def test_rename_bloom_prune_spans_generations(renamed_table):
+    t = renamed_table
+    live = t._live_files()
+    kept = t._bloom_keep_files(
+        live, [("key_id", [7])], t.latest_version()
+    )
+    # sidecars written under the old name still prove absence
+    assert 0 < len(kept) < len(live)
+    df = t.read(bloom=[("key_id", [7])])
+    assert [
+        r.key_id
+        for r in df.filter(F.col("key_id") == 7).collect()
+    ] == [7]
+
+
+def test_rename_time_travel_serves_old_name(renamed_table):
+    t = renamed_table
+    old = t.read(version=1)  # pre-rename head
+    assert old.columns == ["k", "val", "tag"]
+    assert old.count() == 200
+    # and the post-rename snapshot serves the new name
+    assert t.read(version=2).columns == ["key_id", "val", "tag"]
+
+
+def test_rename_then_merge_prunes_on_new_name(renamed_table):
+    t = renamed_table
+    src = t.spark.createDataFrame(
+        [(5, 999, "m"), (250, 999, "m")],
+        "key_id long, val long, tag string",
+    )
+    t.merge_into(src, ["key_id"], when_matched="update")
+    stats = t.last_merge_stats
+    # the point-set + bloom prune must confine the candidate scan even
+    # though one key lives in a pre-rename file
+    assert stats["candidates"] < stats["live"]
+    rows = {
+        r.key_id: r.val
+        for r in t.read().filter(
+            F.col("key_id").isin(5, 250, 6)
+        ).collect()
+    }
+    assert rows == {5: 999, 250: 999, 6: 60}
+
+
+def test_changes_across_rename_use_end_names(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["k"])
+    t.append(_batch(spark, 0, 50))
+    t.delete_where("k < 5")  # v1: DML before the rename
+    t.rename_column("val", "amount")  # v2
+    t.update_where("k = 10", {"amount": "amount + 1"})  # v3
+    net = t.changes(0, t.latest_version(), ["k"])
+    assert "amount" in net.columns and "val" not in net.columns
+    by_type = {
+        (r.k, r._change_type): r for r in net.collect()
+    }
+    assert (10, "update_postimage") in by_type
+    assert by_type[(10, "update_postimage")].amount == 101
+    assert sum(1 for (k, c) in by_type if c == "delete") == 5
+
+
+def test_change_feed_across_rename_with_capture(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stat_cols=["k"], cdf=True
+    )
+    t.append(_batch(spark, 0, 20))
+    t.delete_where("k = 3")  # v1 captured
+    t.rename_column("val", "amount")  # v2 metadata-only
+    t.delete_where("k = 7")  # v3 captured under the new name
+    feed = t.change_feed(0, t.latest_version(), ["k"])
+    assert "amount" in feed.columns and "val" not in feed.columns
+    rows = feed.collect()
+    deletes = {(r.k, r._commit_version) for r in rows
+               if r._change_type == "delete"}
+    assert deletes == {(3, 1), (7, 3)}
+    # pre-rename captured rows serve their values under the new name
+    amt = {r.k: r.amount for r in rows if r._change_type == "delete"}
+    assert amt == {3: 30, 7: 70}
+
+
+def test_drop_column_then_readd_does_not_resurrect(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_batch(spark, 0, 10))
+    t.drop_column("val")
+    assert t.read().columns == ["k", "tag"]
+    # re-adding the same NAME is a NEW column (fresh id): old bytes
+    # stay invisible, old rows read null
+    t.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),
+            F.lit("b").alias("tag"),
+            (F.col("id") + 1000).alias("val"),
+        )
+    )
+    rows = {r.k: r.val for r in t.read().collect()}
+    assert rows[0] is None and rows[9] is None
+    assert rows[12] == 1012
+    # time travel before the drop still serves the original values
+    assert {r.val for r in t.read(version=0).collect()} == {
+        i * 10 for i in range(10)
+    }
+
+
+def test_restore_across_rename(renamed_table):
+    t = renamed_table
+    t.restore(1)  # back to the pre-rename snapshot
+    df = t.read()
+    assert df.columns == ["k", "val", "tag"]
+    assert df.count() == 200
+    assert {r.k for r in df.collect()} == set(range(200))
+    # and forward again: the rename history is still travelable
+    assert t.read(version=2).columns == ["key_id", "val", "tag"]
+
+
+def test_clone_after_rename(renamed_table, tmp_path):
+    t = renamed_table
+    c = t.clone_to(str(tmp_path / "c"))
+    df = c.read()
+    assert df.columns == ["key_id", "val", "tag"]
+    assert df.count() == 300
+    assert {r.key_id for r in df.collect()} == set(range(300))
+    # the clone prunes through the inherited mapping too
+    pruned = c.read(prune=[("key_id", 10, 20)])
+    got = sorted(
+        r.key_id
+        for r in pruned.filter(
+            F.col("key_id").between(10, 20)
+        ).collect()
+    )
+    assert got == list(range(10, 21))
+
+
+def test_publish_clone_after_source_rename(renamed_table, tmp_path):
+    t = renamed_table
+    c = t.clone_to(str(tmp_path / "c"))
+    c.delete_where("key_id >= 290")
+    t.publish_from(c)
+    df = t.read()
+    assert df.columns == ["key_id", "val", "tag"]
+    assert df.count() == 290
+
+
+def test_rename_refused_when_constraint_references(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_batch(spark, 0, 10))
+    t.add_constraint("pos", "val >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("val", "amount")
+    t.drop_constraint("pos")
+    t.rename_column("val", "amount")
+    assert t.read().columns == ["k", "amount", "tag"]
+
+
+def test_rename_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_batch(spark, 0, 10))
+    head = t.latest_version()
+    guard = t._fixed_head_guard(head)
+    t.append(_batch(spark, 10, 20))  # the head moves
+    with pytest.raises(SnapshotConflict):
+        guard(t._live_files())
+
+
+def test_schema_evolution_after_rename_gets_fresh_id(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_batch(spark, 0, 10))
+    t.rename_column("tag", "label")
+    t.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("val"),
+            F.lit("new").alias("label"),
+            F.lit(1.5).alias("score"),
+        )
+    )
+    cm = t._colmap_at(t.latest_version())
+    assert set(cm) == {"k", "val", "label", "score"}
+    assert len(set(cm.values())) == 4  # ids unique, none reused
+    rows = {r.k: (r.label, r.score) for r in t.read().collect()}
+    assert rows[0] == ("a", None)
+    assert rows[11] == ("new", 1.5)
+
+
+def test_unmapped_table_plan_untouched(spark, tmp_path):
+    """A table that never renamed must take the identity fast path:
+    no colmap property, no per-group union in the read plan."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["k"])
+    t.append(_batch(spark, 0, 10))
+    t.append(_batch(spark, 10, 20))
+    assert t._colmap_at(t.latest_version()) is None
+    assert t._mapping_groups(t._live_files(), None) is None
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
