@@ -60,6 +60,7 @@ def _paths(work_dir: str) -> dict:
         "sigs": os.path.join(work_dir, "minhash_sigs"),
         "losers": os.path.join(work_dir, "neardup_losers"),
         "rates": os.path.join(work_dir, "frozen_rates"),
+        "ppl_lm": os.path.join(work_dir, "frozen_ppl_lm"),
         "shards": os.path.join(work_dir, "shards"),
     }
 
@@ -94,6 +95,92 @@ def _keep_ppm_of(df: DataFrame, alpha: float) -> DataFrame:
     )
 
 
+def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
+                   lm_dir: str) -> None:
+    """REBUILD-TIME perplexity-model freeze (the CCNet contract, same
+    versioning discipline as the temperature rates): train the KN
+    bigram LM on the corpus, score it with the SAME backoff scorer
+    increments will use, and persist the model tables plus the exact
+    integer tercile cutoffs. Later delta increments score against
+    these frozen artifacts until the next rebuild retrains."""
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.lm import (
+        bigram_explode,
+        kn_doc_ce_backoff,
+        kn_train,
+    )
+
+    bg = bigram_explode(corpus)
+    model = kn_train(bg)
+    for name in ("lq", "ctx", "cont", "nb"):
+        model[name].write.mode("overwrite").parquet(
+            os.path.join(lm_dir, name)
+        )
+    frozen = {
+        name: spark.read.parquet(os.path.join(lm_dir, name))
+        for name in ("lq", "ctx", "cont", "nb")
+    }
+    scores = kn_doc_ce_backoff(bg, frozen)
+    w = Window.orderBy("ce_q", "doc_id")
+    cuts = (
+        scores.withColumn("__b", F.ntile(3).over(w))
+        .groupBy("__b")
+        .agg(F.max("ce_q").alias("cut"))
+        .filter(F.col("__b") <= 2)
+        .orderBy("__b")
+    )
+    cuts.select(
+        F.col("__b").alias("bucket"), "cut"
+    ).write.mode("overwrite").parquet(os.path.join(lm_dir, "cuts"))
+
+
+def _apply_ppl_gate(spark: SparkSession, df: DataFrame, lm_dir: str,
+                    mid_ppm: int, tail_ppm: int) -> DataFrame:
+    """Score docs against the FROZEN LM and downsample by perplexity
+    tercile: head bucket keeps everything, middle keeps mid_ppm/1e6,
+    tail keeps tail_ppm/1e6 — deterministic per doc (same key-hash
+    device as the frozen temperature rates). Docs too short to score
+    (< 2 tokens) pass the gate unscored — conservative, and the
+    length gate upstream owns that policy."""
+    from data_engineering_pipeline_spark.operators.lm import (
+        bigram_explode,
+        kn_doc_ce_backoff,
+    )
+    from data_engineering_pipeline_spark.operators.sampling import (
+        key_hash,
+    )
+
+    model = {
+        name: spark.read.parquet(os.path.join(lm_dir, name))
+        for name in ("lq", "ctx", "cont", "nb")
+    }
+    cuts = {
+        r["bucket"]: r["cut"]
+        for r in spark.read.parquet(
+            os.path.join(lm_dir, "cuts")
+        ).collect()
+    }
+    scores = kn_doc_ce_backoff(bigram_explode(df), model)
+    bucket = (
+        F.lit(1)
+        + (F.col("ce_q") > F.lit(cuts[1])).cast("int")
+        + (F.col("ce_q") > F.lit(cuts[2])).cast("int")
+    )
+    ppm = (
+        F.when(bucket == 1, F.lit(1_000_000))
+        .when(bucket == 2, F.lit(mid_ppm))
+        .otherwise(F.lit(tail_ppm))
+    )
+    gated = df.join(
+        scores.select("doc_id", ppm.alias("__ppm")), "doc_id", "left"
+    )
+    return gated.filter(
+        key_hash(F.col("doc_id")) % 1_000_000
+        < F.coalesce("__ppm", F.lit(1_000_000))
+    ).drop("__ppm")
+
+
 def _apply_frozen_rates(df: DataFrame, rates: DataFrame) -> DataFrame:
     from data_engineering_pipeline_spark.operators.sampling import (
         key_hash,
@@ -117,13 +204,14 @@ def curate_batch(
     min_quality: float = 0.0,
     alpha: float = 0.5,
     split_threshold: float | None = None,
+    ppl_gate: tuple[int, int] | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
     per-stage surviving counts — the run report an orchestrator logs."""
     return curate_increment(
         spark, docs, work_dir, batch_id=0, n_shards=n_shards,
         min_quality=min_quality, alpha=alpha,
-        split_threshold=split_threshold,
+        split_threshold=split_threshold, ppl_gate=ppl_gate,
     )
 
 
@@ -160,6 +248,7 @@ def curate_increment(
     alpha: float = 0.5,
     mode: str = "rebuild",
     split_threshold: float | None = None,
+    ppl_gate: tuple[int, int] | None = None,
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
     append is (app, batch_id)-idempotent; near-dedup probes only the
@@ -185,7 +274,16 @@ def curate_increment(
     increments merge new docs with split NULL ('unassigned'), and the
     next rebuild assigns them — training exports filter
     split = 'train', so an unassigned doc is conservatively absent
-    from every split until a rebuild versions it in."""
+    from every split until a rebuild versions it in.
+
+    ppl_gate=(mid_ppm, tail_ppm): the CCNet-style perplexity filter
+    (operators/lm.py; graded as curation-ppl-gate). Rebuilds train a
+    KN bigram LM on the quality survivors, freeze the model + exact
+    integer tercile cutoffs beside the temperature rates, and keep
+    head / downsample middle+tail buckets by those ppm rates; delta
+    increments score their batch against the FROZEN model (unseen
+    bigrams take the continuation backoff) with the frozen cutoffs —
+    the same rebuild-versioned contract as rates and splits."""
     if mode not in ("rebuild", "delta"):
         raise ValueError("mode must be 'rebuild' or 'delta'")
     p = _paths(work_dir)
@@ -242,6 +340,15 @@ def curate_increment(
         )
         surv = new_docs.join(drop_new, "doc_id", "left_anti")
         surv = _filter_quality(surv, min_quality)
+        if ppl_gate is not None:
+            if not os.path.isdir(p["ppl_lm"]):
+                raise ValueError(
+                    "delta mode with ppl_gate needs a frozen LM: run "
+                    "a rebuild with ppl_gate first"
+                )
+            surv = _apply_ppl_gate(
+                spark, surv, p["ppl_lm"], ppl_gate[0], ppl_gate[1]
+            )
         surv = _apply_frozen_rates(surv, rates)
         if "split" in curated.read().columns:
             # splits are assigned at rebuild time; new docs merge in
@@ -281,6 +388,15 @@ def curate_increment(
     stats["after_dedup"] = keep.count()
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
+    if ppl_gate is not None:
+        # retrain + refreeze the perplexity LM on this rebuild's
+        # quality survivors, then gate them with the fresh cutoffs —
+        # the same refreeze point as the temperature rates below
+        _freeze_ppl_lm(spark, filtered, p["ppl_lm"])
+        filtered = _apply_ppl_gate(
+            spark, filtered, p["ppl_lm"], ppl_gate[0], ppl_gate[1]
+        )
+        stats["after_ppl_gate"] = filtered.count()
     sampled = _rebalance(filtered, alpha)
     if split_threshold is not None:
         sampled = _assign_splits(sampled, split_threshold)

@@ -786,6 +786,118 @@ _SPLIT_ORACLE = """
 """
 
 
+_PPL_GATE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    types AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    n1f AS (SELECT w1, count(*) AS nf FROM types GROUP BY w1),
+    n1b AS (SELECT w2, count(*) AS nb2 FROM types GROUP BY w2),
+    nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM types),
+    lq AS (
+      SELECT ty.w1, ty.w2,
+             CAST(floor(ln(
+               (CAST(ty.c12 AS DOUBLE) - 0.75) / CAST(x.c1 AS DOUBLE)
+               + (0.75 * CAST(f.nf AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                 * (CAST(b.nb2 AS DOUBLE) / o.nb)
+             ) * 1000000000 + 0.5) AS BIGINT) AS lq
+      FROM types ty
+      JOIN ctx x ON ty.w1 = x.w1
+      JOIN n1f f ON ty.w1 = f.w1
+      JOIN n1b b ON ty.w2 = b.w2
+      CROSS JOIN nbt o
+    ),
+    d AS (
+      SELECT bg.doc_id, count(*) AS n, CAST(sum(lq.lq) AS BIGINT) AS s
+      FROM bg JOIN lq ON bg.w1 = lq.w1 AND bg.w2 = lq.w2
+      GROUP BY bg.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(-s AS DOUBLE) / n / 1000000000.0 AS kn_ce
+      FROM d
+    ),
+    bkt AS (
+      SELECT doc_id,
+             CAST(ntile(3) OVER (ORDER BY kn_ce, doc_id) AS BIGINT)
+               AS ppl_bucket
+      FROM scored
+    ),
+    g AS (
+      SELECT doc_id, ppl_bucket,
+             CASE WHEN ppl_bucket = 1 THEN 1000000
+                  WHEN ppl_bucket = 2 THEN 500000
+                  ELSE 250000 END AS keep_ppm,
+             ((doc_id * 69069 + 1) % 4294967296) % 1000000 AS h
+      FROM bkt
+    )
+    SELECT ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE h < keep_ppm) AS BIGINT)
+             AS n_kept,
+           CAST(sum(doc_id) FILTER (WHERE h < keep_ppm) AS BIGINT)
+             AS kept_id_sum
+    FROM g GROUP BY ppl_bucket ORDER BY ppl_bucket
+    """
+
+
+@_register("curation-ppl-gate", _PPL_GATE_ORACLE)
+def curation_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (Wenzek et al. 2020; operators/lm.py
+    + plans/curation_pipeline.py ppl_gate stage): score every document
+    with the Kneser-Ney bigram LM trained on the corpus itself, bucket
+    into terciles by cross-entropy, then keep head docs entirely and
+    DOWNSAMPLE the middle/tail buckets deterministically (50% / 25% by
+    the same integer key hash the temperature stage uses) — the
+    corpus-mix shape a perplexity filter actually produces. The oracle
+    replays the whole chain (LM, terciles, hash gate) in pure SQL, so
+    a drifted LM expression, a wrong bucket boundary, or a biased
+    keep-hash all surface as value mismatches. Scale: LM training =
+    three keys-only groupBys; the gate is one map expression."""
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.lm import (
+        bigram_explode,
+        kn_doc_ce,
+        kn_train,
+    )
+    from data_engineering_pipeline_spark.operators.sampling import (
+        key_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = bigram_explode(docs)
+    scored = kn_doc_ce(bg, kn_train(bg)["lq"])
+    w = Window.orderBy("kn_ce", "doc_id")
+    bkt = scored.withColumn(
+        "ppl_bucket", F.ntile(3).over(w).cast("long")
+    )
+    keep_ppm = (
+        F.when(F.col("ppl_bucket") == 1, F.lit(1_000_000))
+        .when(F.col("ppl_bucket") == 2, F.lit(500_000))
+        .otherwise(F.lit(250_000))
+    )
+    kept = key_hash(F.col("doc_id")) % 1_000_000 < keep_ppm
+    return (
+        bkt.withColumn("__kept", kept)
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("__kept"), F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("ppl_bucket")
+    )
+
+
 @_register("curation-split-leakage", _SPLIT_ORACLE)
 def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (operators/sampling.py

@@ -1542,61 +1542,15 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to text-bigram-ppl (type/context stats are partial-agg
     groupBys; broadcast type dim; global ntile -> approx-quantile
     cutoffs at 100 TB)."""
+    from data_engineering_pipeline_spark.operators.lm import (
+        bigram_explode,
+        kn_doc_ce,
+        kn_train,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", tokens("text").alias("__toks")
-    ).filter(F.size("__toks") >= 2)
-    bg = toked.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(element_at(__toks, i) AS w1, "
-                "element_at(__toks, i + 1) AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    n1f = types.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
-    n1b = types.groupBy("w2").agg(F.count(F.lit(1)).alias("nb2"))
-    nbt = types.agg(F.count(F.lit(1)).cast("double").alias("nb"))
-    lq = (
-        types.join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(n1f), "w1")
-        .join(F.broadcast(n1b), "w2")
-        .join(F.broadcast(nbt))
-        .select(
-            "w1",
-            "w2",
-            F.floor(
-                F.log(
-                    (F.col("c12").cast("double") - F.lit(0.75))
-                    / F.col("c1").cast("double")
-                    + (
-                        F.lit(0.75)
-                        * F.col("nf").cast("double")
-                        / F.col("c1").cast("double")
-                    )
-                    * (F.col("nb2").cast("double") / F.col("nb"))
-                )
-                * 1_000_000_000
-                + F.lit(0.5)
-            ).alias("lq"),
-        )
-    )
-    d = (
-        bg.join(F.broadcast(lq), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("lq").alias("s"))
-    )
-    scored = d.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_bigrams"),
-        ((-F.col("s")).cast("double") / F.col("n") / F.lit(1e9)).alias(
-            "kn_ce"
-        ),
-    )
+    bg = bigram_explode(docs)
+    scored = kn_doc_ce(bg, kn_train(bg)["lq"])
     from pyspark.sql import Window
 
     w = Window.orderBy("kn_ce", "doc_id")

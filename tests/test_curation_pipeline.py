@@ -366,3 +366,61 @@ def test_split_assignment_rebuild_and_delta_contract(spark, tmp_path):
     assert r2["curated"] > 0
     cur2 = SnapshotTable(spark, os.path.join(wd, "curated")).read()
     assert cur2.filter(F.col("split").isNull()).count() == 0
+
+
+def test_ppl_gate_rebuild_freeze_and_delta_convergence(spark, tmp_path):
+    """ppl_gate wires the CCNet-style perplexity filter into the
+    pipeline with the frozen-rate contract: the rebuild trains the KN
+    LM on its quality survivors, freezes model + integer tercile
+    cutoffs, and downsamples middle/tail buckets; a delta increment
+    scores its batch against the FROZEN model (backoff for unseen
+    bigrams) with O(batch) writes; a later rebuild retrains and the
+    whole sequence converges bit-exact to the one-shot pipeline."""
+    wd = str(tmp_path / "wd")
+    gate = (500_000, 250_000)
+    kw = dict(alpha=1.0, ppl_gate=gate)
+
+    b1 = _corpus(0, 90)
+    r0 = curate_batch(spark, _mk_docs(spark, b1), wd, **kw)
+    # the gate actually filtered: mid bucket keeps ~50%, tail ~25%
+    assert 0 < r0["after_ppl_gate"] < r0["after_quality"]
+    # frozen artifacts exist beside the rates
+    for part in ("lq", "ctx", "cont", "nb", "cuts"):
+        assert os.path.isdir(os.path.join(wd, "frozen_ppl_lm", part))
+
+    # delta increment scores against the FROZEN model; writes O(batch)
+    b2 = _corpus(500, 30)
+    cur = SnapshotTable(spark, os.path.join(wd, "curated"))
+    v_before = cur.latest_version()
+    r1 = curate_increment(
+        spark, _mk_docs(spark, b2), wd, batch_id=1, mode="delta", **kw
+    )
+    assert r1["batch_survivors"] > 0
+    for h in cur.history():
+        if h["version"] > v_before:
+            assert h["rows_added"] <= len(b2), h
+
+    # rebuild retrains + refreezes; converges bit-exact with one-shot
+    b3 = _corpus(700, 20)
+    curate_increment(
+        spark, _mk_docs(spark, b3), wd, batch_id=2, mode="rebuild", **kw
+    )
+    one = str(tmp_path / "one")
+    curate_batch(spark, _mk_docs(spark, b1 + b2 + b3), one, **kw)
+    have = {tuple(r) for r in cur.read().collect()}
+    want = {tuple(r) for r in
+            SnapshotTable(spark, os.path.join(one, "curated"))
+            .read().collect()}
+    assert have == want and len(have) > 0
+
+
+def test_ppl_gate_delta_requires_frozen_lm(spark, tmp_path):
+    """Delta mode with ppl_gate but no frozen LM is an explicit error,
+    not a silent ungated pass (same contract as the frozen rates)."""
+    wd = str(tmp_path / "wd")
+    curate_batch(spark, _mk_docs(spark, _corpus(0, 30)), wd, alpha=1.0)
+    with pytest.raises(ValueError, match="frozen LM"):
+        curate_increment(
+            spark, _mk_docs(spark, _corpus(100, 10)), wd, batch_id=1,
+            mode="delta", alpha=1.0, ppl_gate=(500_000, 250_000),
+        )
