@@ -116,6 +116,11 @@ HEADLINE = [
     "text-kneser-ney-ppl",  # KN-smoothed LM scorer
     "text-kneser-ney3-ppl",  # trigram KN recursive chain
     "text-quantiles-weighted",  # token-weighted percentile read-back
+    # round 8 additions: column-mapped read across a mid-history rename
+    # and the CCNet-style perplexity gate corpus mix — tracked from
+    # first appearance
+    "op-snapshot-rename",
+    "curation-ppl-gate",
 ]
 
 TIMED_RUNS = 3
