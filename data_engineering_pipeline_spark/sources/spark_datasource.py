@@ -91,19 +91,41 @@ def _resolve_version(t: SnapshotTable, options) -> int:
 @dataclass
 class _FilePartition(InputPartition):
     """One live data file: its physical location, the deletion-vector
-    files masking it (absolute), and its manifest name (DV rows carry
-    the target's NAME, not its path)."""
+    files masking it (absolute), its manifest name (DV rows carry
+    the target's NAME, not its path), and — on column-mapped tables —
+    the PHYSICAL column name serving each schema field (None entry =
+    the file predates the column / its id was dropped: read null)."""
 
     name: str
     loc: str
     dvs: tuple
     schema_json: str
+    phys: tuple | None = None
+
+
+def _phys_names(t: SnapshotTable, e: dict, version: int,
+                schema: StructType) -> tuple | None:
+    """Column-mapping resolution for one file entry: the physical
+    (write-time) name behind each of `schema`'s fields at `version`.
+    None when the table has no mapping — the identity fast path. When
+    a mapping exists the explicit tuple is always used, which also
+    closes the drop-then-readd hazard (alignment never falls back to
+    looking a CURRENT name up in a file that predates its id)."""
+    cm = t._colmap_at(version)
+    if cm is None:
+        return None
+    phys_of = t._entry_phys(e)
+    return tuple(
+        phys_of.get(cm[f.name]) if f.name in cm else f.name
+        for f in schema.fields
+    )
 
 
 def _read_partition(part: _FilePartition) -> Iterator:
     """Executor-side scan of one file: pyarrow read, DV mask by row
     position, then align to the table schema (schema evolution: files
-    written before a column existed read it as null)."""
+    written before a column existed read it as null; column mapping:
+    fields are served by their write-time physical names)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -125,9 +147,10 @@ def _read_partition(part: _FilePartition) -> Iterator:
     spark_schema = StructType.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(spark_schema)
     cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
+    for i, field in enumerate(target):
+        src = part.phys[i] if part.phys is not None else field.name
+        if src is not None and src in tbl.column_names:
+            cols.append(tbl.column(src).cast(field.type))
         else:
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
     out = pa.table(cols, schema=target)
@@ -135,7 +158,8 @@ def _read_partition(part: _FilePartition) -> Iterator:
 
 
 def _entry_partition(t: SnapshotTable, name: str, e: dict,
-                     schema_json: str) -> _FilePartition:
+                     schema_json: str,
+                     phys: tuple | None = None) -> _FilePartition:
     return _FilePartition(
         name=name,
         loc=os.path.abspath(t._data_path(name, e)),
@@ -143,6 +167,7 @@ def _entry_partition(t: SnapshotTable, name: str, e: dict,
             os.path.abspath(t._dv_path(p)) for p in e.get("dvs", ())
         ),
         schema_json=schema_json,
+        phys=phys,
     )
 
 
@@ -179,14 +204,35 @@ class SnapshotReader(DataSourceReader):
     def __init__(self, options):
         t = _meta_handle(options)
         self._version = _resolve_version(t, options)
-        self._schema_json = _schema_at(t, self._version).json()
+        schema = _schema_at(t, self._version)
+        self._schema_json = schema.json()
         live = t._live_files(self._version)
+        cm = t._colmap_at(self._version)
         self._parts = [
-            _entry_partition(t, n, e, self._schema_json)
+            _entry_partition(
+                t, n, e, self._schema_json,
+                phys=_phys_names(t, e, self._version, schema),
+            )
             for n, e in sorted(live.items())
         ]
-        # stats by file name, for pushFilters-driven pruning
-        self._stats = {n: e.get("stats", {}) for n, e in live.items()}
+        # stats by file name, for pushFilters-driven pruning — keyed by
+        # the CURRENT column names (translated through the mapping:
+        # files written before a rename keep stats under the old name)
+        if cm is None:
+            self._stats = {
+                n: e.get("stats", {}) for n, e in live.items()
+            }
+        else:
+            self._stats = {
+                n: {
+                    f: mm
+                    for f in schema.fieldNames()
+                    if (mm := e.get("stats", {}).get(
+                        t._stats_name(e, f, cm)
+                    )) is not None
+                }
+                for n, e in live.items()
+            }
         self._preds: list[tuple] = []  # (op, col, values)
 
     def pushFilters(self, filters):
@@ -290,6 +336,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 self._t, lo, hi, self._schema_json,
                 self._skip_changes,
             )
+        schema = StructType.fromJson(json.loads(self._schema_json))
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             m = self._t._read_manifest(v)
@@ -302,8 +349,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "skipChangeCommits=true to skip such commits"
                 )
             for a in m["adds"]:
+                # stamp the adding version so column mapping resolves
+                # the file's write-time physical names
+                e = {**a, "v": v}
                 parts.append(_entry_partition(
-                    self._t, a["path"], a, self._schema_json
+                    self._t, a["path"], e, self._schema_json,
+                    phys=_phys_names(self._t, e, hi, schema),
                 ))
         return parts
 
@@ -319,12 +370,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
 @dataclass
 class _CdcPartition(InputPartition):
     """One change-feed slice: a captured cdc file ('cdc') or an
-    append commit's added file synthesized as inserts ('insert')."""
+    append commit's added file synthesized as inserts ('insert').
+    `phys` carries the write-time physical name per row-schema field
+    on column-mapped tables (feed rows serve END-version names)."""
 
     kind: str
     loc: str
     version: int
     schema_json: str  # row columns only
+    phys: tuple | None = None
 
 
 def _cdc_schema(row_schema: StructType) -> StructType:
@@ -350,10 +404,19 @@ def _cdc_partitions_for_range(
     expressible sandbox-side — raise (or skip wholesale), mirroring
     the engine-side change_feed()'s diff fallback being unavailable
     here."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    mapped = t._colmap_at(hi) is not None
     parts: list[_CdcPartition] = []
     for v in range(lo + 1, hi + 1):
         m = t._read_manifest(v)
         if m.get("cdc"):
+            # captured rows carry the names current at commit v; the
+            # feed serves the END version's names — translate per field
+            cdc_phys = (
+                tuple(
+                    t._name_at(v, f.name, hi) for f in schema.fields
+                ) if mapped else None
+            )
             for e in m["cdc"]:
                 parts.append(_CdcPartition(
                     kind="cdc",
@@ -362,6 +425,7 @@ def _cdc_partitions_for_range(
                     ),
                     version=v,
                     schema_json=schema_json,
+                    phys=cdc_phys,
                 ))
             continue
         no_change = not m["removes"] and not m.get("dv_adds")
@@ -369,15 +433,19 @@ def _cdc_partitions_for_range(
             continue  # metadata-only commit
         if no_change:
             for a in m["adds"]:
+                e = {**a, "v": v}
                 parts.append(_CdcPartition(
                     kind="insert",
-                    loc=os.path.abspath(t._data_path(a["path"], a)),
+                    loc=os.path.abspath(t._data_path(a["path"], e)),
                     version=v,
                     schema_json=schema_json,
+                    phys=_phys_names(t, e, hi, schema),
                 ))
             continue
         if m["op"] in ("compact", "purge"):
             continue  # physical rewrite, no logical change
+        if m["op"] in ("rename", "drop_column"):
+            continue  # metadata-only schema change, no row change
         if skip_uncaptured:
             continue
         raise ValueError(
@@ -398,18 +466,26 @@ def _read_cdc_partition(part: _CdcPartition):
     tbl = pq.read_table(part.loc)
     row_schema = StructType.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(_cdc_schema(row_schema))
+    n_rows = len(row_schema.fields)
     cols = []
-    for field in target:
+    for i, field in enumerate(target):
         if field.name == "_commit_version":
             cols.append(pa.array(
                 [part.version] * tbl.num_rows, type=field.type
             ))
-        elif field.name == "_change_type" and part.kind == "insert":
+            continue
+        if field.name == "_change_type" and part.kind == "insert":
             cols.append(pa.array(
                 ["insert"] * tbl.num_rows, type=field.type
             ))
-        elif field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
+            continue
+        src = (
+            part.phys[i]
+            if part.phys is not None and i < n_rows
+            else field.name
+        )
+        if src is not None and src in tbl.column_names:
+            cols.append(tbl.column(src).cast(field.type))
         else:
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
     out = pa.table(cols, schema=target)

@@ -259,3 +259,66 @@ def test_unmapped_table_plan_untouched(spark, tmp_path):
     assert t._mapping_groups(t._live_files(), None) is None
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+# ---------------- the Spark FORMAT on mapped tables ----------------
+
+
+def _load_fmt(spark, path, **opts):
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+
+    sds.register(spark)
+    r = spark.read.format(sds.FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_format_batch_read_across_rename(renamed_table):
+    t = renamed_table
+    df = _load_fmt(t.spark, t.path)
+    assert df.columns == ["key_id", "val", "tag"]
+    rows = df.collect()
+    assert {r.key_id for r in rows} == set(range(300))
+    assert all(r.val == r.key_id * 10 for r in rows)
+    # time travel through the format serves the old name
+    old = _load_fmt(t.spark, t.path, version=1)
+    assert old.columns == ["k", "val", "tag"]
+    assert old.count() == 200
+
+
+def test_format_pushdown_prunes_across_rename(renamed_table):
+    from pyspark.sql.datasource import EqualTo
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+
+    t = renamed_table
+    r = sds.SnapshotReader({"path": t.path})
+    total = len(r.partitions())
+    r.pushFilters([EqualTo(("key_id",), 7)])
+    kept = len(r.partitions())
+    # key 7 lives in a PRE-rename file whose stats are keyed "k" —
+    # the translated pushdown must still prune
+    assert 0 < kept < total
+    df = _load_fmt(t.spark, t.path).filter(F.col("key_id") == 7)
+    assert [(x.key_id, x.val) for x in df.collect()] == [(7, 70)]
+
+
+def test_format_change_feed_across_rename(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stat_cols=["k"], cdf=True
+    )
+    t.append(_batch(spark, 0, 20))
+    t.delete_where("k = 3")  # v1 captured under old names
+    t.rename_column("val", "amount")  # v2
+    t.delete_where("k = 7")  # v3 captured under new names
+    feed = _load_fmt(spark, t.path, readChangeFeed="true")
+    assert "amount" in feed.columns and "val" not in feed.columns
+    rows = feed.filter(F.col("_change_type") == "delete").collect()
+    assert {(r.k, r._commit_version, r.amount) for r in rows} == {
+        (3, 1, 30), (7, 3, 70)
+    }
