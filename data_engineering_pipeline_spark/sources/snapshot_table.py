@@ -450,11 +450,25 @@ class SnapshotTable:
         path = self._checkpoint_path(version)
         if os.path.exists(path):
             return
+        live = self._live_files(version)
+        props = self.properties_at(version)
+        if props.get("colmap"):
+            # column-mapped table: materialize each entry's write-time
+            # physical-name mapping NOW, while every adding version's
+            # manifest (and its colmap property) still exists — after
+            # retention expires those manifests, version-stamp
+            # resolution would fall back to the bootstrap mapping and
+            # misread post-rename files
+            live = {
+                n: (e if e.get("cmap") is not None
+                    else {**e, "cmap": self._entry_cmap(e)})
+                for n, e in live.items()
+            }
         state = {
             "version": version,
-            "live": self._live_files(version),
+            "live": live,
             "txns": self._txns_through(version),
-            "props": self.properties_at(version),
+            "props": props,
         }
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
         with open(tmp, "w") as fh:

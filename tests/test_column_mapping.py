@@ -322,3 +322,49 @@ def test_format_change_feed_across_rename(spark, tmp_path):
     assert {(r.k, r._commit_version, r.amount) for r in rows} == {
         (3, 1, 30), (7, 3, 70)
     }
+
+
+def test_rename_survives_retention_expiry(spark, tmp_path):
+    """Retention can expire the manifests that carried the colmap at a
+    file's adding version; checkpoints written while the log was
+    intact materialize each entry's write-time mapping explicitly, so
+    post-expiry reads still resolve pre/post-rename files correctly."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stat_cols=["k"], checkpoint_every=4
+    )
+    t.append(_batch(spark, 0, 20, "g0"))        # v0 (old names)
+    t.rename_column("val", "amount")            # v1
+    for i in range(6):                          # v2..v7 (new names)
+        t.append(
+            _batch(spark, 20 + i * 10, 30 + i * 10, "g")
+            .withColumnRenamed("val", "amount")
+        )
+    t.expire_versions(keep_last=2, grace_seconds=0.0)
+    # the rename commit (v1) and several post-rename adds are expired;
+    # a FRESH handle (no pre-expiry memos — the restart scenario) must
+    # still serve every surviving file's columns correctly
+    t2 = SnapshotTable(spark, t.path)
+    rows = {r.k: r.amount for r in t2.read().collect()}
+    assert len(rows) == 80
+    assert all(rows[k] == k * 10 for k in rows)
+    # pruning still translates through checkpoint-carried cmaps
+    live = t2._live_files()
+    pruned = t2._apply_prunes(
+        live, [("k", 5, 7)], None, t2.latest_version()
+    )
+    assert 0 < len(pruned) < len(live)
+
+
+def test_compact_after_rename_washes_out_mapping(renamed_table):
+    """Compaction reads under current names and rewrites — the new
+    files' physical names ARE the current names, so the mapped-read
+    union disappears from the plan after compact."""
+    t = renamed_table
+    t.compact(target_files=2)
+    df = t.read()
+    assert df.columns == ["key_id", "val", "tag"]
+    rows = df.collect()
+    assert len(rows) == 300
+    assert all(r.val == r.key_id * 10 for r in rows)
+    # single file generation now: identity mapping -> fast path
+    assert t._mapping_groups(t._live_files(), None) is None
