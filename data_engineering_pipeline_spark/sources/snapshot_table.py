@@ -551,10 +551,31 @@ class SnapshotTable:
         """The handle's own column list, else the table property a
         previous writer stamped — so a stats/bloom-unaware handle (a
         nightly maintain() job, a generic sink) keeps the metadata
-        alive through its rewrites instead of silently shedding it."""
+        alive through its rewrites instead of silently shedding it.
+
+        Column-mapping staleness guard: on a RENAMED table, a handle
+        constructed before the rename still advertises the old names —
+        writing (and property-stamping) those would silently kill
+        stats/blooms table-wide (files gain no stats under a name the
+        schema no longer has, and the stamped property clobbers the
+        renamed one). When a colmap exists and any advertised name is
+        absent from the head schema, the PERSISTED property (which the
+        rename updated) wins. The cost of the guard: on a mapped
+        table, a stale handle cannot introduce stats for a brand-new
+        column in the same write — rebuild the handle after renames."""
+        head = self.latest_version()
         if own:
+            if head is not None and self._colmap_at(head) is not None:
+                sch = self._schema_at(head)
+                if sch is not None and any(
+                    c not in sch.fieldNames() for c in own
+                ):
+                    prop = self.properties_at().get(prop_key, "")
+                    persisted = [c for c in prop.split(",") if c]
+                    if persisted:
+                        return persisted
             return own
-        if self.latest_version() is None:
+        if head is None:
             return []
         prop = self.properties_at().get(prop_key, "")
         return [c for c in prop.split(",") if c]
@@ -1085,9 +1106,13 @@ class SnapshotTable:
             # alive through their rewrites (_effective_cols)
             properties = dict(properties or {})
             if self.bloom_cols:
-                properties["bloom_cols"] = ",".join(self.bloom_cols)
+                properties["bloom_cols"] = ",".join(
+                    self._effective_bloom_cols()
+                )
             if self.stat_cols:
-                properties["stat_cols"] = ",".join(self.stat_cols)
+                properties["stat_cols"] = ",".join(
+                    self._effective_stat_cols()
+                )
             if self.cdf:
                 properties["cdf"] = "true"
             for c, e in self.generated_cols.items():
@@ -1161,9 +1186,13 @@ class SnapshotTable:
             # commit loop): advertise the maintained columns
             properties = dict(properties or {})
             if self.bloom_cols:
-                properties["bloom_cols"] = ",".join(self.bloom_cols)
+                properties["bloom_cols"] = ",".join(
+                    self._effective_bloom_cols()
+                )
             if self.stat_cols:
-                properties["stat_cols"] = ",".join(self.stat_cols)
+                properties["stat_cols"] = ",".join(
+                    self._effective_stat_cols()
+                )
             if self.cdf:
                 properties["cdf"] = "true"
             for c, e in self.generated_cols.items():

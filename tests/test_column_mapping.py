@@ -368,3 +368,33 @@ def test_compact_after_rename_washes_out_mapping(renamed_table):
     assert all(r.val == r.key_id * 10 for r in rows)
     # single file generation now: identity mapping -> fast path
     assert t._mapping_groups(t._live_files(), None) is None
+
+
+def test_stale_handle_cannot_clobber_renamed_metadata(spark, tmp_path):
+    """A handle constructed BEFORE a rename still advertises the old
+    stat/bloom column names; its next write must neither compute stats
+    under the dead name nor stamp the stale list over the renamed
+    property."""
+    path = str(tmp_path / "t")
+    stale = SnapshotTable(spark, path, stat_cols=["k"], bloom_cols=["k"])
+    stale.append(_batch(spark, 0, 50))
+    fresh = SnapshotTable(spark, path)
+    fresh.rename_column("k", "key_id")
+    # the stale handle writes; the guard substitutes the persisted
+    # (renamed) metadata columns
+    stale.append(
+        _batch(spark, 50, 100).withColumnRenamed("k", "key_id")
+    )
+    props = fresh.properties_at()
+    assert props["stat_cols"] == "key_id"
+    assert props["bloom_cols"] == "key_id"
+    # the new generation's files carry stats under the NEW name, so
+    # pruning still works across both generations
+    t = SnapshotTable(spark, path)
+    live = t._live_files()
+    pruned = t._apply_prunes(
+        live, [("key_id", 60, 70)], None, t.latest_version()
+    )
+    assert 0 < len(pruned) < len(live)
+    rows = {r.key_id for r in t.read().collect()}
+    assert rows == set(range(100))
