@@ -228,12 +228,35 @@ def enforce_expectations(
     return out, report
 
 
+# Safe, lossless type-widening lattices (the Delta/Iceberg type
+# widening rules): a file written with the narrower physical type
+# stays readable under the wider table schema — Spark 4's parquet
+# reader upcasts natively when handed an explicit wider schema.
+_WIDEN_INT = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_WIDEN_FLOAT = {"float": 0, "double": 1}
+
+
+def _widened(a, b):
+    """The wider of two WIDENING-COMPATIBLE types, else None (same
+    type is trivially compatible)."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    for lattice in (_WIDEN_INT, _WIDEN_FLOAT):
+        if an in lattice and bn in lattice:
+            return a if lattice[an] >= lattice[bn] else b
+    return None
+
+
 def _merge_schemas(base, extra):
-    """Evolve `base` with `extra`: new fields append, shared fields
-    must agree on type (nullability is not compared — parquet files
-    written from non-null frames stay readable under a nullable table
-    schema)."""
-    from pyspark.sql.types import StructType
+    """Evolve `base` with `extra`: new fields append; shared fields
+    must agree on type OR widen losslessly (byte<short<int<long,
+    float<double — the table schema takes the wider type and narrower
+    files upcast at read). Anything else (string vs int, long into a
+    float chain) is refused. Nullability is not compared — parquet
+    files written from non-null frames stay readable under a nullable
+    table schema."""
+    from pyspark.sql.types import StructField, StructType
 
     by_name = {f.name: f for f in base.fields}
     merged = list(base.fields)
@@ -241,12 +264,21 @@ def _merge_schemas(base, extra):
         have = by_name.get(f.name)
         if have is None:
             merged.append(f)
-        elif have.dataType != f.dataType:
+            continue
+        wide = _widened(have.dataType, f.dataType)
+        if wide is None:
             raise SchemaConflict(
                 f"column {f.name!r} is {have.dataType.simpleString()} in "
                 f"the table but {f.dataType.simpleString()} in the "
-                "incoming data; evolution only adds columns"
+                "incoming data; evolution adds columns or widens "
+                "losslessly (byte<short<int<long, float<double)"
             )
+        if wide != have.dataType:
+            merged = [
+                StructField(x.name, wide, x.nullable, x.metadata)
+                if x.name == f.name else x
+                for x in merged
+            ]
     return StructType(merged)
 
 
@@ -1813,10 +1845,13 @@ class SnapshotTable:
                 self._constraint_gate(out)
                 # cow coerces source types through its union with the
                 # table's own rows; mor has no table rows in its union,
-                # so align explicitly to the table schema (int source
-                # into a bigint column must not fork the file types)
+                # so align explicitly to the POST-MERGE schema (int
+                # source into a bigint column must not fork the file
+                # types; a WIDER source must not be downcast into the
+                # pre-widening type — it widens the table instead)
                 if cur_schema is not None:
-                    tbl = {f.name: f.dataType for f in cur_schema.fields}
+                    eff = _merge_schemas(cur_schema, out.schema)
+                    tbl = {f.name: f.dataType for f in eff.fields}
                     out = out.select(
                         *[
                             F.col(c).cast(tbl[c]).alias(c)

@@ -102,6 +102,7 @@ INTENDED_NESTED_LOOP = {
     "text-bigram-ppl",  # corpus-total token count: 1-row broadcast
     "text-kneser-ney-ppl",  # distinct-bigram total: 1-row broadcast
     "text-kneser-ney3-ppl",  # same 1-row bigram-type total broadcast
+    "curation-ppl-gate",  # same KN LM: 1-row bigram-type total broadcast
     "text-keyphrases",  # corpus-total bigram count: 1-row broadcast
     # pair enumeration over GROUPS (sources/crawls — hundreds, never
     # rows); the corpus itself is touched once, sketch-side only

@@ -154,7 +154,16 @@ def test_mmr_matches_python_greedy_trace(spark, data, simvals, k):
         while remaining and len(picked) < k:
             best, best_obj = None, None
             for c in sorted(remaining):
-                pen = max((sim.get((c, s), 0) for s in picked), default=0)
+                # symmetric-penalty contract (operators/search.py):
+                # max of both directions, so one-directional inputs
+                # are never under-penalized
+                pen = max(
+                    (
+                        max(sim.get((c, s), 0), sim.get((s, c), 0))
+                        for s in picked
+                    ),
+                    default=0,
+                )
                 obj = scores[c] - (pen if picked else 0)
                 if best_obj is None or obj > best_obj:
                     best, best_obj = c, obj

@@ -2354,3 +2354,70 @@ def test_concurrent_publishes_one_wins_one_conflicts(spark, tmp_path):
     assert loser.read().count() in (13, 15)
     d = src.detail()
     assert d["num_cdc_files"] == 0 and d["version"] == 1
+
+
+def test_type_widening_append_int_then_long(spark, tmp_path):
+    """Safe type widening (Delta/Iceberg rules): a long batch widens an
+    int column's table type; old int-physical files upcast at read."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SchemaConflict,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tw"), stat_cols=["k"])
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        )
+    )
+    t.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),  # long widens int
+            F.col("id").cast("double").alias("x"),  # double widens float
+        )
+    )
+    df = t.read()
+    assert dict(df.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(r.k for r in df.collect()) == list(range(15))
+    # narrower-than-table batches keep the wide table type
+    t.append(
+        spark.range(15, 18).select(
+            F.col("id").cast("short").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        )
+    )
+    assert dict(t.read().dtypes) == {"k": "bigint", "x": "double"}
+    assert t.read().count() == 18
+    # incompatible evolution still refused
+    with pytest.raises(SchemaConflict):
+        t.append(
+            spark.range(1).select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").cast("double").alias("x"),
+            )
+        )
+    # stat prune still works across mixed physical widths
+    live = t._live_files()
+    pruned = t._apply_prunes(live, [("k", 11, 12)], None, None)
+    assert 0 < len(pruned) < len(live)
+
+
+def test_type_widening_through_merge_mor(spark, tmp_path):
+    """A MERGE whose source widens a column must not downcast the
+    source into the old type (silent overflow territory): the table
+    widens and merge-on-read postimages carry the wide type."""
+    t = SnapshotTable(spark, str(tmp_path / "tm"))
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    big = 3_000_000_000  # overflows int32
+    src = spark.createDataFrame([(5, big), (100, big)], "k long, v long")
+    t.merge_into(src, ["k"], when_matched="update", mode="mor")
+    df = t.read()
+    assert dict(df.dtypes)["v"] == "bigint"
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows[5] == big and rows[100] == big and rows[4] == 4
+    assert df.count() == 11
