@@ -402,6 +402,7 @@ def resize_media(
             body = bytes(buf[i * stride] for i in range(cnt))
             return header + body
 
+        chunk = max(1, int(records_per_batch))
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
@@ -434,22 +435,18 @@ def resize_media(
                         "out_bytes": out,
                     }
                 )
-            yield pd.DataFrame(rows, columns=resize_cols)
+                # bound the DECODED-output footprint per emitted Arrow
+                # batch: yield as soon as records_per_batch thumbnails
+                # accumulate, instead of one batch-sized frame — this
+                # is what makes the knob effective regardless of when
+                # the returned lazy frame executes (a session conf set
+                # here would already be restored by then)
+                if len(rows) >= chunk:
+                    yield pd.DataFrame(rows, columns=resize_cols)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=resize_cols)
 
-    # Same conf dance as decode_media: read with the Spark default and
-    # unconditionally restore, so an unset conf doesn't get pinned to
-    # `records_per_batch` for the rest of the session. Note the knob only
-    # affects execution that happens while it is set — callers who need it
-    # for the returned lazy frame should trigger the action inside their
-    # own conf scope.
-    conf = media.sparkSession.conf
-    prev = conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch)
+    return media.select("media_id", "content").mapInPandas(
+        _resize, RESIZE_SCHEMA
     )
-    try:
-        return media.select("media_id", "content").mapInPandas(
-            _resize, RESIZE_SCHEMA
-        )
-    finally:
-        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

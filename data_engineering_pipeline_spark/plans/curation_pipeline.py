@@ -161,11 +161,17 @@ def _apply_ppl_gate(spark: SparkSession, df: DataFrame, lm_dir: str,
             os.path.join(lm_dir, "cuts")
         ).collect()
     }
+    # a rebuild corpus with < 3 scorable docs freezes fewer than two
+    # cutoffs (ntile emits only the buckets it can fill) — missing
+    # cuts default to +inf, i.e. everything lands in the head bucket
+    # and passes: the only defensible policy with no distribution
+    inf = 1 << 62
+    cut1, cut2 = cuts.get(1, inf), cuts.get(2, inf)
     scores = kn_doc_ce_backoff(bigram_explode(df), model)
     bucket = (
         F.lit(1)
-        + (F.col("ce_q") > F.lit(cuts[1])).cast("int")
-        + (F.col("ce_q") > F.lit(cuts[2])).cast("int")
+        + (F.col("ce_q") > F.lit(cut1)).cast("int")
+        + (F.col("ce_q") > F.lit(cut2)).cast("int")
     )
     ppm = (
         F.when(bucket == 1, F.lit(1_000_000))
@@ -175,8 +181,13 @@ def _apply_ppl_gate(spark: SparkSession, df: DataFrame, lm_dir: str,
     gated = df.join(
         scores.select("doc_id", ppm.alias("__ppm")), "doc_id", "left"
     )
+    # SALTED deviate (key_hash over (doc_id, 1)): the frozen
+    # temperature rates downstream use the unsalted key_hash(doc_id)
+    # deviate — sharing it would make the two filters keep
+    # min(gate_ppm, rate_ppm) of docs instead of the product,
+    # silently biasing the corpus mix per stratum
     return gated.filter(
-        key_hash(F.col("doc_id")) % 1_000_000
+        key_hash(F.col("doc_id"), F.lit(1)) % 1_000_000
         < F.coalesce("__ppm", F.lit(1_000_000))
     ).drop("__ppm")
 

@@ -834,7 +834,8 @@ _PPL_GATE_ORACLE = f"""
              CASE WHEN ppl_bucket = 1 THEN 1000000
                   WHEN ppl_bucket = 2 THEN 500000
                   ELSE 250000 END AS keep_ppm,
-             ((doc_id * 69069 + 1) % 4294967296) % 1000000 AS h
+             (((((doc_id * 69069 + 1) % 4294967296) + 1) * 69069 + 1)
+               % 4294967296) % 1000000 AS h
       FROM bkt
     )
     SELECT ppl_bucket,
@@ -854,8 +855,9 @@ def curation_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the Kneser-Ney bigram LM trained on the corpus itself, bucket
     into terciles by cross-entropy, then keep head docs entirely and
     DOWNSAMPLE the middle/tail buckets deterministically (50% / 25% by
-    the same integer key hash the temperature stage uses) — the
-    corpus-mix shape a perplexity filter actually produces. The oracle
+    a SALTED integer key hash — independent of the temperature stage's
+    unsalted deviate, so composed rates multiply) — the corpus-mix
+    shape a perplexity filter actually produces. The oracle
     replays the whole chain (LM, terciles, hash gate) in pure SQL, so
     a drifted LM expression, a wrong bucket boundary, or a biased
     keep-hash all surface as value mismatches. Scale: LM training =
@@ -883,7 +885,10 @@ def curation_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ppl_bucket") == 2, F.lit(500_000))
         .otherwise(F.lit(250_000))
     )
-    kept = key_hash(F.col("doc_id")) % 1_000_000 < keep_ppm
+    # salted deviate (doc_id, 1): independent of the unsalted hash the
+    # temperature stage draws, so composing gate + rates in the
+    # pipeline keeps the PRODUCT of the rates (plans/curation_pipeline)
+    kept = key_hash(F.col("doc_id"), F.lit(1)) % 1_000_000 < keep_ppm
     return (
         bkt.withColumn("__kept", kept)
         .groupBy("ppl_bucket")

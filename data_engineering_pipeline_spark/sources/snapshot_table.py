@@ -330,6 +330,11 @@ def _file_stats(files: list[str], stat_cols: list[str]) -> list[dict]:
     return out
 
 
+# sentinel: the caller did not capture a column-mapping basis, so the
+# commit loop skips the concurrent-rename conflict check (schema-
+# replacing ops like overwrite/restore/publish legitimately clobber it)
+_COLMAP_UNGUARDED = object()
+
 _BLOOM_DIR = "_bloom"
 _BLOOM_K = 7  # hash probes per value (optimal for ~10 bits/element)
 _BLOOM_BITS_PER_ROW = 10  # sizing target => ~1% false-positive rate
@@ -658,13 +663,25 @@ class SnapshotTable:
 
     def _colmap_at(self, version: int | None) -> dict[str, int] | None:
         """{current_name: id} as of `version`, None when the table has
-        no column mapping at that version (pre-bootstrap)."""
+        no column mapping at that version (pre-bootstrap). Memoized
+        per committed version (immutable once committed) — the prune
+        paths resolve entry mappings O(files x predicates) times per
+        merge, and each resolution would otherwise re-list the log and
+        re-parse the property JSON. `None` results are NOT memoized
+        (a table can bootstrap mapping later in this handle's life)."""
         if version is None or self.latest_version() is None:
             return None
+        memo = self.__dict__.setdefault("_colmap_memo", {})
+        if version in memo:
+            return dict(memo[version])
         raw = self.properties_at(version).get("colmap")
         if not raw:
             return None
-        return {n: int(i) for n, i in json.loads(raw).items()}
+        cm = {n: int(i) for n, i in json.loads(raw).items()}
+        if len(memo) > 256:
+            memo.clear()
+        memo[version] = dict(cm)
+        return cm
 
     def _colmap_base(self) -> dict[str, int] | None:
         """The PRE-BOOTSTRAP name->id mapping — the interpretation for
@@ -716,6 +733,17 @@ class SnapshotTable:
         if colmap is None or col not in colmap:
             return col
         return self._entry_phys(e).get(colmap[col], col)
+
+    def _colmap_token(self, version: int | None = None) -> str | None:
+        """The raw colmap property at `version` (head when None) — a
+        cheap comparable token for the concurrent-rename conflict
+        guard: a writer that read its schema under one mapping must
+        not commit under another (its staged old-name columns would
+        silently re-enter the schema as brand-new columns)."""
+        head = self.latest_version() if version is None else version
+        if head is None:
+            return None
+        return self.properties_at(head).get("colmap")
 
     def _next_col_id(self, version: int) -> int:
         props = self.properties_at(version)
@@ -872,9 +900,19 @@ class SnapshotTable:
         bdir = os.path.join(self.path, "data", _BLOOM_DIR)
         os.makedirs(bdir, exist_ok=True)
         zero = b"\x00" * (m // 8)  # all-null column: proves absence
+        # record each column's WRITE-TIME type: xxhash64 output depends
+        # on the physical type, so after a type widening (int column
+        # widened to long) probes must hash with the type the sidecar
+        # bits were set with, not the current schema type
+        col_types = {
+            f.name: f.dataType.typeName()
+            for f in base.schema.fields if f.name in cols
+        }
         for f in moved:
             name = os.path.basename(f)
-            header: dict = {"m": m, "k": _BLOOM_K, "cols": {}}
+            header: dict = {
+                "m": m, "k": _BLOOM_K, "cols": {}, "types": col_types,
+            }
             blobs = b""
             for c in cols:
                 bts = per_file.get(name, {}).get(c, zero)
@@ -936,6 +974,7 @@ class SnapshotTable:
                     c: blobs[off:off + ln]
                     for c, (off, ln) in header["cols"].items()
                 },
+                "types": header.get("types", {}),
             }
         if len(cache) > 512:
             cache.clear()
@@ -958,17 +997,50 @@ class SnapshotTable:
         cm = self._colmap_at(v)
         pos_cache = self._bloom_pos_memo
 
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        int_types = {
+            "byte": (ByteType(), 1 << 7),
+            "short": (ShortType(), 1 << 15),
+            "integer": (IntegerType(), 1 << 31),
+            "long": (LongType(), 1 << 63),
+        }
+
         def might_contain(doc: dict, col: str, values: list,
                           phys: str) -> bool:
             # sidecar headers key the PHYSICAL (write-time) name; the
-            # probe type comes from the current schema (types never
-            # change across a rename)
+            # probe type is the WRITE-TIME type the bits were hashed
+            # with (xxhash64 differs across int widths, so a widened
+            # column must probe with the file's narrower type — values
+            # outside that type's range provably aren't in the file)
             cols = doc["cols"]
             if phys not in cols:
                 return True
             if schema is None or col not in schema.fieldNames():
                 return True
             dtype = schema[col].dataType
+            rec = doc.get("types", {}).get(phys)
+            if rec is not None and rec != dtype.typeName():
+                if (rec in int_types
+                        and dtype.typeName() in int_types):
+                    narrow, bound = int_types[rec]
+                    values = [
+                        v for v in values
+                        if isinstance(v, int) and -bound <= v < bound
+                    ]
+                    if not values:
+                        return False  # none representable: proven absent
+                    dtype = narrow
+                else:
+                    # float->double widening (or unknown recorded
+                    # type): the probe value's narrow representation
+                    # is lossy — conservative keep
+                    return True
             key = (col, doc["m"], str(dtype), tuple(values))
             if key not in pos_cache:
                 if len(pos_cache) > 256:
@@ -1121,7 +1193,8 @@ class SnapshotTable:
                      txn: tuple[str, int] | None = None,
                      properties: dict | None = None,
                      dv_adds: list[dict] | None = None,
-                     cdc_adds: list[dict] | None = None) -> int:
+                     cdc_adds: list[dict] | None = None,
+                     colmap_basis=_COLMAP_UNGUARDED) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -1130,29 +1203,47 @@ class SnapshotTable:
         `replace_schema` (overwrite), it is re-merged against the
         HEAD's schema on every retry, so rebasing over a concurrent
         commit that evolved the schema cannot silently hide that
-        commit's new columns."""
+        commit's new columns.
+
+        `colmap_basis`: the colmap token the caller READ its schema
+        under (pass `t._colmap_token()` captured at the read). A
+        concurrent rename/drop changes no live files — the file-level
+        guards cannot see it — but re-merging a pre-rename staged
+        schema against the renamed head would resurrect the old name
+        as a brand-new column; the commit conflicts instead."""
         if (self.bloom_cols or self.stat_cols or self.generated_cols
                 or self.cdf):
             # a metadata-maintaining handle advertises its columns as
             # table properties, so unaware handles keep the metadata
             # alive through their rewrites (_effective_cols)
+            # caller-supplied properties WIN over the handle's
+            # advertisement (a rename commit passes the renamed lists
+            # while the handle still carries the old names until the
+            # commit succeeds)
             properties = dict(properties or {})
             if self.bloom_cols:
-                properties["bloom_cols"] = ",".join(
-                    self._effective_bloom_cols()
+                properties.setdefault(
+                    "bloom_cols", ",".join(self._effective_bloom_cols())
                 )
             if self.stat_cols:
-                properties["stat_cols"] = ",".join(
-                    self._effective_stat_cols()
+                properties.setdefault(
+                    "stat_cols", ",".join(self._effective_stat_cols())
                 )
             if self.cdf:
-                properties["cdf"] = "true"
+                properties.setdefault("cdf", "true")
             for c, e in self.generated_cols.items():
-                properties[f"generated.{c}"] = e
+                properties.setdefault(f"generated.{c}", e)
         while True:
             head = self.latest_version()
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
                 return head  # a racing replayer already committed this txn
+            if (colmap_basis is not _COLMAP_UNGUARDED
+                    and self._colmap_token(head) != colmap_basis):
+                raise SnapshotConflict(
+                    "the table's column mapping changed under this "
+                    "transaction (concurrent rename/drop); re-run "
+                    "against fresh state"
+                )
             next_v = 0 if head is None else head + 1
             removes = removes_fn(self._live_files() if head is not None else {})
             manifest = {
@@ -1216,26 +1307,41 @@ class SnapshotTable:
                 or self.cdf):
             # same property stamp as _commit_loop (append has its own
             # commit loop): advertise the maintained columns
+            # caller-supplied properties WIN over the handle's
+            # advertisement (a rename commit passes the renamed lists
+            # while the handle still carries the old names until the
+            # commit succeeds)
             properties = dict(properties or {})
             if self.bloom_cols:
-                properties["bloom_cols"] = ",".join(
-                    self._effective_bloom_cols()
+                properties.setdefault(
+                    "bloom_cols", ",".join(self._effective_bloom_cols())
                 )
             if self.stat_cols:
-                properties["stat_cols"] = ",".join(
-                    self._effective_stat_cols()
+                properties.setdefault(
+                    "stat_cols", ",".join(self._effective_stat_cols())
                 )
             if self.cdf:
-                properties["cdf"] = "true"
+                properties.setdefault("cdf", "true")
             for c, e in self.generated_cols.items():
-                properties[f"generated.{c}"] = e
+                properties.setdefault(f"generated.{c}", e)
         df = self._apply_generated(df)
         self._constraint_gate(df)
+        basis = self._colmap_token()
         adds = self._stage(df)
         while True:
             head = self.latest_version()
             if txn is not None and self.txn_version(txn[0]) >= txn[1]:
                 return head  # a racing replayer won; staged adds -> vacuum
+            if self._colmap_token(head) != basis:
+                # the one append conflict: a concurrent rename/drop —
+                # re-merging this batch's pre-rename column names into
+                # the renamed head would resurrect the old name as a
+                # brand-new column (see _commit_loop colmap_basis)
+                raise SnapshotConflict(
+                    "the table's column mapping changed under this "
+                    "append (concurrent rename/drop); re-run against "
+                    "fresh state"
+                )
             next_v = 0 if head is None else head + 1
             # schema evolution: new columns append to the table schema,
             # same-name columns must keep their type; recomputed per
@@ -1367,6 +1473,7 @@ class SnapshotTable:
         )
 
         head = self.latest_version()
+        cm_basis = self._colmap_token(head)
         read_files = self._live_files() if head is not None else {}
         cur_schema = self._schema_at(head) if head is not None else None
         old = (
@@ -1392,7 +1499,8 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("upsert", adds, removes,
-                                 schema=merged.schema)
+                                 schema=merged.schema,
+                                 colmap_basis=cm_basis)
 
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None,
@@ -1438,6 +1546,7 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot compact an empty table")
+        cm_basis = self._colmap_token(head)
         read_files = self._live_files()
         if where:
             read_files = self._apply_prunes(read_files, where, None, head)
@@ -1462,10 +1571,13 @@ class SnapshotTable:
             entries = list(read_files.values())
             cl_cm = self._colmap_at(head)
             for c in cluster_by:
+                keys_per_entry = [
+                    (e, self._stats_name(e, c, cl_cm)) for e in entries
+                ]
                 per_file = [
-                    e["stats"][self._stats_name(e, c, cl_cm)]
-                    for e in entries
-                    if self._stats_name(e, c, cl_cm) in e.get("stats", {})
+                    e["stats"][k]
+                    for e, k in keys_per_entry
+                    if k in e.get("stats", {})
                 ]
                 if len(per_file) == len(entries) and per_file:
                     bounds[c] = (min(p[0] for p in per_file),
@@ -1508,7 +1620,8 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("compact", adds, removes,
-                                 schema=df.schema)
+                                 schema=df.schema,
+                                 colmap_basis=cm_basis)
 
     def purge_dvs(self, output_files: int | None = None) -> int | None:
         """Materialize deletion-vector masks away by rewriting ONLY
@@ -1522,6 +1635,7 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             return None
+        cm_basis = self._colmap_token(head)
         live = self._live_files()
         dvd = {n: e for n, e in live.items() if e.get("dvs")}
         if not dvd:
@@ -1542,7 +1656,8 @@ class SnapshotTable:
                 )
             return sorted(basis)
 
-        return self._commit_loop("purge", adds, removes, schema=schema)
+        return self._commit_loop("purge", adds, removes, schema=schema,
+                                 colmap_basis=cm_basis)
 
     def merge_into(
         self,
@@ -1632,6 +1747,7 @@ class SnapshotTable:
                 .drop("__rn")
             )
         head = self.latest_version()
+        cm_basis = self._colmap_token(head)
         if head is None:
             if not insert_not_matched:
                 raise ValueError("merge into an empty table inserts "
@@ -1894,7 +2010,7 @@ class SnapshotTable:
             return self._commit_loop(
                 "merge", adds, removes_guard([]),
                 schema=out_schema, txn=txn, dv_adds=dv_adds,
-                cdc_adds=cdc_adds,
+                cdc_adds=cdc_adds, colmap_basis=cm_basis,
             )
 
         # 3. cow: rewrite touched files only
@@ -1955,6 +2071,7 @@ class SnapshotTable:
         return self._commit_loop(
             "merge", adds, removes_guard(sorted(touched)),
             schema=out.schema, txn=txn, cdc_adds=cdc_adds,
+            colmap_basis=cm_basis,
         )
 
     def delete_where(self, condition: str,
@@ -1995,6 +2112,7 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot delete from an empty table")
+        cm_basis = self._colmap_token(head)
         live = self._live_files()
         schema = self._schema_at(head)
         if prune_hint:
@@ -2036,6 +2154,7 @@ class SnapshotTable:
                 return []
 
             return self._commit_loop("delete", [], removes_mor,
+                                     colmap_basis=cm_basis,
                                      schema=schema, dv_adds=dv_adds,
                                      cdc_adds=cdc_adds)
 
@@ -2066,7 +2185,8 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("delete", adds, removes,
-                                 schema=schema, cdc_adds=cdc_adds)
+                                 schema=schema, cdc_adds=cdc_adds,
+                                 colmap_basis=cm_basis)
 
     def update_where(self, condition: str, assignments: dict[str, str],
                      output_files: int | None = None,
@@ -2095,6 +2215,7 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot update an empty table")
+        cm_basis = self._colmap_token(head)
         schema = self._schema_at(head)
         cols = (
             [f.name for f in schema.fields] if schema is not None
@@ -2173,7 +2294,8 @@ class SnapshotTable:
 
             return self._commit_loop("update", adds, removes_mor,
                                      schema=schema, dv_adds=dv_adds,
-                                     cdc_adds=cdc_adds)
+                                     cdc_adds=cdc_adds,
+                                     colmap_basis=cm_basis)
 
         touched = {
             r["__file"]
@@ -2231,7 +2353,8 @@ class SnapshotTable:
             return sorted(basis)
 
         return self._commit_loop("update", adds, removes,
-                                 schema=schema, cdc_adds=cdc_adds)
+                                 schema=schema, cdc_adds=cdc_adds,
+                                 colmap_basis=cm_basis)
 
     def changes_between_timestamps(
         self, ts_from: float, ts_to: float, keys: list[str]
@@ -3123,15 +3246,19 @@ class SnapshotTable:
         # metadata columns follow the rename — on the persisted
         # properties AND this handle's own lists (so its next commit's
         # property stamp doesn't resurrect the old name). Handles
-        # created before the rename should be rebuilt.
+        # created before the rename should be rebuilt. The handle's
+        # own lists mutate only AFTER the commit succeeds: a conflict
+        # must leave the handle advertising the names the table
+        # actually has.
+        new_stat = new_bloom = None
         stat = self._effective_stat_cols()
         if old in stat:
-            self.stat_cols = [new if c == old else c for c in stat]
-            props["stat_cols"] = ",".join(self.stat_cols)
+            new_stat = [new if c == old else c for c in stat]
+            props["stat_cols"] = ",".join(new_stat)
         bloom = self._effective_bloom_cols()
         if old in bloom:
-            self.bloom_cols = [new if c == old else c for c in bloom]
-            props["bloom_cols"] = ",".join(self.bloom_cols)
+            new_bloom = [new if c == old else c for c in bloom]
+            props["bloom_cols"] = ",".join(new_bloom)
         from pyspark.sql.types import StructField, StructType
 
         new_schema = StructType([
@@ -3139,10 +3266,15 @@ class SnapshotTable:
                         f.dataType, f.nullable)
             for f in schema.fields
         ])
-        return self._commit_loop(
+        v = self._commit_loop(
             "rename", [], self._fixed_head_guard(head),
             schema=new_schema, replace_schema=True, properties=props,
         )
+        if new_stat is not None:
+            self.stat_cols = new_stat
+        if new_bloom is not None:
+            self.bloom_cols = new_bloom
+        return v
 
     def _fixed_head_guard(self, head: int):
         """removes_fn for metadata-only schema commits (rename/drop):
@@ -3179,23 +3311,29 @@ class SnapshotTable:
         props = {"colmap": json.dumps(cm), "colmap_seq": str(seq)}
         if base is not None:
             props["colmap_base"] = json.dumps(base)
+        new_stat = new_bloom = None
         stat = self._effective_stat_cols()
         if col in stat:
-            self.stat_cols = [c for c in stat if c != col]
-            props["stat_cols"] = ",".join(self.stat_cols)
+            new_stat = [c for c in stat if c != col]
+            props["stat_cols"] = ",".join(new_stat)
         bloom = self._effective_bloom_cols()
         if col in bloom:
-            self.bloom_cols = [c for c in bloom if c != col]
-            props["bloom_cols"] = ",".join(self.bloom_cols)
+            new_bloom = [c for c in bloom if c != col]
+            props["bloom_cols"] = ",".join(new_bloom)
         from pyspark.sql.types import StructType
 
         new_schema = StructType(
             [f for f in schema.fields if f.name != col]
         )
-        return self._commit_loop(
+        v = self._commit_loop(
             "drop_column", [], self._fixed_head_guard(head),
             schema=new_schema, replace_schema=True, properties=props,
         )
+        if new_stat is not None:
+            self.stat_cols = new_stat
+        if new_bloom is not None:
+            self.bloom_cols = new_bloom
+        return v
 
     # ------------- table-level CHECK constraints -------------
 
@@ -3508,6 +3646,31 @@ class SnapshotTable:
 
         clone_mapped = clone._colmap_at(head_c) is not None
         src_head = self.latest_version()
+        if clone_mapped and src_head is not None:
+            # ids minted INDEPENDENTLY on both sides since the fork
+            # collide: a post-fork source file kept by
+            # allow_unrelated_appends would serve its column's bytes
+            # under the clone's different same-id column. (Independent
+            # BOOTSTRAPS agree — ids by position of the shared fork
+            # schema — so only post-fork additions can collide.)
+            try:
+                forked_ids = set(
+                    (self._colmap_at(src_ref["version"]) or {}).values()
+                )
+            except ValueError:
+                forked_ids = set()
+            new_src = set(
+                (self._colmap_at(src_head) or {}).values()
+            ) - forked_ids
+            new_clone = set(
+                (clone._colmap_at(head_c) or {}).values()
+            ) - forked_ids
+            if new_src & new_clone:
+                raise SnapshotConflict(
+                    "source and clone minted the same column id(s) "
+                    f"{sorted(new_src & new_clone)} independently "
+                    "since the fork; re-clone and re-apply"
+                )
         if (not clone_mapped and src_head is not None
                 and self._colmap_at(src_head) is not None):
             # the source bootstrapped column mapping after the fork —

@@ -331,7 +331,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
             self._schema_json = _schema_at(self._t, hi).json()
         if self._cdc:
             # CDC mode: stream every captured transition instead of
-            # the append-only row stream
+            # the append-only row stream. The same pinned-schema rule
+            # applies: a mid-stream rename/drop requires a restart
+            # (the BATCH cdc reader re-resolves its schema per read
+            # and translates across renames; a stream cannot).
+            for v in range(lo + 1, hi + 1):
+                if self._t._read_manifest(v)["op"] in (
+                    "rename", "drop_column"
+                ):
+                    raise ValueError(
+                        f"version {v} renamed or dropped a column; "
+                        "the stream's schema is pinned — restart the "
+                        "streaming query to pick up the new schema"
+                    )
             return _cdc_partitions_for_range(
                 self._t, lo, hi, self._schema_json,
                 self._skip_changes,
@@ -340,6 +352,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             m = self._t._read_manifest(v)
+            if m["op"] in ("rename", "drop_column"):
+                # the stream's schema is pinned at its first batch; a
+                # mid-stream mapping change would silently null-fill
+                # the renamed column in every later file (Delta stops
+                # the stream on schema changes for the same reason)
+                raise ValueError(
+                    f"version {v} renamed or dropped a column; the "
+                    "stream's schema is pinned — restart the streaming "
+                    "query to pick up the new schema"
+                )
             if m["removes"] or m.get("dv_adds"):
                 if self._skip_changes:
                     continue

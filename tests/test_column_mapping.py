@@ -398,3 +398,72 @@ def test_stale_handle_cannot_clobber_renamed_metadata(spark, tmp_path):
     assert 0 < len(pruned) < len(live)
     rows = {r.key_id for r in t.read().collect()}
     assert rows == set(range(100))
+
+
+def test_write_racing_rename_conflicts(spark, tmp_path):
+    """A writer that read its schema under one mapping must not commit
+    under another: re-merging its pre-rename staged columns against
+    the renamed head would resurrect the old name as a brand-new
+    column (forked schema). The colmap guard conflicts instead."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path, stat_cols=["k"])
+    t.append(_batch(spark, 0, 20))
+    t.rename_column("k", "key_id")  # table is now mapped
+
+    writer = SnapshotTable(spark, path)
+    head = writer.latest_version()
+    cm_basis = writer._colmap_token(head)
+    # another handle renames while the writer's transaction is open
+    SnapshotTable(spark, path).rename_column("val", "amount")
+    with pytest.raises(SnapshotConflict, match="column mapping"):
+        writer._commit_loop(
+            "merge", [], lambda live: [],
+            schema=writer._schema_at(head), colmap_basis=cm_basis,
+        )
+    # the schema did not fork: still exactly three columns
+    assert SnapshotTable(spark, path).read().columns == [
+        "key_id", "amount", "tag"
+    ]
+
+
+def test_bloom_probe_after_type_widening(spark, tmp_path):
+    """Bloom sidecars hash with the write-time physical type; after an
+    int column widens to long, probes must hash old sidecars with INT
+    (xxhash64 differs across widths) — a wrong-type probe would
+    false-negative and prune files that DO hold the value."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+    t.append(
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit("old").alias("tag"),
+        ).repartition(4)
+    )
+    # widen k to long with a second generation
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), F.lit("new").alias("tag")
+        )
+    )
+    assert dict(t.read().dtypes)["k"] == "bigint"
+    live = t._live_files()
+    # value 7 lives in an INT-typed old file: the typed probe must
+    # keep that file (false negative = silent row loss)
+    kept = t._bloom_keep_files(live, [("k", [7])], t.latest_version())
+    rows = [r.k for r in t.read(bloom=[("k", [7])])
+            .filter(F.col("k") == 7).collect()]
+    assert rows == [7]
+    # and the prune still prunes: files provably without 7 drop
+    assert 0 < len(kept) < len(live)
+    # a value unrepresentable in int32 can only be in the long files
+    big = 3_000_000_000
+    t.merge_into(
+        spark.createDataFrame([(big, "big")], "k long, tag string"),
+        ["k"],
+    )
+    kept_big = t._bloom_keep_files(
+        t._live_files(), [("k", [big])], t.latest_version()
+    )
+    got = [r.k for r in t.read(bloom=[("k", [big])])
+           .filter(F.col("k") == big).collect()]
+    assert got == [big]
+    assert len(kept_big) < len(t._live_files())
