@@ -467,3 +467,32 @@ def test_bloom_probe_after_type_widening(spark, tmp_path):
            .filter(F.col("k") == big).collect()]
     assert got == [big]
     assert len(kept_big) < len(t._live_files())
+
+
+def test_stream_source_raises_on_mid_stream_rename(spark, tmp_path):
+    """The streaming source pins its schema at the first batch; a
+    rename inside a later batch range must stop the stream with a
+    restart error, not silently null-fill the renamed column."""
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), cdf=True)
+    t.append(_batch(spark, 0, 10))  # v0
+    t.rename_column("val", "amount")  # v1
+    t.append(
+        _batch(spark, 10, 20).withColumnRenamed("val", "amount")
+    )  # v2
+    r = sds.SnapshotStreamReader({"path": t.path})
+    with pytest.raises(ValueError, match="restart the streaming"):
+        r.partitions({"version": -1}, {"version": 2})
+    rc = sds.SnapshotStreamReader(
+        {"path": t.path, "readchangefeed": "true"}
+    )
+    with pytest.raises(ValueError, match="restart the streaming"):
+        rc.partitions({"version": -1}, {"version": 2})
+    # ranges that don't cross the rename still stream fine
+    parts = sds.SnapshotStreamReader({"path": t.path}).partitions(
+        {"version": 1}, {"version": 2}
+    )
+    assert len(parts) >= 1
