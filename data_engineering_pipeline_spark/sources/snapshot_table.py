@@ -81,17 +81,28 @@ class CommitBackend:
 
 
 class LocalFSCommitBackend(CommitBackend):
-    """O_CREAT|O_EXCL — atomic on POSIX local filesystems and on
-    HDFS-semantics stores. The default."""
+    """Atomic put-if-absent on POSIX local filesystems: the payload is
+    written COMPLETELY to a private temp file first, then linked to
+    the target name — link(2) fails with EEXIST if any other writer
+    won, and a crash at any point leaves either nothing or a whole
+    manifest under the target name. (A bare O_CREAT|O_EXCL + write
+    has a crash window where the name exists with zero/partial bytes,
+    which would wedge the log: the version looks committed but its
+    manifest never parses.)"""
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
+        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(payload)
-        return True
+        finally:
+            os.remove(tmp)
 
 
 class MutexCommitBackend(CommitBackend):
@@ -507,6 +518,14 @@ class SnapshotTable:
             "txns": self._txns_through(version),
             "props": props,
         }
+        # the schema must survive retention too: after expire deletes
+        # the manifest that recorded it, _schema_at falls back to the
+        # newest checkpoint at or below the read version — without
+        # this, reads degrade to footer inference (breaking evolution
+        # null-fill) and mapped tables silently serve physical names
+        sch = self._schema_at(version)
+        if sch is not None:
+            state["schema"] = sch.json()
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
@@ -924,14 +943,17 @@ class SnapshotTable:
             os.replace(tmp, _bloom_path(self.path, name))
 
     def _bloom_probe_positions(
-        self, col: str, values: list, m: int, dtype
+        self, col: str, values: list, m: int, dtype,
+        k: int = _BLOOM_K,
     ) -> list[tuple[int, ...]]:
         """k bit positions per probe value, computed by SPARK ITSELF
         with the identical expression the writer used — xxhash64's
         output depends on the value's physical type, so driver-side
         reimplementation would be a silent-corruption trap; a tiny
         local job on the probe values (bounded by the probe, never the
-        table) is exact by construction."""
+        table) is exact by construction. `k` comes from the SIDECAR
+        being probed (it persists its own hash count precisely so a
+        later change of the default cannot misprobe old files)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
@@ -941,7 +963,7 @@ class SnapshotTable:
         )
         rows = df.select(F.array(*[
             F.pmod(F.xxhash64(F.col("v"), F.lit(s)), F.lit(m))
-            for s in range(_BLOOM_K)
+            for s in range(k)
         ]).alias("ps")).collect()
         return [tuple(int(p) for p in r["ps"]) for r in rows]
 
@@ -1041,12 +1063,12 @@ class SnapshotTable:
                     # type): the probe value's narrow representation
                     # is lossy — conservative keep
                     return True
-            key = (col, doc["m"], str(dtype), tuple(values))
+            key = (col, doc["m"], doc["k"], str(dtype), tuple(values))
             if key not in pos_cache:
                 if len(pos_cache) > 256:
                     pos_cache.clear()
                 pos_cache[key] = self._bloom_probe_positions(
-                    col, values, doc["m"], dtype
+                    col, values, doc["m"], dtype, k=doc["k"]
                 )
             bits = cols[phys]
             for ps in pos_cache[key]:
@@ -1194,7 +1216,8 @@ class SnapshotTable:
                      properties: dict | None = None,
                      dv_adds: list[dict] | None = None,
                      cdc_adds: list[dict] | None = None,
-                     colmap_basis=_COLMAP_UNGUARDED) -> int:
+                     colmap_basis=_COLMAP_UNGUARDED,
+                     manifest_extra: dict | None = None) -> int:
         """Retry the O_EXCL commit against a moving head. removes_fn
         maps the CURRENT live file set to the removes list, raising
         SnapshotConflict if the transaction's premise no longer holds.
@@ -1252,6 +1275,8 @@ class SnapshotTable:
                 "adds": adds,
                 "removes": removes,
             }
+            if manifest_extra:
+                manifest.update(manifest_extra)
             if txn is not None:
                 manifest["txn"] = [txn[0], txn[1]]
             props = dict(properties) if properties is not None else None
@@ -1303,72 +1328,22 @@ class SnapshotTable:
             # quality gate BEFORE staging: a failing batch stages
             # nothing (no garbage), a drop batch stages only survivors
             df, report = enforce_expectations(df, expect)
-        if (self.bloom_cols or self.stat_cols or self.generated_cols
-                or self.cdf):
-            # same property stamp as _commit_loop (append has its own
-            # commit loop): advertise the maintained columns
-            # caller-supplied properties WIN over the handle's
-            # advertisement (a rename commit passes the renamed lists
-            # while the handle still carries the old names until the
-            # commit succeeds)
-            properties = dict(properties or {})
-            if self.bloom_cols:
-                properties.setdefault(
-                    "bloom_cols", ",".join(self._effective_bloom_cols())
-                )
-            if self.stat_cols:
-                properties.setdefault(
-                    "stat_cols", ",".join(self._effective_stat_cols())
-                )
-            if self.cdf:
-                properties.setdefault("cdf", "true")
-            for c, e in self.generated_cols.items():
-                properties.setdefault(f"generated.{c}", e)
         df = self._apply_generated(df)
         self._constraint_gate(df)
+        # the one append conflict: a concurrent rename/drop — the
+        # commit loop's colmap guard; re-merging this batch's
+        # pre-rename column names into the renamed head would
+        # resurrect the old name as a brand-new column
         basis = self._colmap_token()
         adds = self._stage(df)
-        while True:
-            head = self.latest_version()
-            if txn is not None and self.txn_version(txn[0]) >= txn[1]:
-                return head  # a racing replayer won; staged adds -> vacuum
-            if self._colmap_token(head) != basis:
-                # the one append conflict: a concurrent rename/drop —
-                # re-merging this batch's pre-rename column names into
-                # the renamed head would resurrect the old name as a
-                # brand-new column (see _commit_loop colmap_basis)
-                raise SnapshotConflict(
-                    "the table's column mapping changed under this "
-                    "append (concurrent rename/drop); re-run against "
-                    "fresh state"
-                )
-            next_v = 0 if head is None else head + 1
-            # schema evolution: new columns append to the table schema,
-            # same-name columns must keep their type; recomputed per
-            # retry so a concurrent evolver's columns are never hidden
-            cur = self._schema_at(head) if head is not None else None
-            eff = df.schema if cur is None else _merge_schemas(cur, df.schema)
-            manifest = {
-                "version": next_v,
-                "op": "append",
-                "adds": adds,
-                "removes": [],
-                "schema": eff.json(),
-            }
-            if txn is not None:
-                manifest["txn"] = [txn[0], txn[1]]
-            props = dict(properties) if properties is not None else None
-            cm_props = self._colmap_props(head, eff, False)
-            if cm_props:
-                merged = dict(cm_props)
-                merged.update(props or {})
-                props = merged
-            if props is not None:
-                manifest["properties"] = props
-            if report is not None:
-                manifest["expectations"] = report
-            if self._try_commit(next_v, manifest):
-                return next_v
+        return self._commit_loop(
+            "append", adds, lambda live: [],
+            schema=df.schema, txn=txn, properties=properties,
+            colmap_basis=basis,
+            manifest_extra=(
+                {"expectations": report} if report is not None else None
+            ),
+        )
 
     def txn_version(self, app_id: str) -> int:
         """Highest committed txn_version for app_id, -1 if none — the
@@ -2140,9 +2115,10 @@ class SnapshotTable:
             basis = self._dv_state(live)
 
             def removes_mor(now: dict[str, dict]) -> list[str]:
+                now_dv = self._dv_state(now)
                 changed = {
                     n for n, v in basis.items()
-                    if self._dv_state(now).get(n) != v
+                    if now_dv.get(n) != v
                 }
                 if changed & {
                     t for d in dv_adds for t in d["targets"]
@@ -2709,6 +2685,13 @@ class SnapshotTable:
         for v in vs:
             m = self._read_manifest(v)
             refs = {a["path"] for a in m["adds"]}
+            # restore/publish manifests re-reference deletion vectors
+            # INSIDE their add entries (no dv_adds commit of their
+            # own) — missing these deleted live DV files and wedged
+            # every read of the restored/published head
+            refs |= {
+                p for a in m["adds"] for p in a.get("dvs", ())
+            }
             refs |= {d["path"] for d in m.get("dv_adds", [])}
             cdc = {e["path"] for e in m.get("cdc", [])}
             ever |= refs | cdc
@@ -2793,6 +2776,8 @@ class SnapshotTable:
             m = self._read_manifest(v)
             for a in m["adds"]:
                 ever.add(a["path"])
+                # restore/publish re-reference DVs inside their adds
+                ever.update(a.get("dvs", ()))
             for d in m.get("dv_adds", []):
                 ever.add(d["path"])
             for e in m.get("cdc", []):
@@ -2837,25 +2822,66 @@ class SnapshotTable:
                 if os.path.exists(bp):
                     os.remove(bp)
             dropped.append(f)
+        # crash garbage OUTSIDE data/*.parquet: a writer dying inside
+        # _stage leaves a whole .stage-<token>/ directory in the table
+        # root (its files never reached data/), and a bloom writer can
+        # strand *.bloom.tmp sidecars — both age out on the same grace
+        # window (referenced by nothing, by construction)
+        for d in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if not d.startswith(".stage-"):
+                continue
+            p = os.path.join(self.path, d)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            if not dry_run:
+                shutil.rmtree(p, ignore_errors=True)
+            dropped.append(d + "/")
+        bdir = os.path.join(data, _BLOOM_DIR)
+        for f in os.listdir(bdir) if os.path.isdir(bdir) else []:
+            if not f.endswith(".tmp"):
+                continue
+            p = os.path.join(bdir, f)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+            dropped.append(f)
         return dropped
 
     # ---------------- read operations ----------------
 
     def _schema_at(self, version: int):
         """Table schema as of `version`: the newest recorded schema at
-        or below it (every post-evolution commit records one). None for
-        legacy logs that never recorded a schema — reads then fall back
-        to footer inference."""
+        or below it (every post-evolution commit records one), falling
+        back to the newest checkpoint at or below it when retention
+        expired the recording manifest. None only for legacy logs that
+        never recorded a schema — reads then use footer inference."""
         from pyspark.sql.types import StructType
 
         for v in range(version, -1, -1):
             try:
                 m = self._read_manifest(v)
             except FileNotFoundError:
-                return None  # expired prefix; no recorded schema found
+                break  # expired prefix: the checkpoint carries it
             s = m.get("schema")
             if s is not None:
                 return StructType.fromJson(json.loads(s))
+        for cv in reversed(self._checkpoints()):
+            if cv <= version:
+                with open(self._checkpoint_path(cv)) as fh:
+                    s = json.load(fh).get("schema")
+                if s is not None:
+                    return StructType.fromJson(json.loads(s))
+                break
         return None
 
     def _data_path(self, name: str, entry: dict | None = None) -> str:
@@ -3364,7 +3390,8 @@ class SnapshotTable:
         after the restore point."""
         from pyspark.sql import functions as F
 
-        if self.latest_version() is not None:
+        head = self.latest_version()
+        if head is not None:
             bad = (
                 self.read()
                 .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
@@ -3375,8 +3402,17 @@ class SnapshotTable:
                     f"existing rows violate constraint {name!r} "
                     f"({predicate}); constraint not added"
                 )
+        # the validation scan is only a proof about THIS head: a
+        # concurrent write (whose own gate read the pre-constraint
+        # properties) could land violating rows between the scan and
+        # the commit — conflict instead of silently promising a
+        # guarantee the table no longer meets
+        guard = (
+            self._fixed_head_guard(head) if head is not None
+            else (lambda live: [])
+        )
         return self._commit_loop(
-            "add-constraint", [], lambda live: [],
+            "add-constraint", [], guard,
             properties={f"constraint.{name}": predicate},
         )
 
@@ -3420,6 +3456,22 @@ class SnapshotTable:
         dv_paths = sorted(
             {p for e in live.values() for p in e.get("dvs", ())}
         )
+        # masked-row debt: DV files are batch-sized parquet, so exact
+        # footer+column reads stay driver-cheap. One DV file can mask
+        # several targets and outlive some of them — count only rows
+        # whose target is still live (the rows a read actually drops).
+        dv_masked = 0
+        if dv_paths:
+            import pyarrow.parquet as pq
+
+            for p in dv_paths:
+                try:
+                    tgt = pq.read_table(
+                        self._dv_path(p), columns=["target"]
+                    ).column("target").to_pylist()
+                except OSError:
+                    continue
+                dv_masked += sum(1 for t in tgt if t in live)
         cdc_files = cdc_rows = 0
         for v in self._versions():
             for e in self._read_manifest(v).get("cdc", []):
@@ -3428,7 +3480,10 @@ class SnapshotTable:
         return {
             "version": head,
             "num_files": len(live),
-            "num_rows": sum(e["rows"] for e in live.values()),
+            # LOGICAL row count: physical rows minus DV-masked rows
+            "num_rows": sum(e["rows"] for e in live.values()) - dv_masked,
+            "physical_rows": sum(e["rows"] for e in live.values()),
+            "dv_masked_rows": dv_masked,
             "size_bytes": size,
             "num_dv_files": len(dv_paths),
             "num_cdc_files": cdc_files,
@@ -4089,9 +4144,17 @@ def refresh_join(
         # by NAME: a USING join reorders output columns (join keys
         # first), so the two semi-joins disagree on column order
         stale = stale.unionByName(p)
+    # the delete leg carries its OWN txn watermark: a racing refresher
+    # at the same (or an older) watermark must not re-delete pairs the
+    # winner already replaced — its merge no-ops on the committed del
+    # mark, and its append no-ops on the main mark. A separate app id
+    # keeps crash replay convergent: a crash between delete and append
+    # leaves the MAIN watermark unadvanced, so the re-run still runs
+    # (its delete no-ops, its append lands the slice exactly once).
     view.merge_into(
         stale.distinct(), pair,
         when_matched="delete", insert_not_matched=False, mode="mor",
+        txn=(app + "#del", enc_new),
     )
 
     fresh_parts = []

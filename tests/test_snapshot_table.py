@@ -1800,7 +1800,10 @@ def test_detail_reports_operational_state(spark, tmp_path):
     t.delete_where("k = 5", mode="mor")
     d = t.detail()
     assert d["version"] == 2 and d["num_files"] == 2
-    assert d["num_rows"] == 200  # physical rows; masks are separate
+    # num_rows is LOGICAL (physical minus DV-masked); the physical
+    # count and the masked debt are reported separately
+    assert d["num_rows"] == 199
+    assert d["physical_rows"] == 200 and d["dv_masked_rows"] == 1
     assert d["size_bytes"] > 0 and d["num_dv_files"] == 1
     assert d["stat_cols"] == ["k"] and d["bloom_cols"] == ["k"]
     assert d["properties"]["bloom_cols"] == "k"
@@ -2421,3 +2424,106 @@ def test_type_widening_through_merge_mor(spark, tmp_path):
     rows = {r.k: r.v for r in df.collect()}
     assert rows[5] == big and rows[100] == big and rows[4] == 4
     assert df.count() == 11
+
+
+def test_vacuum_keeps_dvs_referenced_by_publish(spark, tmp_path):
+    """restore/publish manifests re-reference deletion vectors INSIDE
+    their add entries (no dv_adds of their own); vacuum/expire must
+    count those as reachable or they delete live DV files and wedge
+    every read of the published head."""
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.append(_df(spark, 0, 50, "a").repartition(2))
+    c = t.clone_to(str(tmp_path / "c"))
+    c.delete_where("k % 5 = 0", mode="mor")  # DV minted in the clone
+    t.publish_from(c)
+    assert t.read().count() == 40
+    # age every file past the grace window, then sweep
+    import time as _time
+    now = _time.time()
+    for root, _dirs, files in os.walk(t.path):
+        for f in files:
+            os.utime(os.path.join(root, f), (now - 7200, now - 7200))
+    deleted = t.vacuum(grace_seconds=3600.0)
+    # the published head must still read (DV intact)
+    assert t.read().count() == 40
+    assert all(not d.endswith(".parquet") or "dv" not in d.lower()
+               for d in deleted)
+    # and expire_versions must protect it too
+    t.append(_df(spark, 100, 101, "b"))
+    t.expire_versions(keep_last=1, grace_seconds=0.0)
+    assert SnapshotTable(spark, t.path).read().count() == 41
+
+
+def test_schema_survives_retention_via_checkpoint(spark, tmp_path):
+    """The newest schema-recording manifest can be expired while later
+    metadata-only commits (constraints) survive; the checkpoint at the
+    retention cutoff must carry the schema so reads keep the
+    evolution/null-fill contract instead of degrading to footer
+    inference."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))  # v0 records the schema
+    # evolve: a second append with an extra column; old files null-fill
+    t.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), F.lit("b").alias("tag"),
+            F.lit(1.5).alias("score"),
+        )
+    )  # v1 records the evolved schema
+    t.add_constraint("k_pos", "k >= 0")  # v2: metadata-only, no schema
+    t.drop_constraint("k_pos")  # v3: metadata-only
+    t.expire_versions(keep_last=2, grace_seconds=0.0)
+    t2 = SnapshotTable(spark, t.path)  # fresh handle, no memos
+    df = t2.read()
+    assert df.columns == ["k", "tag", "score"]
+    rows = {r.k: r.score for r in df.collect()}
+    assert rows[0] is None and rows[12] == 1.5
+
+
+def test_commit_backend_no_torn_manifest(tmp_path):
+    """put_if_absent must never leave a half-written manifest under
+    the target name: payload goes to a tmp file first, then links
+    into place (loser's tmp is removed; tmp names never parse as
+    versions)."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        LocalFSCommitBackend,
+    )
+
+    b = LocalFSCommitBackend()
+    p = str(tmp_path / "00000000.json")
+    assert b.put_if_absent(p, b'{"v": 1}') is True
+    assert open(p).read() == '{"v": 1}'
+    # a loser does not clobber and leaves no droppings
+    assert b.put_if_absent(p, b'{"v": 2}') is False
+    assert open(p).read() == '{"v": 1}'
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+
+
+def test_detail_reports_dv_masked_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100, "a"))
+    t.delete_where("k % 4 = 0", mode="mor")
+    d = t.detail()
+    assert d["dv_masked_rows"] == 25
+    assert d["num_rows"] == 75  # logical, not physical
+    assert d["physical_rows"] == 100
+    assert d["num_dv_files"] == 1
+
+
+def test_vacuum_sweeps_crashed_stage_dirs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "a"))
+    # simulate a writer that died mid-_stage
+    crashed = os.path.join(t.path, ".stage-deadbeef")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-0.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    old = __import__("time").time() - 7200
+    os.utime(crashed, (old, old))
+    swept = t.vacuum(grace_seconds=3600.0)
+    assert ".stage-deadbeef/" in swept
+    assert not os.path.exists(crashed)
+    # a FRESH stage dir (possible in-flight writer) survives
+    fresh = os.path.join(t.path, ".stage-cafebabe")
+    os.makedirs(fresh)
+    t.vacuum(grace_seconds=3600.0)
+    assert os.path.exists(fresh)
