@@ -22,28 +22,48 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(
-        keys + [ts_col]
+    """Exactly-once-per-KEY within the watermark horizon
+    (dropDuplicatesWithinWatermark): a re-delivery of the same key
+    with a DIFFERENT event time — a producer retry that re-stamps
+    ingestion time — still dedups, which plain
+    dropDuplicates(keys + [ts]) would let through. State stays
+    bounded by the watermark exactly as before."""
+    return events.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
+def _has_parquet(path: str) -> bool:
+    """A store 'exists' only if it holds at least one part-file: a
+    crash between _append_parquet's makedirs and its first rename can
+    leave an EMPTY directory, and reading that raises on every replay
+    (permanently wedging the stream) if existence means isdir."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
     )
 
 
-def _append_parquet(df: DataFrame, dest: str) -> None:
+def _append_parquet(df: DataFrame, dest: str, batch_id: int = 0) -> None:
     """Append `df` to the flat parquet directory `dest` by staging to a
     temp dir and MOVING the part-files in under unique names — prior
     files are never rewritten, so the append is O(df), not O(dest).
     A crash mid-move leaves a prefix of the batch's files in place;
     callers must make re-appending converge (here: the keys-only
     anti-join in the incremental operators re-derives only the
-    still-missing rows on replay)."""
+    still-missing rows on replay). File names carry the batch id AND a
+    full-width uuid: a short token's birthday collision across a
+    long stream's many batches would silently os.rename OVER an
+    earlier batch's file (row loss)."""
     import os
     import shutil
     import uuid
 
-    tmp = f"{dest}.__app__{uuid.uuid4().hex[:8]}"
+    tmp = f"{dest}.__app__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
     os.makedirs(dest, exist_ok=True)
-    tok = uuid.uuid4().hex[:8]
+    tok = f"{batch_id}-{uuid.uuid4().hex}"
     for i, f in enumerate(sorted(os.listdir(tmp))):
         if f.endswith(".parquet"):
             os.rename(
@@ -51,6 +71,18 @@ def _append_parquet(df: DataFrame, dest: str) -> None:
                 os.path.join(dest, f"app-{tok}-{i:05d}.parquet"),
             )
     shutil.rmtree(tmp)
+
+
+def _sweep_stale_appends(path: str) -> None:
+    """Remove {path}.__app__* staging dirs left by a crash between the
+    stage write and its cleanup — replays re-stage under a fresh name,
+    so anything matching is garbage; without the sweep each crash
+    strands a full staged copy of a batch forever."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{path}.__app__*"):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _incremental_dedup_sink(
@@ -94,9 +126,12 @@ def _incremental_dedup_sink(
         recover_table,
     )
 
-    # self-heal pre-append-era swap remnants from a previous run
+    # self-heal pre-append-era swap remnants and crashed append stages
+    # from a previous run
     recover_table(out_path)
     recover_table(state_path)
+    _sweep_stale_appends(out_path)
+    _sweep_stale_appends(state_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -104,7 +139,7 @@ def _incremental_dedup_sink(
         spark = batch_df.sparkSession
         existing = (
             spark.read.parquet(state_path)
-            if os.path.exists(state_path)
+            if _has_parquet(state_path)
             else None
         )
         delta, pairs = pair_fn(batch_df, existing)
@@ -127,13 +162,13 @@ def _incremental_dedup_sink(
             .distinct()
         )
         survivors = batch_df.join(drop_ids, id_col, "left_anti")
-        if os.path.exists(out_path):
+        if _has_parquet(out_path):
             # replay guard: ids already written survive the re-append
             # as no-ops (single-column read, not an O(corpus) rewrite)
             out_ids = spark.read.parquet(out_path).select(id_col)
             survivors = survivors.join(out_ids, id_col, "left_anti")
-        _append_parquet(survivors, out_path)
-        _append_parquet(delta, state_path)
+        _append_parquet(survivors, out_path, batch_id)
+        _append_parquet(delta, state_path, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -528,6 +563,46 @@ def snapshot_merge_sink(
     )
 
 
+def _sketch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    build_fn,
+    merge_fn,
+) -> StreamingQuery:
+    """Shared core of the four sketch sinks: per micro-batch, build
+    the batch's own sketch (`build_fn(batch_df) -> frame`), merge it
+    with the stored one (`merge_fn(stored, fresh) -> frame`), and
+    overwrite the snapshot table under the txn protocol — exactly-once
+    by construction: a replayed batch finds its (app_id, batch_id)
+    high-water mark committed and no-ops, so additive counters are
+    never double-added and max-merged registers never drift. State is
+    sketch-sized (cells/registers/points), so the read-merge-overwrite
+    cycle is O(1) per batch regardless of corpus size."""
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, path)
+        if t.txn_version(app_id) >= batch_id:
+            return  # replay of an already-committed batch
+        fresh = build_fn(batch_df)
+        if t.latest_version() is not None:
+            fresh = merge_fn(t.read(), fresh)
+        t.overwrite(fresh, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cms_sketch_sink(
     stream_df: DataFrame,
     path: str,
@@ -539,56 +614,27 @@ def cms_sketch_sink(
     """Maintain a corpus-wide Count-Min frequency sketch incrementally:
     each micro-batch builds its own CMS (operators/sketch.py cms_build
     — one map-side aggregation over the batch) and ADDS it cell-wise
-    into a snapshot-table-backed running sketch. Exactly-once by the
-    txn protocol: a replayed batch finds its (app_id, batch_id) high-
-    water mark already committed and becomes a no-op, so counters are
-    never double-added — the failure mode an at-least-once additive
-    sink cannot repair after the fact.
-
-    Scale: the state is at most CMS_DEPTH*CMS_WIDTH rows regardless of
-    corpus size, so the read-add-overwrite cycle is O(1) per batch;
-    the data-plane cost is the batch's own build. Point estimates at
-    any time: cms_estimate(SnapshotTable(spark, path).read(), items,
-    col) — the sketch answers frequency queries over everything
-    ingested so far without any n-gram table existing anywhere."""
+    into a snapshot-table-backed running sketch (the same
+    union + group-sum additive merge refresh_cms_sketch uses).
+    Exactly-once via the shared _sketch_sink txn protocol. Point
+    estimates at any time: cms_estimate(SnapshotTable(spark,
+    path).read(), items, col) — the sketch answers frequency queries
+    over everything ingested so far without any n-gram table existing
+    anywhere."""
     from pyspark.sql import functions as F
 
     from data_engineering_pipeline_spark.operators.sketch import cms_build
-    from data_engineering_pipeline_spark.sources.snapshot_table import (
-        SnapshotTable,
-    )
 
-    def _add(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        t = SnapshotTable(batch_df.sparkSession, path)
-        if t.txn_version(app_id) >= batch_id:
-            return  # replay of an already-committed batch
-        batch_cells = cms_build(batch_df, F.col(value_col), hasher)
-        if t.latest_version() is None:
-            merged = batch_cells
-        else:
-            old = t.read().select(
-                "row", "bucket", F.col("cnt").alias("__old")
-            )
-            merged = (
-                old.join(batch_cells, ["row", "bucket"], "full_outer")
-                .select(
-                    "row",
-                    "bucket",
-                    (
-                        F.coalesce("__old", F.lit(0))
-                        + F.coalesce("cnt", F.lit(0))
-                    ).alias("cnt"),
-                )
-            )
-        t.overwrite(merged, txn=(app_id, batch_id))
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
 
-    return (
-        stream_df.writeStream.foreachBatch(_add)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _sketch_sink(
+        stream_df, path, checkpoint, app_id,
+        lambda b: cms_build(b, F.col(value_col), hasher), merge,
     )
 
 
@@ -608,7 +654,7 @@ def hll_sketch_sink(
     of batch boundaries or arrival order. State is at most HLL_M rows
     per group (vs k longs for KMV) and the per-batch work is one
     map-side-combined aggregate with no distinct pass. Exactly-once
-    via the txn protocol (replays are no-ops). Estimates at any time:
+    via the shared _sketch_sink txn protocol. Estimates at any time:
     hll_estimate_from_registers(SnapshotTable(...).read())."""
     from pyspark.sql import functions as F
 
@@ -616,26 +662,11 @@ def hll_sketch_sink(
         hll_merge,
         hll_registers,
     )
-    from data_engineering_pipeline_spark.sources.snapshot_table import (
-        SnapshotTable,
-    )
 
-    def _add(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        t = SnapshotTable(batch_df.sparkSession, path)
-        if t.txn_version(app_id) >= batch_id:
-            return
-        regs = hll_registers(batch_df, group_col, F.col(value_col), hasher)
-        if t.latest_version() is not None:
-            regs = hll_merge(t.read(), regs)
-        t.overwrite(regs, txn=(app_id, batch_id))
-
-    return (
-        stream_df.writeStream.foreachBatch(_add)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _sketch_sink(
+        stream_df, path, checkpoint, app_id,
+        lambda b: hll_registers(b, group_col, F.col(value_col), hasher),
+        hll_merge,
     )
 
 
@@ -652,7 +683,7 @@ def qsketch_sink(
     the additive merge rule, so the running sketch always equals the
     sketch of everything ingested and any quantile is readable at any
     time via qsketch_quantiles(SnapshotTable(...).read(), pcts).
-    Exactly-once via the txn protocol (replays are no-ops). State is
+    Exactly-once via the shared _sketch_sink txn protocol. State is
     bounded by the bucket universe (~52 * 2^S rows per group), not by
     data volume — the streaming complement of op-percentile for
     latency/length/size distributions at 100 TB."""
@@ -662,26 +693,11 @@ def qsketch_sink(
         qsketch_build,
         qsketch_merge,
     )
-    from data_engineering_pipeline_spark.sources.snapshot_table import (
-        SnapshotTable,
-    )
 
-    def _add(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        t = SnapshotTable(batch_df.sparkSession, path)
-        if t.txn_version(app_id) >= batch_id:
-            return
-        sk = qsketch_build(batch_df, group_col, F.col(value_col))
-        if t.latest_version() is not None:
-            sk = qsketch_merge(t.read(), sk)
-        t.overwrite(sk, txn=(app_id, batch_id))
-
-    return (
-        stream_df.writeStream.foreachBatch(_add)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _sketch_sink(
+        stream_df, path, checkpoint, app_id,
+        lambda b: qsketch_build(b, group_col, F.col(value_col)),
+        qsketch_merge,
     )
 
 
@@ -699,40 +715,31 @@ def kmv_sketch_sink(
     each micro-batch's (group, u) points union with the stored sketch
     and the bottom-k per group is kept — the KMV merge rule, so the
     running sketch always equals the sketch of everything ingested.
-    Exactly-once via the txn protocol (replays are no-ops), same as
-    cms_sketch_sink. State is at most k rows per group. Estimates at
-    any time: kmv_estimate_from_sketch(SnapshotTable(...).read(), k)."""
+    Exactly-once via the shared _sketch_sink txn protocol. State is at
+    most k rows per group. Estimates at any time:
+    kmv_estimate_from_sketch(SnapshotTable(...).read(), k)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from data_engineering_pipeline_spark.operators.sketch import (
         kmv_points,
     )
-    from data_engineering_pipeline_spark.sources.snapshot_table import (
-        SnapshotTable,
-    )
 
-    def _add(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        t = SnapshotTable(batch_df.sparkSession, path)
-        if t.txn_version(app_id) >= batch_id:
-            return
-        pts = kmv_points(batch_df, group_col, F.col(value_col), hasher)
-        if t.latest_version() is not None:
-            pts = t.read().unionByName(pts)
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
         w = Window.partitionBy("group").orderBy("u")
-        merged = (
-            pts.distinct()
+        return (
+            old.unionByName(new)
+            .distinct()
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk")
         )
-        t.overwrite(merged, txn=(app_id, batch_id))
 
-    return (
-        stream_df.writeStream.foreachBatch(_add)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    def build(b: DataFrame) -> DataFrame:
+        pts = kmv_points(b, group_col, F.col(value_col), hasher)
+        # a first batch larger than k must still store only bottom-k
+        return merge(pts.limit(0), pts)
+
+    return _sketch_sink(
+        stream_df, path, checkpoint, app_id, build, merge,
     )

@@ -891,3 +891,42 @@ def test_qsketch_sink_adds_and_survives_replay(spark, tmp_path):
         tuple(r) for r in SnapshotTable(spark, table).read().collect()
     }
     assert after == before
+
+
+def test_dedup_stream_drops_same_key_different_ts(spark, tmp_path, sf_smoke):
+    """Per-KEY semantics (dropDuplicatesWithinWatermark): a replayed
+    event whose producer re-stamped the timestamp still dedups —
+    plain dropDuplicates(keys + [ts]) would pass both copies."""
+    import pyspark.sql.functions as F
+
+    import glob as _glob
+
+    d = tmp_path / "in3"
+    d.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "a.parquet")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    # the "retry" copy: same event_ids, ts shifted by one second —
+    # written as ONE flat file so the stream's glob picks it up
+    stage = tmp_path / "shift"
+    ev.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    ).coalesce(1).write.parquet(str(stage))
+    shutil.move(
+        _glob.glob(str(stage / "part-*.parquet"))[0], d / "b.parquet"
+    )
+
+    deduped = dedup_stream(
+        read_events_stream(spark, str(d)), keys=["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_out2"
+    ).collect()[0]
+    assert got.c == got.d == ev.count()
