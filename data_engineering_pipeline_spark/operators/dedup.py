@@ -416,6 +416,11 @@ def incremental_minhash_dedup(
       at threshold 0.7 with K=32 the estimator's std error is ~0.08, so
       exact-verify against stored text where precision matters.
     """
+    if state_mode not in ("full", "delta"):
+        # a typo'd mode silently meaning "full" would make an
+        # append-organized state store duplicate every prior row per
+        # batch — fail loudly instead (same guard as the embedding twin)
+        raise ValueError("state_mode must be 'full' or 'delta'")
     rows = num_hashes // bands
     ex = shingle_sets(new_docs, id_col, text_col, n).select(
         F.col(id_col), F.explode("shingles").alias("shingle")

@@ -47,9 +47,38 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine_ratio(num: Column, den: Column) -> Column:
+    """dot / (|a|*|b|) with a ZERO-NORM GUARD: this project runs Spark
+    with ANSI mode on, where a plain division by a zero norm raises
+    DIVIDE_BY_ZERO and kills the whole job (and permanently wedges a
+    replaying stream) the moment one all-zero embedding appears —
+    exactly the degenerate input the LSH docstrings call out.
+    try_divide yields NULL instead: NULL similarities rank LAST under
+    the desc orderings every top-k uses and fail every >= threshold
+    pair filter, i.e. a direction-free vector is simply never
+    similar to anything."""
+    return F.try_divide(num, den)
+
+
 def cosine(a: Column, b: Column) -> Column:
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (norm(da) * norm(db))
+    return cosine_ratio(dot(da, db), norm(da) * norm(db))
+
+
+def _rank_topk(scored: DataFrame, query_id: str, corpus_id: str,
+               score_col: str, k: int) -> DataFrame:
+    """The shared top-k tail of every ANN scorer: per-query rank by
+    (score desc, corpus id) — the deterministic engine-independent
+    ordering the oracles replay — keep rank <= k. One definition so a
+    tie-break change can never silently diverge across the brute /
+    LSH / IVF / PQ paths."""
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(score_col).desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ann_topk_brute(
@@ -78,7 +107,8 @@ def ann_topk_brute(
         _as_double(F.col(vec_col)).alias("__cv"),
     ).select(corpus_id, "__cv", norm(F.col("__cv")).alias("__cn"))
     sim = F.round(
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        cosine_ratio(dot(F.col("__qv"), F.col("__cv")),
+                     F.col("__qn") * F.col("__cn")),
         scale,
     )
     scored = (
@@ -87,13 +117,7 @@ def ann_topk_brute(
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id, sim.alias("cos_sim"))
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id, corpus_id, "cos_sim", k)
 
 
 def hyperplane_signature(
@@ -217,7 +241,8 @@ def ann_topk_lsh(
         F.col(corpus_id), _as_double(F.col(vec_col)).alias("__cvd")
     ).select(corpus_id, "__cvd", norm(F.col("__cvd")).alias("__cn"))
     sim = F.round(
-        dot(F.col("__qvd"), F.col("__cvd")) / (F.col("__qn") * F.col("__cn")),
+        cosine_ratio(dot(F.col("__qvd"), F.col("__cvd")),
+                     F.col("__qn") * F.col("__cn")),
         scale,
     )
     scored = (
@@ -225,13 +250,7 @@ def ann_topk_lsh(
         .join(cv, corpus_id)
         .select(query_id, corpus_id, sim.alias("cos_sim"))
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id, corpus_id, "cos_sim", k)
 
 
 def _guard_small_n(df: DataFrame, max_rows: int, op_name: str) -> None:
@@ -268,7 +287,8 @@ def cosine_pairs(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
     ).select("id_b", "__vb", norm(F.col("__vb")).alias("__nb"))
     sim = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        cosine_ratio(dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")),
         scale,
     )
     return (
@@ -303,11 +323,13 @@ def cosine_pairs_lsh(
     oracle-graded configuration; production keeps bits large and
     radius small. Output: (id_a, id_b, cos_sim), same as cosine_pairs.
 
-    `max_bucket_size` (off by default) drops hyperplane buckets larger
-    than the cap before pairing — see dedup.cap_hot_buckets: a
-    degenerate embedding region (zero vectors, template docs embedded
-    identically) floods one bucket per table and costs size^2 pairs
-    that neither salting nor AQE can reduce.
+    `max_bucket_size` (off by default) drops the MEMBERS of hyperplane
+    buckets whose true occupancy exceeds the cap from that table's
+    banding — a degenerate embedding region (zero vectors, template
+    docs embedded identically) floods one home bucket per table and
+    would cost size^2 pairs in every bucket it probes, which neither
+    salting nor AQE can reduce; rows outside hot buckets keep all
+    their pairs (cf. dedup.cap_hot_buckets, the unprobed analogue).
 
     Constant-cost note (measured, BASELINE.md round-5 scale probe): the
     hyperplane literals compile n_tables x bits x dim doubles into the
@@ -347,14 +369,36 @@ def cosine_pairs_lsh(
             "__id",
             "tbl",
             F.col("sig0").bitwiseXOR(F.col("__m")).alias("sig"),
+            # the unprobed copy marks TRUE bucket membership — the cap
+            # below must count occupancy, not probe fan-out
+            (F.col("__m") == 0).alias("__home"),
         )
     )
     if max_bucket_size is not None:
-        from data_engineering_pipeline_spark.operators.dedup import (
-            cap_hot_buckets,
+        # Cap by TRUE occupancy (home rows — each row lives in exactly
+        # one bucket per table before probing), then drop the hot
+        # buckets' MEMBER ROWS from that table's banding entirely:
+        # a degenerate cluster pays its size^2 cost in EVERY bucket it
+        # probes, so bucket-level dropping would have to use the
+        # probe-inflated counts — which evicts genuinely small buckets
+        # (and their real pairs) just because neighbors probe into
+        # them. Member-level dropping kills the cluster's pairs
+        # everywhere and touches nobody else. Hot members are
+        # cluster-sized by construction — broadcast anti-join.
+        home = banded.filter(F.col("__home"))
+        hot = (
+            home.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("tbl", "sig")
         )
-
-        banded = cap_hot_buckets(banded, ["tbl", "sig"], max_bucket_size)
+        hot_members = home.join(
+            F.broadcast(hot), ["tbl", "sig"], "left_semi"
+        ).select("tbl", "__id")
+        banded = banded.join(
+            F.broadcast(hot_members), ["tbl", "__id"], "left_anti"
+        )
+    banded = banded.drop("__home")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -384,7 +428,8 @@ def cosine_pairs_lsh(
         F.col("__n").alias("__nb"),
     )
     sim = F.round(
-        dot(F.col("__vad"), F.col("__vbd")) / (F.col("__na") * F.col("__nb")),
+        cosine_ratio(dot(F.col("__vad"), F.col("__vbd")),
+                     F.col("__na") * F.col("__nb")),
         scale,
     )
     # The threshold filter is pushed into the vector join's condition
@@ -499,6 +544,11 @@ def incremental_embedding_dedup(
     addendum 4). Pinning evaluates the signatures exactly once per
     batch and every downstream plan references the materialized rows
     instead of the literal forest."""
+    if state_mode not in ("full", "delta"):
+        # a typo'd mode silently meaning "full" would make an
+        # append-organized state store duplicate every prior row per
+        # batch (O(corpus * batches) state) — fail loudly instead
+        raise ValueError("state_mode must be 'full' or 'delta'")
     new_idx = embedding_index(new_vecs, id_col, vec_col, dim, bits, n_tables)
     if pin_batch:
         new_idx = new_idx.localCheckpoint()
@@ -552,7 +602,8 @@ def incremental_embedding_dedup(
         F.col("__n").alias("__nb"),
     )
     sim = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        cosine_ratio(dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")),
         scale,
     )
     pairs = (
@@ -581,6 +632,11 @@ def train_ivf_centroids(
     pre = corpus.select(_as_double(F.col(vec_col)).alias("__v")).select(
         F.col("__v"), norm(F.col("__v")).alias("__n")
     )
+    # zero-norm vectors carry no direction — they cannot inform the
+    # quantizer, and under ANSI mode dividing by their norm would
+    # raise DIVIDE_BY_ZERO and kill the fit. They still get ASSIGNED a
+    # cell later (raw-dot argmax needs no division).
+    pre = pre.filter(F.col("__n") > 0)
     unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
     feats = pre.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
@@ -670,7 +726,8 @@ def ann_topk_ivf(
         )
     )
     sim = F.round(
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        cosine_ratio(dot(F.col("__qv"), F.col("__cv")),
+                     F.col("__qn") * F.col("__cn")),
         scale,
     )
     # distinct: with corpus_assign > 1 a (query, corpus) pair can share
@@ -681,13 +738,7 @@ def ann_topk_ivf(
         .select(query_id, corpus_id, sim.alias("cos_sim"))
         .distinct()
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cos_sim").desc(), F.col(corpus_id)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, query_id, corpus_id, "cos_sim", k)
 
 
 def grid_cell(
@@ -860,7 +911,8 @@ def semantic_dedup(
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim = F.round(
-        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
+        cosine_ratio(dot(F.col("a.__v"), F.col("b.__v")),
+                     F.col("a.__n") * F.col("b.__n")),
         scale,
     )
     # pairs (a < b) within a cell at/above threshold; b is the dropped
@@ -919,6 +971,12 @@ PQ_LO, PQ_HI = -0.5, 0.5
 
 
 def _pq_axis_code(x: Column, bits: int, lo: float, hi: float) -> Column:
+    # NOTE: semantically the same clamped floor-grid quantizer as
+    # zorder.grid_coord (and bit-identical at the PQ defaults, where
+    # hi-lo and step are exact binary fractions). Kept as a separate
+    # /step form because the DuckDB oracle in queries/similarity.py
+    # mirrors THIS expression textually — consolidating would require
+    # changing the frozen graded oracle in the same commit.
     cells = 1 << bits
     step = (hi - lo) / cells
     raw = F.floor((x - F.lit(lo)) / F.lit(step)).cast("long")
@@ -1011,12 +1069,7 @@ def ann_topk_pq_grid(
             pq_grid_adc(F.col("__qv"), F.col("__codes")).alias("adc"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("adc").desc(), F.col(corpus_id)
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, query_id, corpus_id, "adc", k)
 
 
 def pq_train_codebooks(
@@ -1071,18 +1124,19 @@ def pq_encode(
             d = F.zip_with(sub, cslice, lambda a, b: (a - b) * (a - b))
             return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
-        best = F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            F.struct(
-                F.lit(float("inf")).alias("d"),
-                F.lit(-1).alias("code"),
-            ),
-            lambda acc, code: F.when(
-                dist_to(code) < acc["d"],
-                F.struct(
-                    dist_to(code).alias("d"), code.alias("code")
+        # argmin via array_min over (dist, code) structs: struct
+        # comparison is lexicographic, so the smallest distance wins
+        # with ties to the lowest code — and each distance is
+        # evaluated ONCE (the aggregate-with-F.when form evaluated
+        # dist_to twice per candidate; lambda bodies get no CSE)
+        best = F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda code: F.struct(
+                    dist_to(code).alias("d"),
+                    code.alias("code"),
                 ),
-            ).otherwise(acc),
+            )
         )
         out.append(best["code"])
     return F.array(*out)
@@ -1103,10 +1157,6 @@ def pq_adc(
         code = F.element_at(codes, j + 1)
         cslice = F.slice(flat, code * sub_dim + 1, sub_dim)
         qsub = F.slice(qv, j * sub_dim + 1, sub_dim)
-        term = F.aggregate(
-            F.zip_with(qsub, cslice, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        term = dot(qsub, cslice)
         total = term if total is None else total + term
     return total

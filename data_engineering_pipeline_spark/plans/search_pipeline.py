@@ -32,6 +32,7 @@ from data_engineering_pipeline_spark.operators.search import (
     mmr_rerank,
 )
 from data_engineering_pipeline_spark.operators.similarity import (
+    cosine_ratio,
     dot,
     norm,
 )
@@ -156,8 +157,10 @@ def hybrid_search(
         "ib",
         F.floor(
             F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                cosine_ratio(
+                    dot(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 4,
             )
             * F.lit(float(_MMR_SIM_SCALE))

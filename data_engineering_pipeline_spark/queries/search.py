@@ -207,6 +207,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_engineering_pipeline_spark.operators.similarity import (
         _as_double,
+        cosine_ratio,
         dot,
         norm,
     )
@@ -241,8 +242,10 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ib",
             F.floor(
                 F.round(
-                    dot(F.col("__va"), F.col("__vb"))
-                    / (F.col("__na") * F.col("__nb")),
+                    cosine_ratio(
+                        dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ),
                     4,
                 )
                 * F.lit(float(_MMR_SIM_SCALE))

@@ -679,3 +679,43 @@ def test_pq_grid_encode_matches_adc_reconstruction(spark):
     # rank 1 for most queries (codes only see 8 of 64 dims)
     hits = sum(1 for q, c in best.items() if c == 1000 + q)
     assert hits >= 5, best
+
+
+def test_zero_norm_vectors_do_not_crash(spark):
+    """ANSI mode turns a division by a zero norm into a job-killing
+    DIVIDE_BY_ZERO; the cosine_ratio guard yields NULL instead, so a
+    single all-zero embedding (a real degenerate input — failed
+    encoder, padded row) ranks last / pairs with nothing rather than
+    wedging the pipeline."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_brute,
+        ann_topk_ivf,
+        cosine_pairs_lsh,
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [2.0, 4.0]),
+         (4, [-1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    rows = ann_topk_brute(q, c, k=3).collect()
+    # the zero vector never tops anyone's ranking (NULL ranks last)
+    top1 = {r.query_id: r.corpus_id for r in rows if r.rank == 1}
+    assert top1[1] == 3 and 2 not in top1.values()
+    # pair path: zero vector pairs with nothing; real pair survives
+    pairs = cosine_pairs_lsh(
+        emb, "vec_id", "embedding", 0.9,
+        dim=2, bits=4, n_tables=1, probe_radius=4,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+    # KMeans training filters the direction-free row instead of raising
+    cents = train_ivf_centroids(emb, "embedding", n_cells=2)
+    assert len(cents) == 2
+    # and the IVF path end-to-end
+    got = ann_topk_ivf(q, c, k=2, n_cells=2).collect()
+    assert len(got) > 0
