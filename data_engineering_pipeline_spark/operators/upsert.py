@@ -78,7 +78,10 @@ def upsert_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    # explicit schema: an EMPTY merged frame under partitionBy writes
+    # no data files, and schema inference over that raises — the count
+    # must come back 0, not AnalysisException
+    n = spark.read.schema(merged.schema).parquet(tmp).count()
     # Swap via rename-aside so every intermediate state still has a
     # recoverable table (the reference's transaction never loses the
     # table, database.py:60-71): old -> .__old__, tmp -> live, then
@@ -159,11 +162,23 @@ def upsert_parquet_scoped(
     Untouched partitions are never read, shuffled, or rewritten.
     Returns the merged row count of the touched partitions."""
     if not os.path.exists(path):
+        # bootstrap STAGES like upsert_parquet: a crash mid-write to
+        # the live path would leave a _temporary-only directory that
+        # exists-checks treat as a table but no reader can open (and
+        # no recover function heals); staging + one rename keeps every
+        # crash state either absent or complete. recover_table's
+        # __tmp__ namespace covers the remnant.
         new_only = merge_last_write_wins(None, new, keys, order_col)
-        writer = new_only.write.mode("overwrite").partitionBy(*partition_cols)
-        writer.parquet(path)
-        return spark.read.parquet(path).count()
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        new_only.write.mode("overwrite").partitionBy(
+            *partition_cols
+        ).parquet(tmp)
+        n = spark.read.schema(new_only.schema).parquet(tmp).count()
+        os.rename(tmp, path)
+        return n
     touched = new.select(*partition_cols).distinct().collect()
+    if not touched:
+        return 0  # empty batch: nothing to merge, table untouched
     pred = None
     for r in touched:
         clause = None
@@ -187,6 +202,11 @@ def upsert_parquet_scoped(
     stage = f"{path}.__ptmp__{token}"
     aside = f"{path}.__pold__{token}"
     merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+    # count the STAGE (it holds exactly the merged touched partitions)
+    # before swapping — re-scanning the live table through the OR-of-
+    # partitions predicate after the swap costs a second pass for the
+    # identical number
+    n = spark.read.schema(merged.schema).parquet(stage).count()
     for rel in _leaf_partitions(stage):
         live_dir = os.path.join(path, rel)
         if os.path.exists(live_dir):
@@ -197,7 +217,7 @@ def upsert_parquet_scoped(
         os.rename(os.path.join(stage, rel), live_dir)
     shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(stage)
-    return spark.read.parquet(path).filter(pred).count()
+    return n
 
 
 def _leaf_partitions(root: str) -> list[str]:

@@ -57,8 +57,12 @@ def write_corpus(
     )
     # manifest from the WRITTEN data, not the input lineage: audits the
     # bytes on disk and avoids re-running the upstream curation plan
+    # explicit schema on the read-back: an EMPTY partitioned write
+    # emits no data files and schema inference over that raises — an
+    # increment with zero surviving docs must produce an empty
+    # manifest, not an AnalysisException
     manifest = (
-        df.sparkSession.read.parquet(path)
+        df.sparkSession.read.schema(df.schema).parquet(path)
         .groupBy(*partition_cols)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -94,7 +98,11 @@ def compact_corpus(
 
     df = spark.read.parquet(path)
     tmp = f"{path}.__compact__"
-    old = f"{path}.__old__"
+    # NOT "<path>.__old__": recover_table (operators/upsert.py) sweeps
+    # the glob "<path>.__old__*", whose star matches the empty string —
+    # it would rmtree/restore a compaction remnant it does not
+    # understand if both tools ever touched the same path
+    old = f"{path}.__cold__"
     shuffled = (
         df.repartition(*[F.col(c) for c in partition_cols])
         if partition_cols
@@ -122,7 +130,17 @@ def compact_corpus(
     # `col=value/` level per partition column; zero -> files at the
     # root) — a fixed one-level glob under- or over-counts otherwise
     depth = "/".join(["*"] * len(partition_cols) + ["*.parquet"])
-    return len(glob.glob(f"{path}/{depth}"))
+    # exclude files under _-prefixed dirs: at one partition level the
+    # glob's * also matches _manifest/, which would overcount the
+    # "number of data files" contract by the manifest's part files
+    return sum(
+        1
+        for f in glob.glob(f"{path}/{depth}")
+        if not any(
+            part.startswith(("_", "."))
+            for part in os.path.relpath(f, path).split(os.sep)[:-1]
+        )
+    )
 
 
 def recover_corpus(path: str) -> str:
@@ -136,7 +154,11 @@ def recover_corpus(path: str) -> str:
     import shutil
 
     tmp = f"{path}.__compact__"
-    old = f"{path}.__old__"
+    # NOT "<path>.__old__": recover_table (operators/upsert.py) sweeps
+    # the glob "<path>.__old__*", whose star matches the empty string —
+    # it would rmtree/restore a compaction remnant it does not
+    # understand if both tools ever touched the same path
+    old = f"{path}.__cold__"
     if os.path.isdir(path):
         found = False
         for d in (tmp, old):

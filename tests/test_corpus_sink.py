@@ -89,7 +89,7 @@ def test_compact_corpus_reduces_files_preserves_data(spark, sf_smoke, tmp_path):
     n_after = compact_corpus(spark, out, ("lang",), "doc_id")
     assert n_after < n_before
     assert not os.path.exists(f"{out}.__compact__")
-    assert not os.path.exists(f"{out}.__old__")
+    assert not os.path.exists(f"{out}.__cold__")
 
     after = sorted(
         tuple(r) for r in spark.read.parquet(out)
@@ -156,17 +156,28 @@ def test_recover_corpus_crash_states(spark, sf_smoke, tmp_path):
     docs.write.mode("overwrite").partitionBy("lang").parquet(
         f"{out}.__compact__"
     )
-    os.rename(out, f"{out}.__old__")
+    os.rename(out, f"{out}.__cold__")
     assert recover_corpus(out) == "finished_swap"
     assert spark.read.parquet(out).count() == n
-    assert not os.path.exists(f"{out}.__old__")
+    assert not os.path.exists(f"{out}.__cold__")
 
     # crash mid-compaction-write (no _SUCCESS): restore the old copy
     os.makedirs(f"{out}.__compact__")
-    os.rename(out, f"{out}.__old__")
+    os.rename(out, f"{out}.__cold__")
     assert recover_corpus(out) == "restored_old"
     assert spark.read.parquet(out).count() == n
 
     # and a completed compaction still works after recovery
     assert compact_corpus(spark, out, ("lang",), "doc_id") > 0
     assert spark.read.parquet(out).count() == n
+
+
+def test_write_corpus_empty_input(spark, tmp_path):
+    """An increment with zero surviving docs writes an EMPTY manifest
+    instead of raising on schema inference over a data-less dir."""
+    out = str(tmp_path / "empty")
+    empty = spark.createDataFrame(
+        [], "doc_id long, lang string, text string"
+    )
+    manifest = write_corpus(empty, out, ("lang",), "doc_id")
+    assert manifest.count() == 0

@@ -229,3 +229,67 @@ def test_refresh_shards_survives_expired_watermark(spark, tmp_path):
     assert a == b
     # watermark re-stamped at head: the next refresh is a clean no-op
     assert refresh_shards(src, out, 4, ["doc_id"])["rebuilt"] == []
+
+
+def test_string_keys_shard_correctly(spark, tmp_path):
+    """key_hash casts to long, which turns string keys into NULL — the
+    name-based entry points must hash strings (xxhash64) instead of
+    silently writing the whole corpus into one null-shard dir."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(200)], "doc_id string, v long"
+    )
+    out = str(tmp_path / "s")
+    export_shards(docs, out, 4, ["doc_id"])
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*"))
+    )
+    assert "shard=__HIVE_DEFAULT_PARTITION__" not in dirs
+    assert len(dirs) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.filter("shard IS NULL").count() == 0
+    # the Column-based API raises loudly instead of null-sharding
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL"):
+        shuffle_shard(docs, 4, F.col("doc_id")).select("shard").collect()
+
+
+def test_full_rebuild_stages_and_recovers(spark, tmp_path):
+    """A param-change full rebuild must not overwrite the live export
+    in place: a crash mid-rebuild keeps the pre-rebuild copy
+    recoverable (the staged dirs are siblings, healed by
+    recover_shards)."""
+    import os
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        recover_shards,
+        refresh_shards,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "src"))
+    t.append(
+        spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("tag")
+        )
+    )
+    out = str(tmp_path / "shards")
+    refresh_shards(t, out, 4, ["doc_id"])
+    n_before = spark.read.parquet(out).count()
+    # simulate the crash window: live asided, fresh rebuild not yet in
+    os.rename(out, f"{out}.__rbold__deadbeef")
+    os.makedirs(f"{out}.__rbstage__cafebabe")
+    healed = recover_shards(out)
+    assert any(h.startswith("restored:") for h in healed)
+    assert any(h.startswith("swept:") for h in healed)
+    assert spark.read.parquet(out).count() == n_before
+    # and a real param-change rebuild (n_shards 4 -> 8) round-trips
+    res = refresh_shards(t, out, 8, ["doc_id"])
+    assert res["rebuilt"] == list(range(8))
+    assert spark.read.parquet(out).count() == n_before

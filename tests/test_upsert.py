@@ -292,3 +292,46 @@ def test_scoped_upsert_touches_only_batch_partitions(spark, tmp_path):
         r.k: (r.lang, r.v, r.ver)
         for r in spark.read.parquet(path).collect()
     } == rows
+
+
+def test_scoped_bootstrap_stages_and_empty_batch(spark, tmp_path):
+    """The scoped upsert's bootstrap must stage (a crash mid-write to
+    the live path would wedge the table unreadably), and an empty
+    batch must no-op instead of raising on a None predicate."""
+    import os
+
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet_scoped,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1, "en"), (2, 1, "de")], "k long, ver long, lang string"
+    )
+    n = upsert_parquet_scoped(spark, path, df, ["k"], "ver", ["lang"])
+    assert n == 2 and os.path.isdir(path)
+    assert not [
+        d for d in os.listdir(tmp_path) if "__tmp__" in d
+    ]  # staging cleaned up
+    empty = df.limit(0)
+    assert upsert_parquet_scoped(
+        spark, path, empty, ["k"], "ver", ["lang"]
+    ) == 0
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_upsert_parquet_empty_new_fresh_table(spark, tmp_path):
+    """Empty new + no existing table: the partitioned empty write has
+    no data files; the count must come back 0 via the explicit-schema
+    read, not raise on schema inference."""
+    from data_engineering_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame(
+        [], "k long, ver long, lang string"
+    )
+    assert upsert_parquet(
+        spark, path, empty, ["k"], "ver", ["lang"]
+    ) == 0
