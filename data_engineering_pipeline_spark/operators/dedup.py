@@ -189,6 +189,34 @@ def cap_hot_buckets(
     )
 
 
+def _band_rows(num_hashes: int, bands: int) -> int:
+    """Validated rows-per-band: silent truncation (num_hashes // bands
+    with a remainder) would band only a PREFIX of the signature — the
+    documented 1-(1-s^r)^b recall math would be wrong and the trailing
+    minhashes paid for but ignored."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes ({num_hashes} % {bands} != 0)"
+        )
+    return num_hashes // bands
+
+
+def _band_structs(bands: int, rows: int) -> list[Column]:
+    """The (band, bucket-hash) structs for LSH banding — ONE definition
+    shared by the batch and incremental paths: incremental state must
+    bucket exactly like the batch path or cross-batch candidates
+    silently stop colliding."""
+    return [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -208,20 +236,12 @@ def minhash_lsh_pairs(
     graded oracle) engages cap_hot_buckets on the band buckets: at
     corpus scale a boilerplate cluster of m docs otherwise costs
     O(m^2) candidate pairs per band it floods."""
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     sets = shingle_sets(df, id_col, text_col, n)
     ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sig = minhash_signature(ex, id_col, num_hashes)
 
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for bi in range(bands)
-    ]
+    band_cols = _band_structs(bands, rows)
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -346,7 +366,19 @@ def simhash_pairs(
     Candidates via 4x16-bit chunk banding (pigeonhole guarantees any pair
     within hamming 3 shares at least one chunk — also true when the top
     chunk is narrower, as with the 61-bit portable hash), verified with
-    bit_count(xor). Output: (id_a, id_b, hamming)."""
+    bit_count(xor). Output: (id_a, id_b, hamming).
+
+    max_hamming is CAPPED at 3 by the 4-chunk banding: at hamming 4 a
+    pair can differ in every chunk and never become a candidate —
+    accepting a larger radius here would silently drop qualifying
+    pairs, so it raises instead (widen the banding to max_hamming + 1
+    chunks if a larger radius is ever needed)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_pairs' 4-chunk banding guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); pairs at hamming 4+ "
+            "can miss every chunk — widen the banding instead"
+        )
     fps = simhash64(df, id_col, text_col, nbits=nbits, token_hash=token_hash)
     chunks = F.array(
         *[
@@ -421,7 +453,7 @@ def incremental_minhash_dedup(
         # append-organized state store duplicate every prior row per
         # batch — fail loudly instead (same guard as the embedding twin)
         raise ValueError("state_mode must be 'full' or 'delta'")
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     ex = shingle_sets(new_docs, id_col, text_col, n).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
@@ -437,15 +469,7 @@ def incremental_minhash_dedup(
         all_sigs = existing_signatures.unionByName(fresh_sig)
 
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for bi in range(bands)
-    ]
+    band_cols = _band_structs(bands, rows)
 
     def banded(df: DataFrame) -> DataFrame:
         return df.select(
