@@ -11,111 +11,52 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks ~50 queries per round in registry
-# order. Every registered query has earned a green driver row in some
-# round; the front list leads with whatever changed this round (new
-# oracles / restructured plans first), then the queries the previous
-# round's window did not sample (driver evidence goes stale when the
-# driver regenerates testdata), then a small tail of just-re-proven
-# canaries. Everything stays registered and locally oracle-tested
-# (tests/test_oracle_queries.py) regardless of rotation.
-_CHECK_FIRST = [
-    # round 8 (VERDICT r7 item 2): registry growth is frozen this round —
-    # the entire front of the window is the 65 queries whose last driver
-    # evidence predates round 6, oldest first. The 13 r2-evidence and 6
-    # r4-evidence rows predate the r5 testdata regen, so for those 19 the
-    # driver has never seen a pass on current data; they lead uncondition-
-    # ally. Then the 46 r5-cohort rows, §2 core operators first. Any new
-    # query added this round goes at the TAIL, after the stale set.
-    # -- r2 driver evidence (13) --
-    "op-subquery-correlated",
-    "op-subquery-scalar",
-    "op-window-ranks",
-    "op-set-ops",
-    "op-unpivot",
-    "op-string-funcs",
-    "op-explode-arrays",
-    "op-histogram",
-    "op-json-schema-extract",
-    "op-quality-report",
-    "op-agg-distinct",
-    "op-date-trunc-trend",
-    "events-window-sliding",
-    # -- r4 driver evidence (6) --
-    "multimodal-decode",
-    "op-hash-sample",
-    "op-percentile",
-    "op-resample-ffill",
-    "op-stratified-sample",
-    "op-topk-per-group",
-    # -- r5 cohort (46), §2 core operators first --
-    "parity-pipeline",
-    "op-window-lag1",
-    "op-window-roll5",
-    "op-join-inner-equi",
-    "op-sink-upsert",
-    "op-scan-ordered",
-    "op-json-extract",
-    "op-validate-cast",
-    "op-project-alias",
-    "op-filter-notnull",
-    "op-agg-count",
-    "op-groupby-collect",
-    "op-sort-limit-topk",
-    "q2-min-cost-supplier",
-    "q11-important-stock",
-    "q12-ship-speed",
-    "dedup-simhash",
-    "dedup-minhash-lsh",
-    "dedup-keep-best",
-    "ann-topk-ivf",
-    "embedding-centroids",
-    "corpus-overlap",
-    "corpus-curation",
-    "text-repetition",
-    "text-head-coverage",
-    "text-crossentropy",
-    "text-tokenize-bpe",
-    "text-bm25",
-    "curation-chunk-dedup",
-    "curation-pii-redact",
-    "curation-weighted-sample",
-    "curation-temperature",
-    "curation-pack",
-    "curation-mixture",
-    "events-sessionize",
-    "events-window-tumbling",
-    "events-funnel",
-    "events-cohort-retention",
-    "events-transitions",
-    "events-hourly-anomaly",
-    "events-asof-purchase",
-    "events-range-clicks",
-    "events-attribution",
-    "multimodal-frames",
-    "op-zorder-key",
-    "op-scd2-history",
-    # -- r6 evidence canaries --
-    "q1-pricing-summary",
-    "q6-forecast-revenue",
-    "text-quality",
-    "dedup-exact",
-    "dedup-semantic",
-    "ann-topk-cosine",
-    "op-snapshot-table",
-    "op-snapshot-incr-agg",
-    "op-graph-pagerank",
-    "classify-quality",
-    # -- round-8 new/changed queries (tail by directive) --
-    "op-snapshot-rename",  # new: column-mapping rename mid-history
-    "curation-ppl-gate",  # new: KN-perplexity bucket gate corpus mix
-    "op-snapshot-merge",  # touched: uniqueness proof folded into stat-prune
-]
+# order, so the registry must lead with the queries whose driver evidence
+# is oldest. Rather than a hand-maintained list (round-8 verdict item 2),
+# the order is COMPUTED from the CORRECTNESS_r*.json files the driver
+# commits to the repo root after each round: a query's "freshness" is the
+# latest round with a green row (rows_match true, no err); never-checked
+# queries (no green row in any file) lead the window outright, then
+# everything else oldest-evidence-first. Ties break alphabetically so the
+# order is deterministic across machines. Everything stays registered and
+# locally oracle-tested (tests/test_oracle_queries.py) regardless of
+# rotation.
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """Scan repo-root CORRECTNESS_r*.json -> {query: latest green round}."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue  # a corrupt/partial file must not break the registry
+        if not isinstance(data, dict):
+            continue
+        for q, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and not row.get("err")
+            ):
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest
 
 
 def _rotate(d: dict) -> dict:
-    front = {k: d[k] for k in _CHECK_FIRST if k in d}
-    rest = {k: v for k, v in d.items() if k not in front}
-    return {**front, **rest}
+    latest = _latest_green_rounds()
+    # never-checked -> round 0 -> sorts first; then oldest evidence first.
+    order = sorted(d, key=lambda q: (latest.get(q, 0), q))
+    return {k: d[k] for k in order}
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
