@@ -638,6 +638,91 @@ def qsketch_quantiles(
     ).withColumn("est", F.expr("(lo + hi) div 2"))
 
 
+def exact_kth_values(
+    df: DataFrame, col: str, ks: list[int], fanout_bits: int = 12
+) -> dict[int, int]:
+    """Exact k-th order statistics (1-based ranks, duplicates counted)
+    of an integer column, computed WITHOUT a global sort — the scale-
+    safe replacement for `value at row k of ORDER BY col` (a
+    no-partition window = single-partition sort at corpus scale).
+
+    Iterative histogram refinement on the BIT PREFIX of the value:
+    each round groups the surviving value range by `col >> shift`
+    (one partial-agg groupBy, map-side combined, <= 2^fanout_bits + 1
+    buckets), collects the bounded bucket counts, walks the cumsum on
+    the driver to find the bucket holding each target rank, and
+    descends with `shift -= fanout_bits`. Arithmetic shift is exact
+    floor division by 2^shift for negative values too, so the whole
+    walk is overflow-free on the full int64 domain. A 64-bit range
+    resolves in <= ceil(64 / fanout_bits) = 6 rounds; every round
+    after the first carries a pushed-down BETWEEN filter, so only the
+    first touches all rows. Ranks that share a surviving range share
+    one scan. Rows where the column is NULL are ignored (SQL sort
+    semantics put them after non-nulls; ranks here address the
+    non-null prefix). Raises ValueError if any k exceeds the non-null
+    row count."""
+    ks = sorted(set(int(k) for k in ks))
+    if not ks:
+        return {}
+    if min(ks) < 1:
+        raise ValueError("ranks are 1-based")
+    c = F.col(col)
+    vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
+    mm = vals.agg(
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if mm["n"] < max(ks):
+        raise ValueError(
+            f"rank {max(ks)} exceeds non-null row count {mm['n']}"
+        )
+    # state per rank: (lo, hi) inclusive surviving range + the rank's
+    # position WITHIN that range (global rank minus rows below lo)
+    states: dict[int, tuple[int, int, int]] = {
+        k: (int(mm["lo"]), int(mm["hi"]), k) for k in ks
+    }
+    out: dict[int, int] = {}
+    while states:
+        # one scan per distinct surviving range (all ranks share the
+        # full range in round one)
+        by_range: dict[tuple[int, int], list[int]] = {}
+        for k, (lo, hi, _) in states.items():
+            by_range.setdefault((lo, hi), []).append(k)
+        for (lo, hi), group in by_range.items():
+            if lo == hi:
+                for k in group:
+                    out[k] = lo
+                    del states[k]
+                continue
+            span_bits = (hi - lo).bit_length()  # Python bigint: exact
+            shift = max(0, span_bits - fanout_bits)
+            hist = dict(
+                vals.filter(F.col("__v").between(lo, hi))
+                .groupBy(
+                    F.shiftright(F.col("__v"), shift).alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            buckets = sorted(hist)
+            for k in group:
+                r = states[k][2]
+                cum = 0
+                for b in buckets:
+                    if cum + hist[b] >= r:
+                        nlo = max(lo, b << shift)
+                        nhi = min(hi, ((b + 1) << shift) - 1)
+                        if nlo == nhi or shift == 0:
+                            out[k] = b if shift == 0 else nlo
+                            del states[k]
+                        else:
+                            states[k] = (nlo, nhi, r - cum)
+                        break
+                    cum += hist[b]
+    return out
+
+
 def cms_estimate(
     cms: DataFrame,
     items: DataFrame,

@@ -102,13 +102,23 @@ def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
     bigram LM on the corpus, score it with the SAME backoff scorer
     increments will use, and persist the model tables plus the exact
     integer tercile cutoffs. Later delta increments score against
-    these frozen artifacts until the next rebuild retrains."""
-    from pyspark.sql import Window
+    these frozen artifacts until the next rebuild retrains.
 
+    The cutoffs are EXACT order statistics, but computed scale-safely:
+    ntile(3) over an unpartitioned window would single-partition-sort
+    every per-doc score at 100 TB to learn two numbers. Instead the
+    tercile boundary ranks are derived from the row count (the same
+    bucket sizes ntile assigns) and the values at those ranks come
+    from exact_kth_values' distributed histogram refinement — bit-
+    identical cutoffs (the delta-convergence test pins this), with no
+    window and no global sort anywhere in the freeze plan."""
     from data_engineering_pipeline_spark.operators.lm import (
         bigram_explode,
         kn_doc_ce_backoff,
         kn_train,
+    )
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_kth_values,
     )
 
     bg = bigram_explode(corpus)
@@ -121,18 +131,30 @@ def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
         name: spark.read.parquet(os.path.join(lm_dir, name))
         for name in ("lq", "ctx", "cont", "nb")
     }
-    scores = kn_doc_ce_backoff(bg, frozen)
-    w = Window.orderBy("ce_q", "doc_id")
-    cuts = (
-        scores.withColumn("__b", F.ntile(3).over(w))
-        .groupBy("__b")
-        .agg(F.max("ce_q").alias("cut"))
-        .filter(F.col("__b") <= 2)
-        .orderBy("__b")
+    scores = kn_doc_ce_backoff(bg, frozen).persist()
+    try:
+        n = scores.count()
+        # ntile(3) bucket sizes: the first (n % 3) buckets get one row
+        # extra; cut_i = max score of bucket i = the score at the rank
+        # where bucket i ends (the (ce_q, doc_id) tie-break never
+        # changes the VALUE at a rank, so cutoffs are bit-identical)
+        q, r = divmod(n, 3)
+        n1 = q + (1 if r >= 1 else 0)
+        n2 = q + (1 if r >= 2 else 0)
+        # a bucket ntile would leave empty (n < 3) freezes no cut —
+        # _apply_ppl_gate defaults missing cuts to +inf (head bucket)
+        ranks = [(1, n1)] if n1 >= 1 else []
+        if n2 >= 1:
+            ranks.append((2, n1 + n2))
+        vals = exact_kth_values(scores, "ce_q", [rk for _, rk in ranks])
+        rows = [(b, vals[rk]) for b, rk in ranks]
+    finally:
+        scores.unpersist()
+    spark.createDataFrame(
+        rows, "bucket int, cut bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(lm_dir, "cuts")
     )
-    cuts.select(
-        F.col("__b").alias("bucket"), "cut"
-    ).write.mode("overwrite").parquet(os.path.join(lm_dir, "cuts"))
 
 
 def _apply_ppl_gate(spark: SparkSession, df: DataFrame, lm_dir: str,

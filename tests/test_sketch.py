@@ -602,3 +602,46 @@ def test_weighted_qsketch_brackets_weighted_order_statistic(spark):
     # the big tail dominates the token mass: weighted p50 is in the
     # large cluster even though 90% of DOCS are small
     assert out[50].lo >= 50000 // 2
+
+
+def test_exact_kth_values_matches_sorted_ranks(spark):
+    """exact_kth_values is the scale-safe replacement for 'value at
+    row k of ORDER BY col' — verify bit-parity against a driver-side
+    sort over a nasty domain: negatives, wide magnitude spread (forces
+    multiple refinement rounds), heavy ties, and nulls (ignored)."""
+    import random
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_kth_values,
+    )
+
+    random.seed(11)
+    vals = (
+        [random.randint(-(1 << 40), 1 << 40) for _ in range(500)]
+        + [random.randint(-5, 5) for _ in range(300)]  # ties
+        + [0] * 50
+        + [-(1 << 62), (1 << 62) - 1]  # near-extremes
+    )
+    rows = [(v,) for v in vals] + [(None,)] * 25
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "x long")
+    s = sorted(vals)
+    ks = [1, 2, 3, len(vals) // 3, len(vals) // 2, len(vals) - 1,
+          len(vals)]
+    got = exact_kth_values(df, "x", ks)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_exact_kth_values_rejects_bad_ranks(spark):
+    import pytest
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_kth_values,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    assert exact_kth_values(df, "x", []) == {}
+    with pytest.raises(ValueError, match="1-based"):
+        exact_kth_values(df, "x", [0])
+    with pytest.raises(ValueError, match="exceeds"):
+        exact_kth_values(df, "x", [3])
