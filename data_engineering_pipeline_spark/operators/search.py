@@ -11,7 +11,7 @@ compiles to, expressed in Spark."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.text import tokens
@@ -87,12 +87,11 @@ def bm25_scores(
         .orderBy(F.col("score").desc(), F.col(id_col))
     )
     if top_n is not None:
-        w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= top_n)
-            .drop("__rn")
-        )
+        # ordered limit = TakeOrderedAndProject (per-partition heaps,
+        # then one k-row gather) — NOT a row_number over an
+        # unpartitioned window, which would single-partition-sort all
+        # scored docs at corpus scale (round-8 verdict item 3)
+        out = out.limit(top_n)
     return out
 
 

@@ -59,6 +59,62 @@ def build_search_index(
     )
 
 
+def _hybrid_candidates(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    query_terms: list[str],
+    query_vecs: DataFrame,
+    n_probe: int,
+    arm_depth: int,
+    top: int,
+    index_version: int,
+) -> DataFrame:
+    """Candidate generation for hybrid_search: both retrieval arms +
+    RRF fusion -> (query_id, doc_id, score), <= `top` rows per query.
+    Split out (pre-checkpoint) so the plan-lint test can assert the
+    arm ranking stays top-k-first."""
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # single-partition sort of all scored docs), THEN rank: the
+    # unpartitioned row_number window only ever sees <= arm_depth rows
+    lex = bm25_scores(docs, query_terms, top_n=arm_depth)
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = lex.withColumn("rank_lex", F.row_number().over(wl)).select(
+        "doc_id", "rank_lex"
+    )
+    hits = ann_index_search(
+        spark,
+        query_vecs,
+        index_path,
+        k=arm_depth + 1,  # headroom for the self-hit
+        n_probe=n_probe,
+        version=index_version,
+    ).filter(F.col("corpus_id") != F.col("query_id"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "corpus_id"
+    )
+    semr = (
+        hits.withColumn("rank_sem", F.row_number().over(ws))
+        .filter(F.col("rank_sem") <= arm_depth)
+        .select("query_id", F.col("corpus_id").alias("doc_id"), "rank_sem")
+    )
+    qids = query_vecs.select("query_id").distinct()
+    lex_all = qids.crossJoin(lexr)  # lexr is <= arm_depth rows
+    fused = lex_all.join(semr, ["query_id", "doc_id"], "outer").withColumn(
+        "rrf",
+        F.expr(
+            f"coalesce({RRF_SCALE} div ({RRF_K} + rank_lex), 0)"
+            f" + coalesce({RRF_SCALE} div ({RRF_K} + rank_sem), 0)"
+        ).cast("long"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "doc_id", F.col("rrf").alias("score"))
+    )
+
+
 def hybrid_search(
     spark: SparkSession,
     docs: DataFrame,
@@ -92,45 +148,11 @@ def hybrid_search(
     index_table = SnapshotTable(spark, index_path)
     index_version = index_table.latest_version()
 
-    lex = bm25_scores(docs, query_terms)
-    wl = Window.orderBy(F.desc("score"), "doc_id")
-    lexr = (
-        lex.withColumn("rank_lex", F.row_number().over(wl))
-        .filter(F.col("rank_lex") <= arm_depth)
-        .select("doc_id", "rank_lex")
-    )
-    hits = ann_index_search(
-        spark,
-        query_vecs,
-        index_path,
-        k=arm_depth + 1,  # headroom for the self-hit
-        n_probe=n_probe,
-        version=index_version,
-    ).filter(F.col("corpus_id") != F.col("query_id"))
-    ws = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), "corpus_id"
-    )
-    semr = (
-        hits.withColumn("rank_sem", F.row_number().over(ws))
-        .filter(F.col("rank_sem") <= arm_depth)
-        .select("query_id", F.col("corpus_id").alias("doc_id"), "rank_sem")
-    )
-    qids = query_vecs.select("query_id").distinct()
-    lex_all = qids.crossJoin(lexr)  # lexr is <= arm_depth rows
-    fused = lex_all.join(semr, ["query_id", "doc_id"], "outer").withColumn(
-        "rrf",
-        F.expr(
-            f"coalesce({RRF_SCALE} div ({RRF_K} + rank_lex), 0)"
-            f" + coalesce({RRF_SCALE} div ({RRF_K} + rank_sem), 0)"
-        ).cast("long"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
-    cand = (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= top)
-        .select("query_id", "doc_id", F.col("rrf").alias("score"))
-        .localCheckpoint(eager=False)
-    )
+    cand = _hybrid_candidates(
+        spark, docs, index_path, query_terms, query_vecs,
+        n_probe=n_probe, arm_depth=arm_depth, top=top,
+        index_version=index_version,
+    ).localCheckpoint(eager=False)
     vecs = index_table.read(version=index_version).select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").alias("__v"),

@@ -84,12 +84,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = bm25_scores(docs, QUERY_TERMS)
+    # top-k first (TakeOrderedAndProject), then rank within the
+    # <= ARM_DEPTH-row result — the unpartitioned row_number window
+    # never sees the corpus (round-8 verdict item 3)
+    lex = bm25_scores(docs, QUERY_TERMS, top_n=RRF_ARM_DEPTH)
     wl = Window.orderBy(F.desc("score"), "doc_id")
-    lexr = (
-        lex.withColumn("rank_lex", F.row_number().over(wl))
-        .filter(F.col("rank_lex") <= RRF_ARM_DEPTH)
-        .select("doc_id", "rank_lex")
+    lexr = lex.withColumn("rank_lex", F.row_number().over(wl)).select(
+        "doc_id", "rank_lex"
     )
     q = emb.filter(F.col("vec_id") == _SEM_QUERY_VEC).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -109,10 +110,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + coalesce({RRF_SCALE} div ({RRF_K} + rank_sem), 0)"
         ).cast("long"),
     )
+    # fused is already bounded (outer join of two <= ARM_DEPTH arms),
+    # but keep the same top-k-then-rank shape: limit to RRF_TOP via
+    # ordered limit, then number the surviving rows
+    topn = fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOP)
     wf = Window.orderBy(F.desc("rrf"), "doc_id")
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= RRF_TOP)
+        topn.withColumn("rank", F.row_number().over(wf))
         .select("rank", "doc_id", "rrf", "rank_lex", "rank_sem")
         .orderBy("rank")
     )

@@ -69,3 +69,45 @@ def test_low_probe_pipeline_still_returns_and_overlaps(
     assert len(lo) == len(full)
     overlap = len({r.doc_id for r in lo} & full)
     assert overlap >= len(full) // 2, (overlap, len(full))
+
+
+def test_hybrid_search_plan_has_no_unbounded_global_window(
+    spark, sf_smoke, tmp_path
+):
+    """The deployed retrieval path must rank its arms top-k-first
+    (TakeOrderedAndProject) — an unpartitioned row_number over all
+    scored docs is a single-partition sort at corpus scale (round-8
+    verdict item 3). Reuses the registry-wide lint's plan walker."""
+    from tests.test_plans_physical import _unbounded_global_windows
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = str(tmp_path / "ann")
+    build_search_index(spark, emb, idx, n_cells=N_CELLS)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # assert on the PRE-checkpoint candidate stage: the lazy
+    # localCheckpoint in hybrid_search hides the arm plans from the
+    # final frame's queryExecution
+    from data_engineering_pipeline_spark.plans.search_pipeline import (
+        _hybrid_candidates,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    ver = SnapshotTable(spark, idx).latest_version()
+    cand = _hybrid_candidates(
+        spark, docs, idx, QUERY_TERMS, qv,
+        n_probe=2, arm_depth=50, top=20, index_version=ver,
+    )
+    plan = cand._jdf.queryExecution().executedPlan()
+    assert _unbounded_global_windows(plan) == []
+    assert "TakeOrderedAndProject" in plan.treeString()
+    # and the full path still builds with no unbounded global window
+    # in its (post-checkpoint) plan
+    df = hybrid_search(spark, docs, idx, QUERY_TERMS, qv, n_probe=2)
+    assert _unbounded_global_windows(
+        df._jdf.queryExecution().executedPlan()
+    ) == []
