@@ -61,6 +61,7 @@ def _paths(work_dir: str) -> dict:
         "losers": os.path.join(work_dir, "neardup_losers"),
         "rates": os.path.join(work_dir, "frozen_rates"),
         "ppl_lm": os.path.join(work_dir, "frozen_ppl_lm"),
+        "decon": os.path.join(work_dir, "frozen_decon"),
         "shards": os.path.join(work_dir, "shards"),
     }
 
@@ -214,6 +215,90 @@ def _apply_ppl_gate(spark: SparkSession, df: DataFrame, lm_dir: str,
     ).drop("__ppm")
 
 
+# shingle width for eval-set decontamination: 3-word shingles, the
+# same unit the graded contamination screen uses (queries/dedup.py
+# text-contamination-bloom)
+DECON_SHINGLE_K = 3
+
+
+def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
+                  decon_dir: str) -> None:
+    """REBUILD-TIME eval-set decontamination freeze (same versioning
+    contract as the temperature rates and the perplexity LM): persist
+    (a) the distinct portable-hash set of the eval corpus' 3-word
+    shingles (the exact verifier) and (b) the Bloom bit-words built
+    over those hashes (the broadcast pre-screen, ~34k int64 rows max).
+    Later delta increments probe the FROZEN filter until the next
+    rebuild refreezes it, so batch membership never changes which
+    eval set a doc was screened against."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+        portable_token_hash,
+    )
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+    )
+
+    ev = eval_docs.select(
+        F.monotonically_increasing_id().alias("__eid"), "text"
+    )
+    hashes = (
+        _exploded_shingles(ev, "__eid", "text", DECON_SHINGLE_K)
+        .select(portable_token_hash(F.col("shingle")).alias("hk"))
+        .distinct()
+    )
+    hashes.write.mode("overwrite").parquet(
+        os.path.join(decon_dir, "hashes")
+    )
+    hh = spark.read.parquet(os.path.join(decon_dir, "hashes"))
+    # positions hash the ALREADY-portable-hashed shingle (identity
+    # hasher), so probe-side work is one hash per shingle shared by
+    # the screen and the verifier
+    bloom_build(hh, F.col("hk"), hasher=lambda c: c).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(decon_dir, "bloom"))
+
+
+def _apply_decon(spark: SparkSession, df: DataFrame, decon_dir: str,
+                 max_hits: int) -> DataFrame:
+    """Drop documents contaminated by the FROZEN eval set: probe each
+    doc's distinct shingle hashes against the broadcast Bloom bit
+    table (no false negatives — a contaminated doc can never slip
+    through the screen), exact-verify ONLY the bloom hits against the
+    frozen hash set, and drop docs with more than `max_hits` confirmed
+    eval shingles. Docs with fewer than DECON_SHINGLE_K tokens carry
+    no shingles and pass (the length gate upstream owns that policy).
+    Scale: the corpus side is one map probe against kilobytes of
+    broadcast state; only the rare bloom-positive shingles reach the
+    verifier join."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        _exploded_shingles,
+        portable_token_hash,
+    )
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_member,
+    )
+
+    bloom = spark.read.parquet(os.path.join(decon_dir, "bloom"))
+    evh = spark.read.parquet(os.path.join(decon_dir, "hashes"))
+    sh = _exploded_shingles(
+        df, "doc_id", "text", DECON_SHINGLE_K
+    ).select(
+        "doc_id", portable_token_hash(F.col("shingle")).alias("hk")
+    )
+    mem = bloom_member(sh, bloom, F.col("hk"), hasher=lambda c: c)
+    confirmed = (
+        mem.filter(F.col("is_member") == 1)
+        .join(evh, "hk")  # exact verify on bloom hits only
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_contam"))
+    )
+    drop = confirmed.filter(
+        F.col("__n_contam") > F.lit(max_hits)
+    ).select("doc_id")
+    return df.join(drop, "doc_id", "left_anti")
+
+
 def _apply_frozen_rates(df: DataFrame, rates: DataFrame) -> DataFrame:
     from data_engineering_pipeline_spark.operators.sampling import (
         key_hash,
@@ -238,6 +323,8 @@ def curate_batch(
     alpha: float = 0.5,
     split_threshold: float | None = None,
     ppl_gate: tuple[int, int] | None = None,
+    decontaminate: DataFrame | bool | None = None,
+    decon_max_hits: int = 0,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
     per-stage surviving counts — the run report an orchestrator logs."""
@@ -245,6 +332,7 @@ def curate_batch(
         spark, docs, work_dir, batch_id=0, n_shards=n_shards,
         min_quality=min_quality, alpha=alpha,
         split_threshold=split_threshold, ppl_gate=ppl_gate,
+        decontaminate=decontaminate, decon_max_hits=decon_max_hits,
     )
 
 
@@ -282,6 +370,8 @@ def curate_increment(
     mode: str = "rebuild",
     split_threshold: float | None = None,
     ppl_gate: tuple[int, int] | None = None,
+    decontaminate: DataFrame | bool | None = None,
+    decon_max_hits: int = 0,
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
     append is (app, batch_id)-idempotent; near-dedup probes only the
@@ -316,9 +406,25 @@ def curate_increment(
     head / downsample middle+tail buckets by those ppm rates; delta
     increments score their batch against the FROZEN model (unseen
     bigrams take the continuation backoff) with the frozen cutoffs —
-    the same rebuild-versioned contract as rates and splits."""
+    the same rebuild-versioned contract as rates and splits.
+
+    decontaminate: eval-set decontamination under the same frozen-
+    artifact contract. Rebuilds take the EVAL DataFrame (a `text`
+    column), freeze its shingle-hash set + Bloom pre-screen beside
+    the rates/LM, and drop corpus docs with more than decon_max_hits
+    confirmed eval shingles; delta increments pass any truthy value
+    (the frame is not re-read) and screen their batch against the
+    FROZEN filter — so which eval set a doc was judged against is
+    versioned with the rebuild that froze it."""
     if mode not in ("rebuild", "delta"):
         raise ValueError("mode must be 'rebuild' or 'delta'")
+    if mode == "rebuild" and decontaminate is not None and not isinstance(
+        decontaminate, DataFrame
+    ):
+        raise ValueError(
+            "rebuild mode needs the eval DataFrame to freeze: pass "
+            "decontaminate=<eval docs>"
+        )
     p = _paths(work_dir)
     stats: dict = {}
 
@@ -373,6 +479,14 @@ def curate_increment(
         )
         surv = new_docs.join(drop_new, "doc_id", "left_anti")
         surv = _filter_quality(surv, min_quality)
+        if decontaminate is not None and decontaminate is not False:
+            if not os.path.isdir(p["decon"]):
+                raise ValueError(
+                    "delta mode with decontaminate needs a frozen "
+                    "eval filter: run a rebuild with decontaminate "
+                    "first"
+                )
+            surv = _apply_decon(spark, surv, p["decon"], decon_max_hits)
         if ppl_gate is not None:
             if not os.path.isdir(p["ppl_lm"]):
                 raise ValueError(
@@ -421,6 +535,16 @@ def curate_increment(
     stats["after_dedup"] = keep.count()
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
+    if decontaminate is not None:
+        # refreeze the eval filter on every rebuild (the eval set may
+        # itself have been revised), then screen — BEFORE the ppl LM
+        # trains, so frozen model and cutoffs never learn from docs
+        # the eval screen is about to drop
+        _freeze_decon(spark, decontaminate, p["decon"])
+        filtered = _apply_decon(
+            spark, filtered, p["decon"], decon_max_hits
+        )
+        stats["after_decon"] = filtered.count()
     if ppl_gate is not None:
         # retrain + refreeze the perplexity LM on this rebuild's
         # quality survivors, then gate them with the fresh cutoffs —

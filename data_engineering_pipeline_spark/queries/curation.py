@@ -932,3 +932,87 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs.select("doc_id"), pairs).orderBy(
         "doc_id"
     )
+
+
+def _decon_mix_oracle() -> str:
+    from data_engineering_pipeline_spark.queries.dedup import (
+        _porthash_sql,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               AS shingles
+      FROM t WHERE len(toks) >= 3
+    ), evh AS (
+      SELECT DISTINCT {_porthash_sql('shingle')} AS h FROM (
+        SELECT unnest(shingles) AS shingle FROM sh
+        WHERE TRY_CAST(substr(source, 4) AS INTEGER) >= 10)
+    ), csh AS (
+      SELECT doc_id, {_porthash_sql('shingle')} AS h FROM (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 10)
+    ), contam AS (
+      SELECT DISTINCT c.doc_id FROM csh c JOIN evh ON evh.h = c.h
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id NOT IN
+                 (SELECT doc_id FROM contam)) AS BIGINT) AS n_kept,
+           sum(doc_id) FILTER (WHERE doc_id NOT IN
+                 (SELECT doc_id FROM contam)) AS kept_id_sum
+    FROM t WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 10
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@_register("curation-decon-mix", _decon_mix_oracle())
+def curation_decon_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination as the curation pipeline runs it
+    (plans/curation_pipeline.py _freeze_decon/_apply_decon): sources
+    src10+ play the held-out eval set, src0-9 the training corpus.
+    The rebuild-time freeze persists the eval shingle-hash set plus
+    its Bloom bit-words; the corpus is screened by the broadcast
+    Bloom (no false negatives) with exact verification on bloom hits
+    only, and docs sharing ANY eval shingle are dropped. Because the
+    exact verifier sits behind the screen, the RESULT equals pure
+    exact filtering — the oracle replays it as a hash-join in SQL,
+    while the Spark side exercises the production bloom+verify path.
+    Output: the decontaminated corpus mix per lang. Scale: the
+    filter is eval-sized (kilobytes broadcast); the corpus side is
+    one map probe; only bloom-positive shingles reach the verifier
+    join (the 100 TB shape, measured in BASELINE.md)."""
+    import tempfile
+
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        _apply_decon,
+        _freeze_decon,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).try_cast("int")
+    corpus = docs.filter(srcnum < 10)
+    ev = docs.filter(srcnum >= 10).select("text")
+    d = tempfile.mkdtemp(prefix="decon_q_")
+    _freeze_decon(spark, ev, d)
+    kept = _apply_decon(spark, corpus, d, 0).select("doc_id").withColumn(
+        "__k", F.lit(1)
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__k").alias("n_kept"),
+            F.sum(F.when(F.col("__k") == 1, F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("lang")
+    )

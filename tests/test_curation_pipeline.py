@@ -475,3 +475,91 @@ def test_ppl_freeze_cutoffs_bit_match_ntile_and_use_no_window(
 
     src = inspect.getsource(curation_pipeline._freeze_ppl_lm)
     assert "F.ntile(" not in src and ".over(" not in src
+
+
+def _eval_set(spark):
+    return spark.createDataFrame(
+        [("zebra quokka axolotl wombat narwhal benchmark question",)],
+        "text string",
+    )
+
+
+def _contaminated_doc(did):
+    # shares the shingles "zebra quokka axolotl" / "quokka axolotl
+    # wombat" with the eval set; no overlap with the _corpus template
+    return _doc(
+        did, "en",
+        f"filler{did} intro zebra quokka axolotl wombat closing remark",
+    )
+
+
+def test_decontaminate_rebuild_delta_and_convergence(spark, tmp_path):
+    """Eval-set decontamination as a pipeline stage under the frozen-
+    artifact contract: the rebuild freezes the eval shingle Bloom +
+    exact hash set and drops planted contaminated docs; a delta
+    increment screens its batch against the FROZEN filter; the
+    increment sequence converges bit-exact to the one-shot run."""
+    wd = str(tmp_path / "wd")
+    ev = _eval_set(spark)
+    kw = dict(alpha=1.0, decontaminate=ev)
+
+    b1 = _corpus(0, 60) + [_contaminated_doc(950)]
+    r0 = curate_batch(spark, _mk_docs(spark, b1), wd, **kw)
+    assert r0["after_decon"] == r0["after_quality"] - 1
+    for part in ("bloom", "hashes"):
+        assert os.path.isdir(os.path.join(wd, "frozen_decon", part))
+    cur = SnapshotTable(spark, os.path.join(wd, "curated"))
+    ids = {r.doc_id for r in cur.read().select("doc_id").collect()}
+    assert 950 not in ids and 0 in ids
+
+    # delta screens against the FROZEN filter (no eval frame re-read).
+    # Batch texts are unique (no near-dup of anything landed) so the
+    # only doc the stage chain may drop is the contaminated plant —
+    # whose non-eval tokens differ entirely from doc 950's, keeping it
+    # out of MinHash range of the batch-1 plant.
+    b2 = [
+        _doc(100 + i, "en",
+             f"unique discourse {i} concerning {w} phenomena with many "
+             f"clearly distinct supplementary tokens {i}")
+        for i, w in enumerate(["glacial", "volcanic", "tidal", "karst"])
+    ] + [_doc(960, "en",
+              "gamma delta omega zebra quokka axolotl wombat epsilon "
+              "theta lambda")]
+    r1 = curate_increment(
+        spark, _mk_docs(spark, b2), wd, batch_id=1, mode="delta",
+        alpha=1.0, decontaminate=True,
+    )
+    assert r1["batch_survivors"] == len(b2) - 1
+    ids = {r.doc_id for r in cur.read().select("doc_id").collect()}
+    assert 960 not in ids and 100 in ids
+
+    # rebuild refreezes + converges bit-exact with the one-shot run
+    b3 = _corpus(200, 15)
+    curate_increment(
+        spark, _mk_docs(spark, b3), wd, batch_id=2, mode="rebuild", **kw
+    )
+    one = str(tmp_path / "one")
+    curate_batch(spark, _mk_docs(spark, b1 + b2 + b3), one, **kw)
+    have = {tuple(r) for r in cur.read().collect()}
+    want = {tuple(r) for r in
+            SnapshotTable(spark, os.path.join(one, "curated"))
+            .read().collect()}
+    assert have == want and len(have) > 0
+    assert not any(t[0] in (950, 960) for t in have)
+
+
+def test_decontaminate_contract_errors(spark, tmp_path):
+    """Delta without a frozen filter and rebuild without the eval
+    frame are explicit errors, not silent unscreened passes."""
+    wd = str(tmp_path / "wd")
+    curate_batch(spark, _mk_docs(spark, _corpus(0, 30)), wd, alpha=1.0)
+    with pytest.raises(ValueError, match="frozen eval filter"):
+        curate_increment(
+            spark, _mk_docs(spark, _corpus(100, 10)), wd, batch_id=1,
+            mode="delta", alpha=1.0, decontaminate=True,
+        )
+    with pytest.raises(ValueError, match="eval DataFrame"):
+        curate_batch(
+            spark, _mk_docs(spark, _corpus(200, 10)),
+            str(tmp_path / "wd2"), alpha=1.0, decontaminate=True,
+        )
