@@ -124,6 +124,17 @@ HEADLINE = [
 ]
 
 TIMED_RUNS = 3
+# The FIRST query measured runs on a JVM-cold session: codegen
+# compilation, shuffle machinery, and the parquet reader all
+# initialize inside its first executions, and one warm-up does not
+# reach steady state (measured r9: parity-pipeline runs
+# ~7.5 -> 1.8 -> 1.4 -> 1.27 -> ... -> 1.16 s; the old 1-warm-up
+# median-of-3 protocol recorded ~1.5 s for a query whose steady-state
+# wall is 1.16 s — the whole "parity drift" flagged across r6-r8 was
+# this protocol bias, not a plan change; see BASELINE.md addendum 45).
+# Extra warm-ups for the first query only: later queries inherit a
+# warm JVM, where one warm-up suffices (their MADs stay small).
+FIRST_QUERY_WARMUPS = 3
 
 
 def main() -> None:
@@ -164,7 +175,9 @@ def main() -> None:
         # rest of the bench still produces numbers (a crashed bench is a
         # blind round).
         try:
-            run_once(fn, name)  # warm-up
+            n_warm = FIRST_QUERY_WARMUPS if not timings else 1
+            for _ in range(n_warm):
+                run_once(fn, name)  # warm-up
             runs = []
             for _ in range(TIMED_RUNS):
                 t0 = time.perf_counter()
