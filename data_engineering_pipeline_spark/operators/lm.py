@@ -53,7 +53,8 @@ def bigram_explode(docs: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "b.w1", "b.w2")
 
 
-def kn_train(bg: DataFrame) -> dict[str, DataFrame]:
+def kn_train(bg: DataFrame,
+             broadcast_model: bool = True) -> dict[str, DataFrame]:
     """Train the interpolated KN bigram model on bigram occurrences:
 
         p(w2|w1) = (c12 - D)/c1 + (D * N1+(w1,.)/c1) * N1+(.,w2)/NB
@@ -63,16 +64,22 @@ def kn_train(bg: DataFrame) -> dict[str, DataFrame]:
       ctx  (w1, c1, nf)  context count + distinct-follower count
       cont (w2, nb2)     continuation count (distinct predecessors)
       nb   (nb)          one row: total bigram types, double
-    """
+
+    broadcast_model=False (ADVICE r8): the ctx/n1f/n1b sides are
+    vocabulary-sized; on a corpus whose vocabulary outgrows the
+    driver/broadcast limit, fall back to plain (w1)/(w2) equi-joins —
+    the same escape hatch the scorers (kn_doc_ce/kn_doc_ce_backoff)
+    already expose. The 1-row nb total stays broadcast always."""
+    hint = F.broadcast if broadcast_model else (lambda df: df)
     ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     n1f = types.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
     n1b = types.groupBy("w2").agg(F.count(F.lit(1)).alias("nb2"))
     nbt = types.agg(F.count(F.lit(1)).cast("double").alias("nb"))
     lq = (
-        types.join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(n1f), "w1")
-        .join(F.broadcast(n1b), "w2")
+        types.join(hint(ctx), "w1")
+        .join(hint(n1f), "w1")
+        .join(hint(n1b), "w2")
         .join(F.broadcast(nbt))
         .select(
             "w1",

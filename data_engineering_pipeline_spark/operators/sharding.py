@@ -106,7 +106,7 @@ def export_shards(
 
 
 def shard_manifest(
-    df: DataFrame, n_shards: int, *keys: Column,
+    df: DataFrame, n_shards: int, *keys: Column | str,
     epoch: int = 0, head: int | None = None,
 ) -> DataFrame:
     """Per-shard audit frame: each row carries its in-shard position
@@ -114,9 +114,28 @@ def shard_manifest(
     per shard in shuffle order (the compact layout check a training
     loader runs before trusting an export — without it the 'audit'
     materializes the full corpus). One shuffle (the window by
-    shard); the internal hash column is dropped."""
-    sh = shuffle_shard(df, n_shards, *keys, epoch=epoch)
-    w = Window.partitionBy("shard").orderBy("__h", *keys)
+    shard); the internal hash column is dropped.
+
+    Keys given as NAMES route through _hashable_keys exactly like
+    export_shards/refresh_shards (ADVICE r8: auditing a STRING-keyed
+    export with raw Column keys either tripped shuffle_shard's
+    null-key assert or forced callers to replicate the private
+    xxhash64/pmod transform — risking an audit that disagrees with
+    the export it audits). Raw Column expressions remain accepted for
+    integral-valued keys."""
+    names = [k for k in keys if isinstance(k, str)]
+    if names and len(names) != len(keys):
+        raise ValueError(
+            "pass keys either all as names or all as Columns"
+        )
+    if names:
+        hkeys = _hashable_keys(df, names)
+        okeys: list[Column] = [F.col(k) for k in names]
+    else:
+        hkeys = list(keys)
+        okeys = list(keys)
+    sh = shuffle_shard(df, n_shards, *hkeys, epoch=epoch)
+    w = Window.partitionBy("shard").orderBy("__h", *okeys)
     out = (
         sh.withColumn("pos", F.row_number().over(w))
         .withColumn(

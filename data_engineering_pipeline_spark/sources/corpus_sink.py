@@ -130,14 +130,18 @@ def compact_corpus(
     # `col=value/` level per partition column; zero -> files at the
     # root) — a fixed one-level glob under- or over-counts otherwise
     depth = "/".join(["*"] * len(partition_cols) + ["*.parquet"])
-    # exclude files under _-prefixed dirs: at one partition level the
+    # exclude files under metadata dirs: at one partition level the
     # glob's * also matches _manifest/, which would overcount the
-    # "number of data files" contract by the manifest's part files
+    # "number of data files" contract by the manifest's part files.
+    # Only NON-hive dirs are metadata (ADVICE r8): a blanket
+    # '_'/'.'-prefix test silently undercounted a legitimate partition
+    # COLUMN whose name begins with an underscore (legal in Spark) —
+    # its dirs are `_col=value/`, which the col=value shape admits
     return sum(
         1
         for f in glob.glob(f"{path}/{depth}")
-        if not any(
-            part.startswith(("_", "."))
+        if all(
+            "=" in part
             for part in os.path.relpath(f, path).split(os.sep)[:-1]
         )
     )

@@ -92,17 +92,24 @@ class LocalFSCommitBackend(CommitBackend):
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
+        # the tmp write sits INSIDE the try (ADVICE r8): a write/fsync
+        # exception must not strand the temp; a hard crash still can,
+        # which is why vacuum's crash-garbage sweep ages out log-dir
+        # *.tmp files on the same grace window as staging dirs
         try:
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
             os.link(tmp, path)
             return True
         except FileExistsError:
             return False
         finally:
-            os.remove(tmp)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
 
 class MutexCommitBackend(CommitBackend):
@@ -146,9 +153,15 @@ class MutexCommitBackend(CommitBackend):
     @staticmethod
     def _write(path: str, payload: bytes) -> None:
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass  # the replace consumed it (the normal path)
 
 
 class InMemoryClaims:
@@ -527,9 +540,15 @@ class SnapshotTable:
         if sch is not None:
             state["schema"] = sch.json()
         tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.rename(tmp, path)
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.rename(tmp, path)
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass  # the rename consumed it (the normal path)
 
     def _replay_base(self, version: int) -> tuple[int, dict]:
         """Latest checkpoint at or below `version` -> (next version to
@@ -2844,6 +2863,27 @@ class SnapshotTable:
             if not f.endswith(".tmp"):
                 continue
             p = os.path.join(bdir, f)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
+            dropped.append(f)
+        # commit-log temps (ADVICE r8): a writer hard-crashing between
+        # its tmp-manifest/checkpoint write and the link/rename strands
+        # '<name>.<hex>.tmp' in _log/ forever — referenced by nothing
+        # (committed names never end in .tmp), so age them out on the
+        # same grace window
+        ldir = _log_dir(self.path)
+        for f in os.listdir(ldir) if os.path.isdir(ldir) else []:
+            if not f.endswith(".tmp"):
+                continue
+            p = os.path.join(ldir, f)
             try:
                 if now - os.path.getmtime(p) < grace_seconds:
                     continue

@@ -181,3 +181,24 @@ def test_write_corpus_empty_input(spark, tmp_path):
     )
     manifest = write_corpus(empty, out, ("lang",), "doc_id")
     assert manifest.count() == 0
+
+
+def test_compact_corpus_counts_underscore_partition_column(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r9: a partition column whose name begins with an
+    underscore (legal in Spark) produces `_col=value/` dirs; the data
+    file count must include them — only non-hive metadata dirs (no
+    '=': _manifest, _temporary) are excluded."""
+    from data_engineering_pipeline_spark.sources.corpus_sink import (
+        compact_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").withColumnRenamed(
+        "lang", "_lang"
+    )
+    out = str(tmp_path / "uscore")
+    write_corpus(docs, out, ("_lang",), "doc_id", max_records_per_file=10)
+    n_after = compact_corpus(spark, out, ("_lang",), "doc_id")
+    actual = len(glob.glob(f"{out}/_lang=*/*.parquet"))
+    assert n_after == actual > 0

@@ -563,3 +563,31 @@ def test_decontaminate_contract_errors(spark, tmp_path):
             spark, _mk_docs(spark, _corpus(200, 10)),
             str(tmp_path / "wd2"), alpha=1.0, decontaminate=True,
         )
+
+
+def test_kn_train_no_broadcast_matches_broadcast(spark):
+    """ADVICE r9: kn_train(broadcast_model=False) must produce the
+    identical frozen model via plain equi-joins — the escape hatch for
+    vocabularies too large to broadcast (the scorers already had one;
+    training did not)."""
+    from data_engineering_pipeline_spark.operators.lm import (
+        bigram_explode,
+        kn_train,
+    )
+
+    docs = _mk_docs(spark, _corpus(0, 25))
+    bg = bigram_explode(docs)
+    a = kn_train(bg)
+    b = kn_train(bg, broadcast_model=False)
+    for name in ("lq", "ctx", "cont", "nb"):
+        assert sorted(map(tuple, a[name].collect())) == sorted(
+            map(tuple, b[name].collect())
+        ), name
+    # and the fallback actually dropped the FORCED vocab-side
+    # broadcast hints (AQE may still convert small sides at runtime —
+    # that is the desired adaptive behavior): only the 1-row nb total
+    # keeps an explicit hint
+    hinted = b["lq"]._jdf.queryExecution().analyzed().toString()
+    assert hinted.count("ResolvedHint (strategy=broadcast)") == 1
+    forced = a["lq"]._jdf.queryExecution().analyzed().toString()
+    assert forced.count("ResolvedHint (strategy=broadcast)") == 4

@@ -293,3 +293,42 @@ def test_full_rebuild_stages_and_recovers(spark, tmp_path):
     res = refresh_shards(t, out, 8, ["doc_id"])
     assert res["rebuilt"] == list(range(8))
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_shard_manifest_audits_string_keyed_export(spark, tmp_path):
+    """ADVICE r9: shard_manifest with key NAMES must agree row-for-row
+    with the layout export_shards wrote for a STRING key — same shard
+    membership, same in-shard order — and mixing names with Columns is
+    rejected."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(200)], "doc_id string, v long"
+    )
+    out = str(tmp_path / "s")
+    export_shards(docs, out, 4, ["doc_id"])
+    back = spark.read.parquet(out)
+
+    mf = shard_manifest(docs, 4, "doc_id")
+    assert mf.filter("shard IS NULL").count() == 0
+    # per shard: the manifest's pos-ordered keys == the written order
+    for s in range(4):
+        wrote = [
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(out, f"shard={s}"))
+            .collect()
+        ]
+        audited = [
+            r.doc_id
+            for r in mf.filter(F.col("shard") == s).orderBy("pos").collect()
+        ]
+        assert wrote == audited, s
+        n_docs = {r.n_docs for r in mf.filter(F.col("shard") == s).collect()}
+        assert n_docs == {len(wrote)}
+
+    with _pytest.raises(ValueError, match="all as names"):
+        shard_manifest(docs, 4, "doc_id", F.col("v"))

@@ -2527,3 +2527,28 @@ def test_vacuum_sweeps_crashed_stage_dirs(spark, tmp_path):
     os.makedirs(fresh)
     t.vacuum(grace_seconds=3600.0)
     assert os.path.exists(fresh)
+
+
+def test_vacuum_sweeps_stranded_commit_log_temps(spark, tmp_path):
+    """ADVICE r9: a writer hard-crashing between its tmp manifest /
+    checkpoint write and the link/rename strands '<name>.<hex>.tmp'
+    in _log/ forever (committed names never end in .tmp, so nothing
+    references them). Vacuum ages them out on the crash-garbage grace
+    window — and spares FRESH temps, which may be a racing writer
+    mid-commit."""
+    path = str(tmp_path / "logtmp")
+    t = SnapshotTable(spark, path)
+    t.append(_kv(spark, [(1, "a")]))
+    log_dir = os.path.join(path, "_log")
+    stale = os.path.join(log_dir, "00000007.json.deadbeef.tmp")
+    fresh = os.path.join(log_dir, "00000008.json.cafef00d.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(stale, (0, 0))
+    dropped = t.vacuum()  # default grace: only the aged temp goes
+    assert os.path.basename(stale) in dropped
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    # the table still reads fine and a new commit lands normally
+    t.append(_kv(spark, [(2, "b")]))
+    assert t.read().count() == 2
