@@ -75,6 +75,17 @@ def pack_greedy(
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(
             drop=True
         )
+        # r9 review: a NULL weight arrives as NaN (int(NaN) raises a
+        # cryptic ValueError mid-loop) and a NEGATIVE weight silently
+        # shrinks the running fill, overfilling every later pack in
+        # the bucket — both are data errors; fail loudly with the ids
+        bad = pdf["n_tokens"].isna() | (pdf["n_tokens"] < 0)
+        if bad.any():
+            ids = pdf.loc[bad, "doc_id"].head(5).tolist()
+            raise ValueError(
+                f"pack_greedy: null/negative {weight_col!r} for doc ids "
+                f"{ids} (showing <= 5); weights must be >= 0"
+            )
         base = int(pdf["bucket"].iloc[0]) * packs_per_bucket
         pack_ids, pack_pos = [], []
         cur, fill, pos = 0, 0, 0

@@ -63,13 +63,18 @@ def stratified_sample(
     within strata instead when strata are few and huge.)"""
     w = Window.partitionBy(*strata).orderBy(key_hash(*order_keys), *order_keys)
     cnt = Window.partitionBy(*strata)
-    # ceil(cnt * rate / 100) in exact integer arithmetic
-    take = F.floor((F.count(F.lit(1)).over(cnt) * rate_pct + 99) / 100)
+    # ceil(cnt * rate / 100) in exact integer arithmetic. Integer DIV,
+    # not floor(/): long/long is IEEE double division, and above 2^53
+    # (a 10^14-row stratum at rate 90) the quotient's double rounding
+    # can move the cutoff — the exact trap mixture_rebalance documents
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__take", take)
+        .withColumn("__cnt", F.count(F.lit(1)).over(cnt))
+        .withColumn(
+            "__take", F.expr(f"(__cnt * {int(rate_pct)} + 99) DIV 100")
+        )
         .filter(F.col("__rn") <= F.col("__take"))
-        .drop("__rn", "__take")
+        .drop("__rn", "__cnt", "__take")
     )
 
 
@@ -93,16 +98,23 @@ def mixture_rebalance(
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     floor_n = counts.agg(F.min("__n").alias("__min_n"))
     ppm = counts.join(F.broadcast(floor_n)).select(
-        stratum_col,
+        F.col(stratum_col).alias("__stratum"),
         # integer DIV, not `/`: long/long is IEEE double division in
         # Spark, and an exact-integer quotient can land at N - ulp and
         # truncate to N-1 — DuckDB's // would then disagree.
         F.expr("__min_n * 1000000 DIV __n").alias("__keep_ppm"),
     )
+    # NULL-SAFE stratum match (r9 review): groupBy counts a NULL
+    # stratum as its own group, but a plain equi-join never matches it
+    # back — every null-stratum row silently vanished from the output
+    # instead of being rebalanced as its own stratum
     return (
-        df.join(F.broadcast(ppm), stratum_col)
+        df.join(
+            F.broadcast(ppm),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
-        .drop("__keep_ppm")
+        .drop("__stratum", "__keep_ppm")
     )
 
 
@@ -155,13 +167,19 @@ def temperature_rebalance(
     dyadic = dyadic_pow(ratio, 1.0 - alpha)
     rate = dyadic if dyadic is not None else F.pow(ratio, F.lit(1.0 - alpha))
     ppm = counts.join(F.broadcast(floor_n)).select(
-        stratum_col,
+        F.col(stratum_col).alias("__stratum"),
         F.floor(rate * F.lit(1_000_000.0)).cast("long").alias("__keep_ppm"),
     )
+    # null-safe stratum match — same fix as mixture_rebalance: a NULL
+    # stratum is counted as a group and must be sampled at its own
+    # rate, not silently dropped by the equi-join
     return (
-        df.join(F.broadcast(ppm), stratum_col)
+        df.join(
+            F.broadcast(ppm),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
-        .drop("__keep_ppm")
+        .drop("__stratum", "__keep_ppm")
     )
 
 

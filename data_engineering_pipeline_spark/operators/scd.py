@@ -84,11 +84,28 @@ def scd2_merge(
         F.col("valid_from").alias(ts_col),
         F.lit(-1).cast("long").alias(tiebreak_col),
     )
+    # r9 review: the seed claims tiebreak -1 to sort before any real
+    # update sharing the open row's timestamp — an update with a
+    # NEGATIVE tiebreak could sort before the seed and silently
+    # reorder history around it; reject instead of corrupting
+    tb = F.col(tiebreak_col).cast("long")
     u = updates.select(
         *key_cols,
         *attr_cols,
         F.col(ts_col),
-        F.col(tiebreak_col).cast("long").alias(tiebreak_col),
+        F.when(tb >= 0, tb)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"scd2_merge: {tiebreak_col!r} must be >= 0 "
+                        "(the replayed open row reserves -1), got "
+                    ),
+                    tb.cast("string"),
+                )
+            )
+        )
+        .alias(tiebreak_col),
     )
     rebuilt = scd2_history(
         seed.unionByName(u), key_cols, attr_cols, ts_col, tiebreak_col

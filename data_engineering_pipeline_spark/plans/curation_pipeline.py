@@ -304,13 +304,26 @@ def _apply_frozen_rates(df: DataFrame, rates: DataFrame) -> DataFrame:
         key_hash,
     )
 
+    # NULL-SAFE lang match (r9 review): the rebuild's
+    # temperature_rebalance samples a NULL-lang stratum at its own
+    # frozen rate, so the delta path must match a NULL-lang doc to the
+    # frozen NULL-lang rate row too — a plain left join never matched
+    # it, keeping 100% of null-lang docs in delta mode and diverging
+    # from the rebuild. Langs unseen at freeze time still keep
+    # everything (the documented delta tradeoff).
+    r = rates.select(
+        F.col("lang").alias("__rlang"), "keep_ppm"
+    )
     return (
-        df.join(F.broadcast(rates), "lang", "left")
+        df.join(
+            F.broadcast(r), F.col("lang").eqNullSafe(F.col("__rlang")),
+            "left",
+        )
         .filter(
             key_hash(F.col("doc_id")) % 1_000_000
             < F.coalesce("keep_ppm", F.lit(1_000_000))
         )
-        .drop("keep_ppm")
+        .drop("__rlang", "keep_ppm")
     )
 
 

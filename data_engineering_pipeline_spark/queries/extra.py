@@ -767,8 +767,7 @@ def op_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_orderkey, l_linenumber FROM h
     QUALIFY row_number() OVER (PARTITION BY l_returnflag
                                ORDER BY hk, l_orderkey, l_linenumber)
-            <= floor((count(*) OVER (PARTITION BY l_returnflag) * 1 + 99)
-                     / 100)
+            <= (count(*) OVER (PARTITION BY l_returnflag) * 1 + 99) // 100
     ORDER BY l_orderkey, l_linenumber
     """,
 )

@@ -58,7 +58,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): quarantine keeps the raw corrupt text plus
     the (null) parsed columns — Spark disallows plans whose scan
     references ONLY the corrupt-record column, so the quarantine side
-    must carry at least one data column through."""
+    must carry at least one data column through.
+
+    The parsed frame is cache()d (both branches share one parse); the
+    cache lives until the session evicts it — callers processing many
+    inputs in one session should unpersist() either branch when done
+    (r9 review note)."""
     # Column pruning would reduce downstream quarantine queries (e.g. a
     # bare count) to referencing only the corrupt column, which Spark
     # disallows against raw CSV/JSON scans — caching the parsed frame is

@@ -591,3 +591,50 @@ def test_kn_train_no_broadcast_matches_broadcast(spark):
     assert hinted.count("ResolvedHint (strategy=broadcast)") == 1
     forced = a["lq"]._jdf.queryExecution().analyzed().toString()
     assert forced.count("ResolvedHint (strategy=broadcast)") == 4
+
+
+def test_null_lang_docs_converge_across_modes(spark, tmp_path):
+    """r9 review: null-lang docs were kept at 100% by the delta path's
+    plain left join but DROPPED entirely by the rebuild's equi-join —
+    a silent rebuild/delta divergence. Both paths now sample the null
+    stratum at its own frozen rate; increments converge bit-exact."""
+    wd = str(tmp_path / "wd")
+    b1 = _corpus(0, 40) + [
+        (800 + i, None,
+         f"nullish {i} language-free document with agreeable length "
+         f"and several additional distinctive words {i}")
+        for i in range(3)
+    ]
+    curate_batch(spark, _mk_docs(spark, b1), wd, alpha=0.5)
+    cur = SnapshotTable(spark, os.path.join(wd, "curated"))
+    # the null stratum (3 docs, the smallest) keeps 100% at rebuild
+    assert cur.read().filter(F.col("lang").isNull()).count() == 3
+    # frozen rates carry a null-lang row
+    rates = spark.read.parquet(os.path.join(wd, "frozen_rates"))
+    assert rates.filter(F.col("lang").isNull()).count() == 1
+
+    b2 = [(900, None,
+           "another language-free text with plainly sufficient length "
+           "and uncommon vocabulary inside")]
+    curate_increment(
+        spark, _mk_docs(spark, b2), wd, batch_id=1, mode="delta",
+        alpha=0.5,
+    )
+    # the delta screened doc 900 against the frozen null-lang rate
+    # (rate 1e6: the null stratum was smallest at freeze time) rather
+    # than keeping it by join-miss
+    assert cur.read().filter(F.col("doc_id") == 900).count() == 1
+    # rates drift until a rebuild refreezes (documented): converge via
+    # a final rebuild increment, like the other convergence tests
+    b3 = _corpus(200, 10)
+    curate_increment(
+        spark, _mk_docs(spark, b3), wd, batch_id=2, mode="rebuild",
+        alpha=0.5,
+    )
+    one = str(tmp_path / "one")
+    curate_batch(spark, _mk_docs(spark, b1 + b2 + b3), one, alpha=0.5)
+    have = {tuple(r) for r in cur.read().collect()}
+    want = {tuple(r) for r in
+            SnapshotTable(spark, os.path.join(one, "curated"))
+            .read().collect()}
+    assert have == want and any(t[1] is None for t in have)

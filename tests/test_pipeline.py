@@ -72,3 +72,26 @@ def test_ingest_transform_end_to_end_idempotent(spark, tmp_path):
     zaf_2006 = rows[("ZAF", 2006)]
     assert zaf_2006.gdp_growth_lag1 == zaf_2004.gdp_growth
     assert ("ZAF", 2005) not in rows
+
+
+def test_pack_greedy_rejects_null_and_negative_weights(spark):
+    """r9 review: a NULL token count reached int(NaN) (cryptic crash
+    mid-loop) and a NEGATIVE one silently shrank the running fill,
+    overfilling every later pack in the bucket — both must fail
+    loudly with the offending doc ids."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.packing import (
+        pack_greedy,
+    )
+
+    bad_null = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="null/negative"):
+        pack_greedy(bad_null, budget=16).collect()
+    bad_neg = spark.createDataFrame(
+        [(1, 10), (2, -4), (3, 5)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="null/negative"):
+        pack_greedy(bad_neg, budget=16).collect()

@@ -293,3 +293,46 @@ def test_leakage_split_stable_under_corpus_growth(spark, sf_smoke):
     # and some docs exist in both runs with unchanged components (the
     # assertion above isn't vacuous)
     assert sum(1 for d in before if after[d][0] == before[d][0]) > 100
+
+
+def test_stratified_take_is_exact_integer_arithmetic(spark):
+    """r9 review: the per-stratum take must be integer DIV, not
+    floor(double /) — pin both the ceil semantics and the absence of
+    a float division in the take expression."""
+    import inspect
+
+    from data_engineering_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(s, i) for s in ("a", "b") for i in range(101)],
+        "s string, i long",
+    )
+    out = stratified_sample(df, ["s"], 1, F.col("i"))
+    # ceil(101 * 1 / 100) = 2 per stratum
+    assert out.groupBy("s").count().orderBy("s").collect()[0][1] == 2
+    src = inspect.getsource(sampling.stratified_sample)
+    assert "DIV 100" in src and "F.floor" not in src
+
+
+def test_rebalance_null_stratum_is_its_own_group(spark):
+    """r9 review: a NULL stratum is counted by groupBy but a plain
+    equi-join never matched it back — null-stratum rows silently
+    vanished. Both rebalance operators must sample the null stratum
+    at its own rate (here: null is the smallest stratum -> rate 1e6
+    -> every null row survives)."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        mixture_rebalance,
+        temperature_rebalance,
+    )
+
+    rows = [("en", i) for i in range(40)] + [(None, 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    for fn in (
+        lambda d: mixture_rebalance(d, "lang", F.col("doc_id")),
+        lambda d: temperature_rebalance(d, "lang", 0.5, F.col("doc_id")),
+    ):
+        out = fn(df)
+        # all 3 null-lang docs survive (smallest stratum keeps 100%)
+        assert out.filter(F.col("lang").isNull()).count() == 3
+        # and en was actually downsampled against the size-3 floor
+        assert out.filter(F.col("lang") == "en").count() < 40

@@ -77,3 +77,26 @@ def test_scd2_change_detection_null_safe_and_tied(spark):
     )
     merged = _rows(scd2_merge(cur, noop, ["custkey"], ["priority"], "ts", "tb"))
     assert merged == hist
+
+
+def test_scd2_merge_rejects_negative_tiebreak(spark):
+    """r9 review: the replayed open row reserves tiebreak -1 so it
+    sorts before any real update at the same ts — an update carrying a
+    negative tiebreak could sort before the seed and silently reorder
+    history; it must be rejected."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    ups = spark.createDataFrame(
+        [(1, "a", 10, 0)], "k long, v string, ts long, seq long"
+    )
+    cur = scd2_history(ups, ["k"], ["v"], "ts", "seq")
+    bad = spark.createDataFrame(
+        [(1, "b", 10, -3)], "k long, v string, ts long, seq long"
+    )
+    with _pytest.raises(Exception, match="must be >= 0"):
+        scd2_merge(cur, bad, ["k"], ["v"], "ts", "seq").collect()
