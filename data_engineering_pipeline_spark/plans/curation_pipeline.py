@@ -338,14 +338,19 @@ def curate_batch(
     ppl_gate: tuple[int, int] | None = None,
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
+    timings: dict | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
-    per-stage surviving counts — the run report an orchestrator logs."""
+    per-stage surviving counts — the run report an orchestrator logs.
+    Pass timings={} to also collect per-stage wall seconds (stage
+    boundaries are the stats checkpoints; lazy stages bill to the
+    action that materializes them)."""
     return curate_increment(
         spark, docs, work_dir, batch_id=0, n_shards=n_shards,
         min_quality=min_quality, alpha=alpha,
         split_threshold=split_threshold, ppl_gate=ppl_gate,
         decontaminate=decontaminate, decon_max_hits=decon_max_hits,
+        timings=timings,
     )
 
 
@@ -385,6 +390,7 @@ def curate_increment(
     ppl_gate: tuple[int, int] | None = None,
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
+    timings: dict | None = None,
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
     append is (app, batch_id)-idempotent; near-dedup probes only the
@@ -441,10 +447,26 @@ def curate_increment(
     p = _paths(work_dir)
     stats: dict = {}
 
+    # per-stage wall clock (optional): marks land at the same
+    # checkpoints as the stats counts, so each entry is the elapsed
+    # time since the previous checkpoint — the run-report walls the
+    # scale probe (BASELINE addendum 47) reads
+    import time as _time
+
+    t_mark = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal t_mark
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[key] = round(now - t_mark, 3)
+        t_mark = now
+
     landing = SnapshotTable(spark, p["landing"])
     landing.append(batch, txn=("curate", batch_id), expect=GATES)
     landed = landing.read()
     stats["landed"] = landed.count()
+    _mark("land")
 
     # near-dedup the NEW docs against the persisted signature store;
     # losers accumulate in their own store so later rebuilds remember
@@ -477,6 +499,7 @@ def curate_increment(
     drop_new.write.mode("append").parquet(p["losers"])
     sigs.write.mode("append").parquet(p["sigs"])
     losers = spark.read.parquet(p["losers"]).distinct()
+    _mark("neardup_probe")
 
     if mode == "delta":
         if not os.path.isdir(p["rates"]):
@@ -516,6 +539,7 @@ def curate_increment(
             # rebuild versions them in)
             surv = surv.withColumn("split", F.lit(None).cast("string"))
         stats["batch_survivors"] = surv.count()
+        _mark("batch_filters")
         # merge-on-read: the increment's write cost is the batch's
         # rows (postimages/inserts + a tiny deletion vector), never a
         # rewrite of the curated files its keys happen to land in —
@@ -532,8 +556,10 @@ def curate_increment(
             )
         stats["retracted"] = n_retract
         stats["curated"] = curated.read().count()
+        _mark("merge")
         res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
         stats["shards_rebuilt"] = len(res["rebuilt"])
+        _mark("shards")
         return stats
 
     # deterministic rebuild from the landing snapshot: exact dedup
@@ -546,27 +572,33 @@ def curate_increment(
         losers, "doc_id", "left_anti"
     )
     stats["after_dedup"] = keep.count()
+    _mark("dedup")
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
+    _mark("quality")
     if decontaminate is not None:
         # refreeze the eval filter on every rebuild (the eval set may
         # itself have been revised), then screen — BEFORE the ppl LM
         # trains, so frozen model and cutoffs never learn from docs
         # the eval screen is about to drop
         _freeze_decon(spark, decontaminate, p["decon"])
+        _mark("decon_freeze")
         filtered = _apply_decon(
             spark, filtered, p["decon"], decon_max_hits
         )
         stats["after_decon"] = filtered.count()
+        _mark("decon_gate")
     if ppl_gate is not None:
         # retrain + refreeze the perplexity LM on this rebuild's
         # quality survivors, then gate them with the fresh cutoffs —
         # the same refreeze point as the temperature rates below
         _freeze_ppl_lm(spark, filtered, p["ppl_lm"])
+        _mark("ppl_freeze")
         filtered = _apply_ppl_gate(
             spark, filtered, p["ppl_lm"], ppl_gate[0], ppl_gate[1]
         )
         stats["after_ppl_gate"] = filtered.count()
+        _mark("ppl_gate")
     sampled = _rebalance(filtered, alpha)
     if split_threshold is not None:
         sampled = _assign_splits(sampled, split_threshold)
@@ -578,7 +610,9 @@ def curate_increment(
     curated = SnapshotTable(spark, p["curated"])
     curated.overwrite(sampled, txn=("curate", batch_id))
     stats["curated"] = curated.read().count()
+    _mark("rebalance_split_write")
 
     res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
     stats["shards_rebuilt"] = len(res["rebuilt"])
+    _mark("shards")
     return stats

@@ -75,9 +75,22 @@ def test_pipeline_increments_converge_to_one_shot(spark, tmp_path):
     b = {tuple(r) for r in SnapshotTable(spark, f"{one}/curated")
          .read().collect()}
     assert a == b and len(a) > 0
-    # cross-batch dups lost to their lower-id originals
-    kept_ids = {r[0] for r in a}
-    assert 950 not in kept_ids and 951 not in kept_ids
+    # cross-batch dups lost to their lower-id originals. Ids are read
+    # BY NAME: the original positional {r[0]} read the first column,
+    # which until the r9 rebalance fix was `lang` (the old USING-join
+    # reordered columns) — making this assert vacuously compare doc
+    # ids against language strings. Reading by name exposed that 951
+    # ("plenty"->"loads", shingle Jaccard ~0.625) is genuinely BELOW
+    # the 0.7 near-dup threshold and must survive; 901
+    # ("ordinary"->"usual", ~0.733) and the exact dups are dropped.
+    kept_ids = {
+        r["doc_id"]
+        for r in SnapshotTable(spark, f"{seq}/curated")
+        .read().select("doc_id").collect()
+    }
+    assert 900 not in kept_ids and 950 not in kept_ids  # exact dups
+    assert 901 not in kept_ids  # near-dup above threshold
+    assert 951 in kept_ids  # below threshold: NOT a near-dup
 
     # the shard exports are byte-equivalent row sets
     sa = spark.read.parquet(f"{seq}/shards").orderBy("doc_id").collect()
