@@ -42,6 +42,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     )
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             both.join(labels, both.a == labels.v)
@@ -73,7 +74,20 @@ def connected_components(
         ).localCheckpoint(eager=True)
         labels = updated.drop("__chg")
         if not obs.get["n_changed"]:  # None (all-null) or 0 -> converged
+            converged = True
             break
+    if not converged:
+        # r9 review: exhausting max_iter without convergence means some
+        # component's labels are only PARTIALLY propagated — the output
+        # would silently split one component into several, which for
+        # leakage_safe_split puts near-duplicates astride the
+        # train/eval boundary (the exact bug the operator exists to
+        # prevent). A component needs ~diameter iterations; fail loudly.
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (a component's diameter exceeds max_iter); "
+            "raise max_iter"
+        )
     return labels.select(F.col("v").alias(id_col), "component")
 
 

@@ -63,3 +63,25 @@ def test_pagerank_quantized_hand_computed(spark):
     got13 = {r.node: r.p for r in pagerank_quantized(
         edges.repartition(13), weight_col="w", iters=3).collect()}
     assert got13 == got
+
+
+def test_cc_raises_on_non_convergence(spark):
+    """r9 review: exhausting max_iter with labels still moving must
+    raise, not silently return a SPLIT component (which would put
+    near-duplicates astride a train/eval split). A 12-vertex chain
+    has diameter 11: converges at max_iter=20, raises at max_iter=3."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    ok = connected_components(verts, edges, max_iter=20)
+    assert {r.component for r in ok.collect()} == {0}
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(verts, edges, max_iter=3)

@@ -214,3 +214,49 @@ def test_bpe_train_matches_python_model(spark, texts):
         .collect()
     ]
     assert got == _bpe_model(texts, 3)
+
+
+def test_text_metrics_survive_pathological_docs(spark):
+    """r9 review: a zero-token document (whitespace-only text passes a
+    length(text) gate upstream) raised ANSI DIVIDE_BY_ZERO inside
+    quality_score / stopword_ratio / mean_token_length / punct_ratio —
+    one bad doc killed the whole curation job. Ratios are NULL on
+    empty input; quality is an explicit 0.0 (a null-propagating raw
+    would slip through least/greatest — they skip nulls — as 1.0)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.text import (
+        mean_token_length,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("\t\n ",), ("fine text with tokens",)],
+        "text string",
+    )
+    rows = df.select(
+        "text",
+        quality_score("text").alias("q"),
+        stopword_ratio("text").alias("sw"),
+        mean_token_length("text").alias("mtl"),
+        punct_ratio("text").alias("pr"),
+    ).collect()
+    by_text = {r.text: r for r in rows}
+    for t in ("", "   ", "\t\n "):
+        assert by_text[t].q == 0.0
+        assert by_text[t].sw is None and by_text[t].mtl is None
+    assert by_text["fine text with tokens"].q > 0.0
+    # and the curation quality filter passes a whitespace doc through
+    # at min_quality 0.0 instead of crashing
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        _filter_quality,
+    )
+
+    ws = spark.createDataFrame(
+        [(1, "en", " " * 25), (2, "en", "real document text body")],
+        "doc_id long, lang string, text string",
+    )
+    assert _filter_quality(ws, 0.0).count() == 2
+    assert _filter_quality(ws, 0.1).count() == 1
