@@ -93,6 +93,15 @@ def decode_media(
     DuckDB oracle that replays it) treats corrupt and unknown blobs
     identically.
 
+    `records_per_batch` bounds the EMITTED Arrow batches (chunked
+    yields, same device as resize_media). It cannot bound the INPUT
+    batch from inside this lazy API: the r9 review found the previous
+    set-then-restore of arrow.maxRecordsPerBatch was a silent no-op —
+    the conf was restored before any action executed, so the knob
+    never applied. Input-side bounding for huge blobs is the session
+    conf spark.sql.execution.arrow.maxRecordsPerBatch, set by the
+    caller before the action runs.
+
     Dispatch by magic bytes: RIFF/WAVE PCM, PPM P6, 24-bit BMP, and PNG
     IHDR are decoded FOR REAL (stdlib struct + numpy — no external
     media libraries needed); anything else gets the deterministic fake.
@@ -222,6 +231,7 @@ def decode_media(
                 return "decode-failed"
             return None
 
+        chunk = max(1, int(records_per_batch))
         for pdf in batches:
             out = []
             for mid, mtype, buf in zip(
@@ -253,22 +263,15 @@ def decode_media(
                     if real == "decode-failed" and label_decode_failures:
                         row["decoder"] = "decode-failed"
                 out.append(row)
-            yield pd.DataFrame(out, columns=feature_cols)
+                if len(out) >= chunk:
+                    yield pd.DataFrame(out, columns=feature_cols)
+                    out = []
+            if out:
+                yield pd.DataFrame(out, columns=feature_cols)
 
-    sized = media.sparkSession.conf.get(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        _decode, FEATURE_SCHEMA
     )
-    media.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(records_per_batch)
-    )
-    try:
-        return media.select(
-            "media_id", "media_type", "content"
-        ).mapInPandas(_decode, FEATURE_SCHEMA)
-    finally:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", sized
-        )
 
 
 def sample_frames(
@@ -282,8 +285,14 @@ def sample_frames(
     frame_cols = [f.name for f in FRAME_SCHEMA]  # locals-only closure
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chunked yields (r9 review): output rows CARRY BLOBS and fan
+        # out per input row (one row per sampled frame) — accumulating
+        # a whole input batch's frames in one pandas frame made peak
+        # memory proportional to blob bytes x batch rows, defeating
+        # the bounded-batch contract the module promises
+        chunk = 1024
+        rows = []
         for pdf in batches:
-            rows = []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
                 buf = bytes(buf) if buf is not None else b""
                 n_frames = max(len(buf) // frame_size, 0)
@@ -297,6 +306,10 @@ def sample_frames(
                             ],
                         }
                     )
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame(rows, columns=frame_cols)
+                        rows = []
+        if rows:
             yield pd.DataFrame(rows, columns=frame_cols)
 
     return media.select("media_id", "content").mapInPandas(
