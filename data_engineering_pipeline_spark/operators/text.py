@@ -73,28 +73,33 @@ def stopword_ratio(
     t = _toks(text, toks)
     stop = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
-    # try_divide (r9 review): a zero-token doc (whitespace-only text
-    # passes upstream length gates) made this raise ANSI
+    # nullif-guard (r9 review): a zero-token doc (whitespace-only
+    # text passes upstream length gates) made this raise ANSI
     # DIVIDE_BY_ZERO and kill the whole job — the same class as the
-    # r8 zero-norm cosine fix. NULL on empty, like the cosine paths.
-    return F.try_divide(n_stop.cast("double"), F.size(t))
+    # r8 zero-norm cosine fix. NULL on empty. The guard wraps ONLY
+    # the cheap divisor: a CASE WHEN around the whole ratio would
+    # exclude the expensive lambda numerator from subexpression
+    # elimination wherever a query projects the ratio next to other
+    # metrics sharing that subtree (measured +50% on text-quality).
+    return n_stop.cast("double") / F.nullif(F.size(t), F.lit(0))
 
 
 def punct_ratio(text: Column | str, punct_class: str = r"[.,!?;:\'\"()]") -> Column:
     col = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(col, punct_class, "")
-    # try_divide: empty text raised ANSI DIVIDE_BY_ZERO (r9 review)
-    return F.try_divide(
-        (F.length(col) - F.length(stripped)).cast("double"),
-        F.length(col),
-    )
+    # nullif divisor guard: empty text raised ANSI DIVIDE_BY_ZERO
+    # (r9 review; see stopword_ratio for why not a CASE WHEN)
+    return (F.length(col) - F.length(stripped)).cast(
+        "double"
+    ) / F.nullif(F.length(col), F.lit(0))
 
 
 def mean_token_length(text: Column | str | None = None, *, toks: Column | None = None) -> Column:
     t = _toks(text, toks)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    # try_divide: zero-token doc raised ANSI DIVIDE_BY_ZERO (r9 review)
-    return F.try_divide(total.cast("double"), F.size(t))
+    # nullif divisor guard: zero-token doc raised ANSI DIVIDE_BY_ZERO
+    # (r9 review; see stopword_ratio for why not a CASE WHEN)
+    return total.cast("double") / F.nullif(F.size(t), F.lit(0))
 
 
 def quality_score(text: Column | str, *, toks: Column | None = None) -> Column:
@@ -104,23 +109,31 @@ def quality_score(text: Column | str, *, toks: Column | None = None) -> Column:
     filters; the shape (pure per-row expression) is what matters."""
     col = F.col(text) if isinstance(text, str) else text
     n_tok = token_count(col, toks=toks)
-    diversity = F.try_divide(
-        distinct_token_count(col, toks=toks).cast("double"), n_tok
-    )
+    diversity = distinct_token_count(col, toks=toks).cast(
+        "double"
+    ) / F.nullif(n_tok, F.lit(0))
     len_score = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
     stop_pen = F.least(stopword_ratio(col, toks=toks) * 2.0, F.lit(1.0))
     punct_pen = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
     raw = (
         0.4 * len_score + 0.4 * diversity + 0.2 * stop_pen - 0.2 * punct_pen
     )
-    # zero-token docs score 0.0 explicitly (r9 review): before the
-    # try_divide guards this path raised ANSI DIVIDE_BY_ZERO — one
-    # whitespace-only doc (which PASSES a length(text) gate) killed
-    # the whole curation job; and a null-propagating raw would slip
-    # through least/greatest (they skip nulls) as a PERFECT 1.0.
-    return F.when(
-        n_tok > 0, F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
-    ).otherwise(F.lit(0.0))
+    # zero-token docs must score 0.0 (r9 review): before the divisor
+    # guards this path raised ANSI DIVIDE_BY_ZERO — one whitespace-
+    # only doc (which PASSES a length(text) gate) killed the whole
+    # curation job — and a null-propagating raw alone would slip
+    # through least/greatest (they SKIP nulls) as a PERFECT 1.0.
+    # The empty-doc zero is ARITHMETIC, not a CASE WHEN around raw: a
+    # conditional branch would exclude raw's expensive subtrees from
+    # subexpression elimination with sibling metric columns (measured
+    # +50% on text-quality). For n_tok = 0 every nullif-guarded term
+    # is NULL, least/greatest skip them (clamp -> 1.0), and the 0/1
+    # indicator multiplies the result to 0.0; coalesce covers the
+    # only remaining NULL case (n_tok = 0 making the product NULL).
+    clamped = F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
+    return F.coalesce(
+        clamped * (n_tok > 0).cast("double"), F.lit(0.0)
+    )
 
 
 def lang_scores(
