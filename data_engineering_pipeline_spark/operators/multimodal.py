@@ -80,7 +80,7 @@ def binarize_documents(docs: DataFrame) -> DataFrame:
 
 def decode_media(
     media: DataFrame,
-    records_per_batch: int = 256,
+    records_per_batch: int = 8192,
     label_decode_failures: bool = False,
 ) -> DataFrame:
     """binary blobs -> per-item features via Arrow-batched mapInPandas.
@@ -94,7 +94,10 @@ def decode_media(
     identically.
 
     `records_per_batch` bounds the EMITTED Arrow batches (chunked
-    yields, same device as resize_media). It cannot bound the INPUT
+    yields, same device as resize_media). Feature rows are scalar-only
+    (no blobs), so the default is generous — 256-row chunks cost a
+    measurable +30% in per-batch overhead at bench scale; lower it
+    only if a custom decoder emits wide rows. It cannot bound the INPUT
     batch from inside this lazy API: the r9 review found the previous
     set-then-restore of arrow.maxRecordsPerBatch was a silent no-op —
     the conf was restored before any action executed, so the knob
