@@ -186,3 +186,33 @@ def test_mmr_matches_python_greedy_trace(spark, data, simvals, k):
         for r in mmr_rerank(cands, sims, k=k).orderBy("rank").collect()
     ]
     assert got == model()
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        min_size=1,
+        max_size=120,
+    ),
+    data=st.data(),
+)
+def test_exact_kth_values_property(spark, vals, data):
+    """Property: for ANY int64 multiset and ANY set of valid ranks,
+    exact_kth_values equals the driver-side sorted answer — the
+    bit-parity contract the scale-safe tercile freeze rests on."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_kth_values,
+    )
+
+    ks = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=len(vals)),
+            min_size=1,
+            max_size=5,
+            unique=True,
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals)
+    assert exact_kth_values(df, "x", ks) == {k: s[k - 1] for k in ks}
