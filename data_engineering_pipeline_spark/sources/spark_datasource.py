@@ -716,12 +716,21 @@ class SnapshotDataSource(DataSource):
 
     def schema(self) -> StructType:
         t = _meta_handle(self.options)
-        rows = _schema_at(t, _resolve_version(t, self.options))
         if str(
             self.options.get("readchangefeed", "false")
         ).lower() in ("true", "1", "yes"):
-            return _cdc_schema(rows)
-        return rows
+            # the feed serves the ENDING version's column names
+            # (SnapshotCdcReader resolves its row schema at `end`), so
+            # the declared schema must resolve the same version — a
+            # head-resolved schema would misalign (and fail the Arrow
+            # read) whenever a rename landed after endingVersion
+            # (r9 review, regression-pinned)
+            head = t.latest_version()
+            if head is None:
+                raise ValueError("empty table (no committed version)")
+            end = int(self.options.get("endingversion", str(head)))
+            return _cdc_schema(_schema_at(t, end))
+        return _schema_at(t, _resolve_version(t, self.options))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if str(

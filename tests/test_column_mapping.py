@@ -324,6 +324,33 @@ def test_format_change_feed_across_rename(spark, tmp_path):
     }
 
 
+def test_format_change_feed_range_ending_before_rename(spark, tmp_path):
+    """r9 review: a feed read whose endingVersion PRECEDES a later
+    rename must serve the ending version's column names — the declared
+    schema previously resolved HEAD names while the reader emitted
+    end-version names, and the Arrow read failed on any pre-rename
+    range. The same range read after the rename is the time-travel
+    shape an auditor runs ("what changed before the schema change")."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), stat_cols=["k"], cdf=True
+    )
+    t.append(_batch(spark, 0, 20))
+    t.delete_where("k = 3")  # v1 captured under old names
+    v_pre = t.latest_version()
+    t.rename_column("val", "amount")  # v2
+    feed = _load_fmt(
+        spark, t.path, readChangeFeed="true",
+        endingVersion=str(v_pre),
+    )
+    assert "val" in feed.columns and "amount" not in feed.columns
+    rows = feed.collect()
+    assert {(r.k, r._change_type, r._commit_version) for r in rows
+            if r.k == 3} == {(3, "insert", 0), (3, "delete", 1)}
+    # the head-default range still serves head names
+    head_feed = _load_fmt(spark, t.path, readChangeFeed="true")
+    assert "amount" in head_feed.columns
+
+
 def test_rename_survives_retention_expiry(spark, tmp_path):
     """Retention can expire the manifests that carried the colmap at a
     file's adding version; checkpoints written while the log was
