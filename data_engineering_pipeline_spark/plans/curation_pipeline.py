@@ -391,10 +391,16 @@ def curate_increment(
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
     timings: dict | None = None,
+    txn_app: str = "curate",
 ) -> dict:
     """Continuation: the same stages, batch-incremental. The landing
-    append is (app, batch_id)-idempotent; near-dedup probes only the
-    batch against the persisted signature store.
+    append is (txn_app, batch_id)-idempotent; near-dedup probes only
+    the batch against the persisted signature store. DISTINCT WRITERS
+    MUST USE DISTINCT txn_app NAMES (r9 review): batch ids are only
+    unique within one writer's sequence — a streaming query's
+    micro-batch 0 against a work_dir bootstrapped by curate_batch
+    (which commits as ("curate", 0)) would otherwise be silently
+    swallowed as a replay of the bootstrap.
 
     mode="rebuild" (default): the curated table is deterministically
     rebuilt from the landing snapshot — increments converge BIT-EXACT
@@ -463,7 +469,7 @@ def curate_increment(
         t_mark = now
 
     landing = SnapshotTable(spark, p["landing"])
-    landing.append(batch, txn=("curate", batch_id), expect=GATES)
+    landing.append(batch, txn=(txn_app, batch_id), expect=GATES)
     landed = landing.read()
     stats["landed"] = landed.count()
     _mark("land")
@@ -608,7 +614,7 @@ def curate_increment(
     )
 
     curated = SnapshotTable(spark, p["curated"])
-    curated.overwrite(sampled, txn=("curate", batch_id))
+    curated.overwrite(sampled, txn=(txn_app, batch_id))
     stats["curated"] = curated.read().count()
     _mark("rebalance_split_write")
 

@@ -387,6 +387,8 @@ def curation_sink(
     stream_df: DataFrame,
     work_dir: str,
     checkpoint: str,
+    app_id: str = "curate-stream",
+    **curate_kwargs,
 ) -> StreamingQuery:
     """Streaming front door of the end-to-end curation pipeline
     (plans/curation_pipeline.py): every micro-batch of raw documents
@@ -395,7 +397,22 @@ def curation_sink(
     uses the micro-batch id as its txn version, so the whole chain is
     exactly-once under replay — each downstream stage is either
     idempotent (deterministic rebuild) or watermark-guarded (shard
-    refresh)."""
+    refresh).
+
+    `app_id` namespaces this query's landing txns separately from
+    batch curate_batch/curate_increment callers ("curate") — without
+    it, micro-batch 0 against a work_dir BOOTSTRAPPED by a batch
+    rebuild collides with the bootstrap's ("curate", 0) txn and the
+    whole first micro-batch is silently swallowed as a replay
+    (r9 review, regression-pinned). Two different streaming queries
+    feeding one work_dir need two app_ids.
+
+    `curate_kwargs` pass straight to curate_increment, so the
+    streaming door runs the same funnel configurations as batch:
+    mode='delta' for O(batch) increments, ppl_gate=..., split_
+    threshold=..., decontaminate=... (delta mode screens against the
+    FROZEN artifacts a prior rebuild left in work_dir — pass
+    decontaminate=True; rebuild mode per batch needs the eval frame)."""
     from data_engineering_pipeline_spark.plans.curation_pipeline import (
         curate_increment,
     )
@@ -404,7 +421,8 @@ def curation_sink(
         if batch_df.isEmpty():
             return
         curate_increment(
-            batch_df.sparkSession, batch_df, work_dir, batch_id=batch_id
+            batch_df.sparkSession, batch_df, work_dir,
+            batch_id=batch_id, txn_app=app_id, **curate_kwargs,
         )
 
     return (
