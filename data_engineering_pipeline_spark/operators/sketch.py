@@ -836,14 +836,14 @@ BLOOM_WORD = 62
 BLOOM_SALTS = (17, 31, 193, 389)
 
 
-def _bloom_positions(h: Column) -> Column:
+def _bloom_positions(h: Column, bits: int = BLOOM_BITS) -> Column:
     """array<long> of BLOOM_HASHES bit positions for a portable-hash
     value."""
     h1 = F.shiftright(h, 31)
     h2 = h % F.lit(KMV_PACK)
     return F.array(
         *[
-            (h1 + F.lit(i) * h2 + F.lit(c)) % F.lit(BLOOM_BITS)
+            (h1 + F.lit(i) * h2 + F.lit(c)) % F.lit(bits)
             for i, c in enumerate(BLOOM_SALTS)
         ]
     )
@@ -853,11 +853,14 @@ def bloom_build(
     df: DataFrame,
     value: Column,
     hasher: Callable[[Column], Column] | None = None,
+    bits: int = BLOOM_BITS,
 ) -> DataFrame:
     """(word, bits): the populated 62-bit words of the filter over
     every value in df (duplicates are free — OR is idempotent).
     Mergeable by per-word bit_or, so filters build per-partition /
-    per-batch and union."""
+    per-batch and union. `bits` sizes the filter (default = the
+    graded constant; size ~10 bits/key for ~1% FPR at scale — two
+    filters only merge if built with the SAME bits)."""
     from data_engineering_pipeline_spark.operators.dedup import (
         portable_token_hash,
     )
@@ -867,7 +870,9 @@ def bloom_build(
     # per-char hash into all of them evaluates it 8x per row (the
     # addendum-22b lesson).
     hh = df.select((hasher or portable_token_hash)(value).alias("__h"))
-    pos = hh.select(F.explode(_bloom_positions(F.col("__h"))).alias("pos"))
+    pos = hh.select(
+        F.explode(_bloom_positions(F.col("__h"), bits)).alias("pos")
+    )
     return (
         pos.select(
             F.expr(f"pos div {BLOOM_WORD}").alias("word"),
@@ -886,10 +891,14 @@ def bloom_member(
     bloom: DataFrame,
     value: Column,
     hasher: Callable[[Column], Column] | None = None,
+    bits: int = BLOOM_BITS,
 ) -> DataFrame:
     """items + is_member (1/0): 1 iff ALL hash positions are set —
     never 0 for a true member. The filter side broadcasts; absent
-    words read as unset bits."""
+    words read as unset bits. `bits` MUST match the bloom_build that
+    produced `bloom` (probing with a different modulus silently
+    breaks the no-false-negative guarantee — persist the size beside
+    the filter, as the curation decon freeze does)."""
     from data_engineering_pipeline_spark.operators.dedup import (
         portable_token_hash,
     )
@@ -898,7 +907,9 @@ def bloom_member(
         items.withColumn(
             "__h", (hasher or portable_token_hash)(value)
         )
-        .withColumn("__pos", F.explode(_bloom_positions(F.col("__h"))))
+        .withColumn(
+            "__pos", F.explode(_bloom_positions(F.col("__h"), bits))
+        )
         .withColumn("__word", F.expr(f"__pos div {BLOOM_WORD}"))
     )
     probed = keyed.join(

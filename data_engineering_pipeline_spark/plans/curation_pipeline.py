@@ -231,11 +231,14 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
     Later delta increments probe the FROZEN filter until the next
     rebuild refreezes it, so batch membership never changes which
     eval set a doc was screened against."""
+    import json
+
     from data_engineering_pipeline_spark.operators.dedup import (
         _exploded_shingles,
         portable_token_hash,
     )
     from data_engineering_pipeline_spark.operators.sketch import (
+        BLOOM_BITS,
         bloom_build,
     )
 
@@ -251,12 +254,27 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
         os.path.join(decon_dir, "hashes")
     )
     hh = spark.read.parquet(os.path.join(decon_dir, "hashes"))
+    # SIZE the filter to the eval set (r9): the fixed 2^21-bit default
+    # saturates near ~50% FPR at a million eval shingles, degrading
+    # the pre-screen to a pass-through (the exact verifier keeps
+    # results correct, but then sees half the corpus). ~10 bits/key
+    # holds ~1% FPR; capped at 2^28 bits (a ~4M-row broadcast word
+    # table at worst). The chosen size is persisted BEFORE the bloom:
+    # a crash between the two leaves meta-without-bloom, which fails
+    # the next delta loudly instead of probing at the wrong modulus
+    # (a rebuild heals either way — rebuilds are re-runnable).
+    n_keys = hh.count()
+    bits = BLOOM_BITS
+    while bits < 10 * n_keys and bits < (1 << 28):
+        bits <<= 1
+    with open(os.path.join(decon_dir, "meta.json"), "w") as fh:
+        json.dump({"bits": bits, "n_keys": n_keys}, fh)
     # positions hash the ALREADY-portable-hashed shingle (identity
     # hasher), so probe-side work is one hash per shingle shared by
     # the screen and the verifier
-    bloom_build(hh, F.col("hk"), hasher=lambda c: c).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(decon_dir, "bloom"))
+    bloom_build(
+        hh, F.col("hk"), hasher=lambda c: c, bits=bits
+    ).write.mode("overwrite").parquet(os.path.join(decon_dir, "bloom"))
 
 
 def _apply_decon(spark: SparkSession, df: DataFrame, decon_dir: str,
@@ -271,22 +289,33 @@ def _apply_decon(spark: SparkSession, df: DataFrame, decon_dir: str,
     Scale: the corpus side is one map probe against kilobytes of
     broadcast state; only the rare bloom-positive shingles reach the
     verifier join."""
+    import json
+
     from data_engineering_pipeline_spark.operators.dedup import (
         _exploded_shingles,
         portable_token_hash,
     )
     from data_engineering_pipeline_spark.operators.sketch import (
+        BLOOM_BITS,
         bloom_member,
     )
 
     bloom = spark.read.parquet(os.path.join(decon_dir, "bloom"))
     evh = spark.read.parquet(os.path.join(decon_dir, "hashes"))
+    meta_path = os.path.join(decon_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            bits = int(json.load(fh)["bits"])
+    else:
+        bits = BLOOM_BITS  # legacy freeze predating sized filters
     sh = _exploded_shingles(
         df, "doc_id", "text", DECON_SHINGLE_K
     ).select(
         "doc_id", portable_token_hash(F.col("shingle")).alias("hk")
     )
-    mem = bloom_member(sh, bloom, F.col("hk"), hasher=lambda c: c)
+    mem = bloom_member(
+        sh, bloom, F.col("hk"), hasher=lambda c: c, bits=bits
+    )
     confirmed = (
         mem.filter(F.col("is_member") == 1)
         .join(evh, "hk")  # exact verify on bloom hits only

@@ -645,3 +645,39 @@ def test_exact_kth_values_rejects_bad_ranks(spark):
         exact_kth_values(df, "x", [0])
     with pytest.raises(ValueError, match="exceeds"):
         exact_kth_values(df, "x", [3])
+
+
+def test_bloom_sized_filter_no_false_negatives_lower_fpr(spark):
+    """r9: bloom_build/bloom_member accept a `bits` size. A larger
+    filter keeps the no-false-negative guarantee and must cut the
+    false-positive rate vs the 2^21 default on a large member set;
+    mismatched probe size is the caller's contract (the decon freeze
+    persists it)."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    members = spark.range(200_000).select(
+        (F.col("id") * 2_654_435_761 % (1 << 61)).alias("hk")
+    )
+    probes = spark.range(200_000, 210_000).select(
+        (F.col("id") * 2_654_435_761 % (1 << 61)).alias("hk")
+    )
+    ident = lambda c: c  # noqa: E731
+    small = bloom_build(members, F.col("hk"), hasher=ident)
+    big = bloom_build(
+        members, F.col("hk"), hasher=ident, bits=1 << 24
+    )
+    # no false negatives at either size
+    for blm, bits in ((small, None), (big, 1 << 24)):
+        kw = {"bits": bits} if bits else {}
+        m = bloom_member(members, blm, F.col("hk"), hasher=ident, **kw)
+        assert m.filter("is_member = 0").count() == 0
+    fp_small = bloom_member(
+        probes, small, F.col("hk"), hasher=ident
+    ).filter("is_member = 1").count()
+    fp_big = bloom_member(
+        probes, big, F.col("hk"), hasher=ident, bits=1 << 24
+    ).filter("is_member = 1").count()
+    assert fp_big < fp_small / 4, (fp_small, fp_big)
