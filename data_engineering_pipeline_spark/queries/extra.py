@@ -1343,8 +1343,14 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (order count), monetary (exact cents sum) quartiles —
     the classic behavioral segmentation, deterministic via custkey
     tie-breaks. The three global ntiles are single-partition sorts
-    over CUSTOMERS (not orders); at 100 TB replace with
-    approx-quantile cutoffs, changing only the boundary rule."""
+    over CUSTOMERS (not orders) — allowlisted in the plan lint
+    (tests/test_plans_physical.py INTENDED_GLOBAL_WINDOW) because the
+    DuckDB oracle replays the exact position-based ntile ranks, which
+    value-based cutoffs cannot reproduce on ties. At 100 TB compute
+    the 3 cutoffs per metric via exact_kth_values
+    (operators/sketch.py — exact, distributed, no global sort) or
+    qsketch_quantiles (approximate), then bucket with a map-side
+    compare; only the tie-straddling boundary rule changes."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
