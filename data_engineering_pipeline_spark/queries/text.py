@@ -785,9 +785,12 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join); type/context/unigram stats are groupBys with partial
     agg; the type dim joins back broadcast (swap to shuffle join when
     the bigram vocabulary outgrows memory); the global ntile is a
-    single-partition sort over DOCS — at 100 TB replace with
-    approx-quantile cutoffs, which changes only the bucket boundary
-    rule."""
+    single-partition sort over DOCS, allowlisted in the plan lint for
+    oracle parity — the production freeze (plans/curation_pipeline.py
+    _freeze_ppl_lm) computes the same cutoffs BIT-EXACTLY via
+    exact_kth_values (operators/sketch.py: 8.4x faster at 10M rows,
+    flat with scale; BASELINE addendum 49), or use qsketch_quantiles
+    for approximate cutoffs."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", tokens("text").alias("__toks")
@@ -1540,8 +1543,8 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-bigram-ppl: one quantized ln per bigram TYPE, exact integer
     doc sums, identical expression tree both engines. Scale notes
     identical to text-bigram-ppl (type/context stats are partial-agg
-    groupBys; broadcast type dim; global ntile -> approx-quantile
-    cutoffs at 100 TB)."""
+    groupBys; broadcast type dim; the allowlisted global ntile swaps
+    for exact_kth_values at scale, as the pipeline freeze does)."""
     from data_engineering_pipeline_spark.operators.lm import (
         bigram_explode,
         kn_doc_ce,
@@ -1642,8 +1645,9 @@ def text_kneser_ney3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the whole three-level formula is one deterministic IEEE tree,
     quantized once per trigram TYPE. Docs with < 3 tokens drop.
     Scale shape as the bigram scorers: type/context stats are
-    partial-agg groupBys, the type dim broadcasts, the ntile swaps
-    for approx-quantile cutoffs at 100 TB."""
+    partial-agg groupBys, the type dim broadcasts, the allowlisted
+    ntile swaps for exact_kth_values cutoffs at 100 TB (as the
+    pipeline freeze does)."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", tokens("text").alias("__toks")
