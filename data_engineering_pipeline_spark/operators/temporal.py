@@ -31,7 +31,16 @@ def as_of_join(
     """Left as-of join. `left` and `right` share `keys` + `ts_col`;
     `value_cols` exist only on `right` and arrive on every left row as
     the latest at-or-before value (null when no prior right row). A
-    right row AT the same timestamp matches (ties order right first)."""
+    right row AT the same timestamp matches (ties order right first).
+
+    Caveats of the union+last formulation (r9 review, documented):
+    a NULL in a right row's value column is indistinguishable from a
+    left placeholder, so `last(ignorenulls)` carries the PREVIOUS
+    non-null value past it (and with several value_cols a partly-null
+    right row yields a mixed-generation result row) — feed complete
+    right rows, or encode absent-as-sentinel upstream. Two right rows
+    sharing (keys, ts) are tie-broken arbitrarily — dedup the right
+    side first (the same contract pandas merge_asof has)."""
     right_types = {c: right.schema[c].dataType for c in value_cols}
     l = left.withColumn("__is_left", F.lit(1))
     for c in value_cols:
