@@ -100,3 +100,67 @@ def test_scd2_merge_rejects_negative_tiebreak(spark):
     )
     with _pytest.raises(Exception, match="must be >= 0"):
         scd2_merge(cur, bad, ["k"], ["v"], "ts", "seq").collect()
+
+
+def test_scd2_merge_invariant_property(spark):
+    """Property: merge(history(b1), b2) == history(b1 + b2) for ANY
+    per-key time-ordered batch split — randomized keys, values with
+    nulls, ties on ts broken by seq, no-op updates interleaved."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_pipeline_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),        # key
+                st.one_of(st.none(), st.sampled_from("abc")),  # value
+                st.integers(min_value=0, max_value=20),        # ts
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        cut_frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def run(rows, cut_frac):
+        # seq = arrival order (the deterministic tiebreak); the batch
+        # split must be time-ordered PER KEY: sort by (ts, seq) and cut
+        seqd = [(k, v, t, i) for i, (k, v, t) in enumerate(rows)]
+        seqd.sort(key=lambda r: (r[2], r[3]))
+        cut = int(len(seqd) * cut_frac)
+        schema = "k long, v string, ts long, seq long"
+        b1 = spark.createDataFrame(seqd[:cut], schema) if cut else None
+        b2 = spark.createDataFrame(
+            seqd[cut:], schema
+        ) if cut < len(seqd) else None
+        full = {
+            tuple(r)
+            for r in scd2_history(
+                spark.createDataFrame(seqd, schema),
+                ["k"], ["v"], "ts", "seq",
+            ).collect()
+        }
+        if b1 is None or b2 is None:
+            return  # degenerate split: nothing to merge
+        cur = scd2_history(b1, ["k"], ["v"], "ts", "seq")
+        merged = {
+            tuple(r)
+            for r in scd2_merge(
+                cur, b2, ["k"], ["v"], "ts", "seq"
+            ).collect()
+        }
+        # scd2_merge replays open rows with tiebreak -1, so the
+        # surviving rows' seq values differ; compare the HISTORY
+        # CONTENT (key, value, valid_from, valid_to)
+        assert merged == full
+
+    run()
