@@ -422,3 +422,68 @@ def leakage_safe_split(
         bucket.cast("long").alias("bucket"),
         split.alias("split"),
     )
+
+
+def target_mixture_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, int],
+    *keys: Column,
+) -> DataFrame:
+    """Downsample to an ARBITRARY target mix — the actual training-mix
+    spec ("30% en, 50% code, 20% rest") rather than equal parts
+    (mixture_rebalance) or a temperature law (temperature_rebalance).
+
+    `weights` maps stratum value -> integer target weight (any scale;
+    only ratios matter). Strata absent from `weights` are DROPPED
+    (weight 0). Downsampling-only: the achievable total is
+    T = min_S floor-limited by n_S / w_S — the binding stratum keeps
+    everything and every other stratum keeps ~T * w_S / n_S of its
+    rows, so realized proportions match the target up to binomial
+    noise. All arithmetic is exact int64 (keep_ppm(S) =
+    n_bind * w_S * 1e6 DIV (w_bind * n_S), with the binding stratum
+    chosen by exact cross-multiplied comparison — no float ratios),
+    and the keep decision is the same deterministic per-row key hash
+    as the other rebalancers: partitioning-independent,
+    oracle-reproducible, and composable with the salted gates.
+
+    Scale: one partial-aggregated count shuffle; the per-stratum rates
+    (|weights| rows) compute driver-side from the bounded count list
+    and broadcast back as a literal-free tiny join — the corpus
+    itself is filtered in place with no shuffle."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+        if r[0] in weights
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    for s_, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s_!r} must be positive")
+    # binding stratum: minimal n_S / w_S by exact cross-multiplication
+    bind, bn, bw = None, None, None
+    for s_, n in counts.items():
+        w = weights[s_]
+        if bind is None or n * bw < bn * w:  # n/w < bn/bw exactly
+            bind, bn, bw = s_, n, w
+    rows = [
+        (s_, min(1_000_000, (bn * weights[s_] * 1_000_000) // (bw * n)))
+        for s_, n in counts.items()
+    ]
+    spark = df.sparkSession
+    stype = "string" if isinstance(next(iter(counts)), str) else "long"
+    ppm = spark.createDataFrame(
+        rows, f"__stratum {stype}, __keep_ppm long"
+    )
+    return (
+        df.join(
+            F.broadcast(ppm),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
+        .filter(key_hash(*keys) % 1_000_000 < F.col("__keep_ppm"))
+        .drop("__stratum", "__keep_ppm")
+    )
+

@@ -336,3 +336,45 @@ def test_rebalance_null_stratum_is_its_own_group(spark):
         assert out.filter(F.col("lang").isNull()).count() == 3
         # and en was actually downsampled against the size-3 floor
         assert out.filter(F.col("lang") == "en").count() < 40
+
+
+def test_target_mixture_hits_requested_proportions(spark):
+    """target_mixture_rebalance: downsample-only to an arbitrary
+    target mix. The binding stratum keeps ~everything, others keep
+    T*w/n; realized proportions land within binomial noise of the
+    target; unlisted strata drop; determinism under repartition."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.sampling import (
+        target_mixture_rebalance,
+    )
+
+    rows = (
+        [("en", i) for i in range(6000)]
+        + [("code", 10_000 + i) for i in range(3000)]
+        + [("de", 20_000 + i) for i in range(1000)]
+        + [("junk", 30_000 + i) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = target_mixture_rebalance(
+        df, "lang", {"en": 30, "code": 50, "de": 20}, F.col("doc_id")
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "junk" not in got
+    # n/w: en 6000/30=200, code 3000/50=60, de 1000/20=50 -> de
+    # binds at T=50; targets: en 1500, code 2500, de 1000
+    assert got["de"] == 1000  # binding stratum keeps everything
+    assert abs(got["en"] - 1500) < 150
+    assert abs(got["code"] - 2500) < 200
+    # deterministic under repartition
+    out2 = target_mixture_rebalance(
+        df.repartition(13), "lang",
+        {"en": 30, "code": 50, "de": 20}, F.col("doc_id"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        target_mixture_rebalance(
+            df, "lang", {"en": 0}, F.col("doc_id")
+        ).collect()
