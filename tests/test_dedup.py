@@ -267,3 +267,58 @@ def test_duplicate_ngram_spans_skew_safe_plan_agrees(spark):
         docs, n=6, skew_safe=True, hash_grams=True
     ).collect()))
     assert base == safe == hashed and len(base) == 20
+
+
+def test_chunk_dedup_matches_python_reference_property(spark):
+    """Property: corpus-wide first-occurrence-wins chunk dedup equals
+    a direct Python simulation — random small vocabularies force
+    heavy chunk collisions; empty docs and sub-chunk tails covered."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        chunk_dedup,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=0,
+                max_size=17,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        chunk_tokens=st.integers(min_value=1, max_value=5),
+    )
+    def run(docs, chunk_tokens):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+            for r in chunk_dedup(
+                df, chunk_tokens=chunk_tokens
+            ).collect()
+        }
+        seen: set = set()
+        want = {}
+        for i, ws in enumerate(docs):
+            chunks = [
+                " ".join(ws[p : p + chunk_tokens])
+                for p in range(0, len(ws), chunk_tokens)
+            ]
+            kept = []
+            for c in chunks:
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            want[i] = (len(chunks), len(kept), " ".join(kept))
+        assert got == want
+
+    run()
