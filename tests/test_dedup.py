@@ -322,3 +322,51 @@ def test_chunk_dedup_matches_python_reference_property(spark):
         assert got == want
 
     run()
+
+
+def test_simhash_banding_complete_vs_brute_force(spark):
+    """The 4x16-bit chunk banding must find EVERY pair at hamming <= 3
+    (pigeonhole completeness) — verified against a brute-force
+    all-pairs hamming computation over a near-dup-rich corpus built by
+    token-level mutation of a few base documents."""
+    import itertools
+    import random
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_pairs,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choices(vocab, k=25)) for _ in range(6)]
+    rows = []
+    did = 0
+    for b in base:
+        for _ in range(8):  # mutated near-copies cluster per base
+            ws = b.split()
+            for _ in range(rng.randrange(0, 3)):
+                ws[rng.randrange(len(ws))] = rng.choice(vocab)
+            rows.append((did, " ".join(ws)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash64(docs, "doc_id", "text").collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        # mask to 64 bits: fingerprints are signed longs (bit 63 set
+        # -> negative) and Python's bin() of a negative int is
+        # sign-magnitude, not the two's-complement pattern
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert got == want
+    assert want  # the corpus actually produced close pairs
