@@ -370,3 +370,85 @@ def test_simhash_banding_complete_vs_brute_force(spark):
     }
     assert got == want
     assert want  # the corpus actually produced close pairs
+
+
+def test_boilerplate_segments_matches_python_reference_property(spark):
+    """Property: DF-based line removal equals a direct Python
+    simulation — random line pools force cross-document repetition;
+    case-folded DF, whitespace-trimmed segments, empty docs, and the
+    drop-ALL-occurrences rule (including the first) covered."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        boilerplate_segments,
+    )
+
+    lines = ["Cookie Notice", "see TERMS", "alpha beta", "x y z", "Q"]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(lines + ["", "  "]), max_size=8),
+            min_size=1,
+            max_size=10,
+        ),
+        min_docs=st.integers(min_value=2, max_value=4),
+    )
+    def run(docs, min_docs):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_boiler, r.clean_text)
+            for r in boilerplate_segments(
+                df, min_docs=min_docs
+            ).collect()
+        }
+        from collections import defaultdict
+
+        df_count = defaultdict(set)
+        parsed = {}
+        for i, ls in enumerate(docs):
+            segs = [s.strip() for s in ls if s.strip()]
+            parsed[i] = segs
+            for s in segs:
+                df_count[s.lower()].add(i)
+        boiler = {k for k, v in df_count.items() if len(v) >= min_docs}
+        want = {}
+        for i, segs in parsed.items():
+            kept = [s for s in segs if s.lower() not in boiler]
+            want[i] = (
+                len(segs),
+                len(segs) - len(kept),
+                "\n".join(kept),
+            )
+        assert got == want
+
+    run()
+
+
+def test_redact_pii_is_idempotent(spark):
+    """Redaction placeholders must never re-match any PII pattern:
+    redact(redact(x)) == redact(x) on a fixture carrying every
+    pattern plus overlap bait (email containing a dotted quad)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_spark.operators.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b@c.io or 10.0.0.1 and 555-123-4567",),
+            ("user@192.168.0.1.example.com then 1.2.3.4",),
+            ("nothing sensitive here",),
+        ],
+        "text string",
+    )
+    once = df.select(redact_pii("text").alias("t"))
+    twice = once.select(redact_pii("t").alias("t"))
+    assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
