@@ -80,8 +80,9 @@ def binarize_documents(docs: DataFrame) -> DataFrame:
 
 def decode_media(
     media: DataFrame,
-    records_per_batch: int = 8192,
+    emit_chunk_rows: int = 8192,
     label_decode_failures: bool = False,
+    records_per_batch: int | None = None,
 ) -> DataFrame:
     """binary blobs -> per-item features via Arrow-batched mapInPandas.
     Pure per-partition map: no shuffle, scales with input splits.
@@ -93,7 +94,7 @@ def decode_media(
     DuckDB oracle that replays it) treats corrupt and unknown blobs
     identically.
 
-    `records_per_batch` bounds the EMITTED Arrow batches (chunked
+    `emit_chunk_rows` bounds the EMITTED Arrow batches (chunked
     yields, same device as resize_media). Feature rows are scalar-only
     (no blobs), so the default is generous — 256-row chunks cost a
     measurable +30% in per-batch overhead at bench scale; lower it
@@ -105,6 +106,12 @@ def decode_media(
     conf spark.sql.execution.arrow.maxRecordsPerBatch, set by the
     caller before the action runs.
 
+    `records_per_batch` is the r8 name for this knob, kept as a
+    deprecated alias; it warns when passed because its meaning moved
+    from input-batch bounding (which never actually worked, see above)
+    to output-chunk bounding, and callers who tuned it to bound decoder
+    memory should switch to the session conf instead (r10, ADVICE).
+
     Dispatch by magic bytes: RIFF/WAVE PCM, PPM P6, 24-bit BMP, and PNG
     IHDR are decoded FOR REAL (stdlib struct + numpy — no external
     media libraries needed); anything else gets the deterministic fake.
@@ -114,6 +121,18 @@ def decode_media(
     locals + pandas/numpy: cloudpickle ships it BY VALUE and executors
     do not need this package on their PYTHONPATH (a module-global
     reference would make every worker import this module)."""
+    if records_per_batch is not None:
+        import warnings
+
+        warnings.warn(
+            "decode_media(records_per_batch=...) is deprecated: it now "
+            "bounds EMITTED chunks (use emit_chunk_rows); to bound "
+            "decoder input memory set "
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        emit_chunk_rows = records_per_batch
     feature_cols = [f.name for f in FEATURE_SCHEMA]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,7 +253,7 @@ def decode_media(
                 return "decode-failed"
             return None
 
-        chunk = max(1, int(records_per_batch))
+        chunk = max(1, int(emit_chunk_rows))
         for pdf in batches:
             out = []
             for mid, mtype, buf in zip(

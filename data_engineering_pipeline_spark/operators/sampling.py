@@ -451,6 +451,11 @@ def target_mixture_rebalance(
     (|weights| rows) compute driver-side from the bounded count list
     and broadcast back as a literal-free tiny join — the corpus
     itself is filtered in place with no shuffle."""
+    # validate BEFORE the counts early-exit, so an invalid spec never
+    # passes silently just because no stratum matched (r10, ADVICE)
+    for s_, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s_!r} must be positive")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(stratum_col)
@@ -460,9 +465,6 @@ def target_mixture_rebalance(
     }
     if not counts:
         return df.filter(F.lit(False))
-    for s_, w in weights.items():
-        if w <= 0:
-            raise ValueError(f"weight for {s_!r} must be positive")
     # binding stratum: minimal n_S / w_S by exact cross-multiplication
     bind, bn, bw = None, None, None
     for s_, n in counts.items():
@@ -474,9 +476,19 @@ def target_mixture_rebalance(
         for s_, n in counts.items()
     ]
     spark = df.sparkSession
-    stype = "string" if isinstance(next(iter(counts)), str) else "long"
+    # type the __stratum column from the FRAME's schema, not from the
+    # first observed key — inferring from next(iter(counts)) picked
+    # 'long' for a None/non-str first key and broke string strata with
+    # a createDataFrame schema mismatch (r10, ADVICE)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sfield = df.schema[stratum_col].dataType
     ppm = spark.createDataFrame(
-        rows, f"__stratum {stype}, __keep_ppm long"
+        rows,
+        StructType([
+            StructField("__stratum", sfield, True),
+            StructField("__keep_ppm", LongType(), False),
+        ]),
     )
     return (
         df.join(

@@ -93,18 +93,24 @@ def scd2_merge(
         *key_cols,
         *attr_cols,
         F.col(ts_col),
-        F.when(tb >= 0, tb)
-        .otherwise(
+        # r10 (ADVICE): route NULL tiebreaks to the error branch
+        # EXPLICITLY — with a plain `tb >= 0` guard a NULL made the
+        # predicate NULL, fell through to otherwise, and the concat
+        # with a NULL cast nulled the whole message, so raise_error
+        # fired with an opaque null text
+        F.when(
+            tb.isNull() | (tb < 0),
             F.raise_error(
                 F.concat(
                     F.lit(
                         f"scd2_merge: {tiebreak_col!r} must be >= 0 "
                         "(the replayed open row reserves -1), got "
                     ),
-                    tb.cast("string"),
+                    F.coalesce(tb.cast("string"), F.lit("NULL")),
                 )
-            )
+            ),
         )
+        .otherwise(tb)
         .alias(tiebreak_col),
     )
     rebuilt = scd2_history(

@@ -230,8 +230,23 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
     over those hashes (the broadcast pre-screen, ~34k int64 rows max).
     Later delta increments probe the FROZEN filter until the next
     rebuild refreezes it, so batch membership never changes which
-    eval set a doc was screened against."""
+    eval set a doc was screened against.
+
+    REFREEZE atomicity (r10, ADVICE): the three artifacts are written
+    into a staging dir and swapped into place with directory renames.
+    Writing them as three independent overwrites was only crash-safe
+    for a FIRST freeze; on a refreeze a crash between writes left the
+    new hashes/meta paired with the previous freeze's bloom — a dir
+    that exists and parses, so deltas silently probed a filter
+    missing the new eval keys (or at the wrong modulus). With the
+    swap, the only crash windows leave either the old freeze fully
+    intact or no decon dir at all, and a missing dir fails the next
+    delta loudly (curate_increment checks isdir). Renames are atomic
+    on a posix driver-local work_dir; on an object store mount the
+    same windows apply to the rename pair, which is still a strictly
+    smaller exposure than three independent multi-file overwrites."""
     import json
+    import shutil
 
     from data_engineering_pipeline_spark.operators.dedup import (
         _exploded_shingles,
@@ -242,6 +257,12 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
         bloom_build,
     )
 
+    stage = decon_dir + ".staging"
+    old = decon_dir + ".old"
+    for leftover in (stage, old):  # debris from a crashed prior swap
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
     ev = eval_docs.select(
         F.monotonically_increasing_id().alias("__eid"), "text"
     )
@@ -251,9 +272,9 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
         .distinct()
     )
     hashes.write.mode("overwrite").parquet(
-        os.path.join(decon_dir, "hashes")
+        os.path.join(stage, "hashes")
     )
-    hh = spark.read.parquet(os.path.join(decon_dir, "hashes"))
+    hh = spark.read.parquet(os.path.join(stage, "hashes"))
     # SIZE the filter to the eval set (r9): the fixed 2^21-bit default
     # saturates near ~50% FPR at a million eval shingles, degrading
     # the pre-screen to a pass-through (the exact verifier keeps
@@ -267,14 +288,23 @@ def _freeze_decon(spark: SparkSession, eval_docs: DataFrame,
     bits = BLOOM_BITS
     while bits < 10 * n_keys and bits < (1 << 28):
         bits <<= 1
-    with open(os.path.join(decon_dir, "meta.json"), "w") as fh:
+    with open(os.path.join(stage, "meta.json"), "w") as fh:
         json.dump({"bits": bits, "n_keys": n_keys}, fh)
     # positions hash the ALREADY-portable-hashed shingle (identity
     # hasher), so probe-side work is one hash per shingle shared by
     # the screen and the verifier
     bloom_build(
         hh, F.col("hk"), hasher=lambda c: c, bits=bits
-    ).write.mode("overwrite").parquet(os.path.join(decon_dir, "bloom"))
+    ).write.mode("overwrite").parquet(os.path.join(stage, "bloom"))
+
+    # swap: old freeze aside, staging in, old freeze gone. A crash
+    # between the two renames leaves NO decon dir -> the next delta
+    # fails loudly (never a mixed-generation filter).
+    if os.path.isdir(decon_dir):
+        os.rename(decon_dir, old)
+    os.rename(stage, decon_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def _apply_decon(spark: SparkSession, df: DataFrame, decon_dir: str,
@@ -472,6 +502,11 @@ def curate_increment(
     versioned with the rebuild that froze it."""
     if mode not in ("rebuild", "delta"):
         raise ValueError("mode must be 'rebuild' or 'delta'")
+    if decontaminate is False:
+        # delta mode already treats False as "stage off"; normalize so
+        # a caller sharing one kwargs dict across modes doesn't get a
+        # spurious "needs the eval DataFrame" error on rebuilds (r10)
+        decontaminate = None
     if mode == "rebuild" and decontaminate is not None and not isinstance(
         decontaminate, DataFrame
     ):
@@ -550,7 +585,7 @@ def curate_increment(
         )
         surv = new_docs.join(drop_new, "doc_id", "left_anti")
         surv = _filter_quality(surv, min_quality)
-        if decontaminate is not None and decontaminate is not False:
+        if decontaminate is not None:  # False normalized to None above
             if not os.path.isdir(p["decon"]):
                 raise ValueError(
                     "delta mode with decontaminate needs a frozen "

@@ -697,3 +697,63 @@ def test_curation_sink_streams_full_funnel(spark, tmp_path):
     ids = {r.doc_id for r in cur.read().select("doc_id").collect()}
     assert 970 not in ids  # screened against the FROZEN eval filter
     assert {705, 707, 712} <= ids  # clean streamed docs landed
+
+
+def test_decon_refreeze_is_staged_and_atomic(spark, tmp_path):
+    """r10 (ADVICE): a REFREEZE must never leave new hashes/meta paired
+    with the previous freeze's bloom. _freeze_decon now stages all
+    three artifacts and swaps with directory renames; leftover
+    staging/old debris from a crashed prior swap is cleaned up; after
+    a refreeze the three artifacts agree (meta.n_keys == hash count,
+    apply drops docs contaminated by the NEW eval set only)."""
+    import json
+
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        _apply_decon,
+        _freeze_decon,
+    )
+
+    dd = str(tmp_path / "decon")
+    ev1 = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string"
+    )
+    _freeze_decon(spark, ev1, dd)
+    n1 = json.load(open(os.path.join(dd, "meta.json")))["n_keys"]
+
+    # plant debris as if a prior refreeze crashed mid-swap
+    os.makedirs(os.path.join(dd + ".staging", "hashes"))
+    os.makedirs(os.path.join(dd + ".old", "bloom"))
+
+    ev2 = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("zeta eta theta iota kappa",)],
+        "text string",
+    )
+    _freeze_decon(spark, ev2, dd)
+    assert not os.path.exists(dd + ".staging")
+    assert not os.path.exists(dd + ".old")
+    meta = json.load(open(os.path.join(dd, "meta.json")))
+    n_hashes = spark.read.parquet(os.path.join(dd, "hashes")).count()
+    assert meta["n_keys"] == n_hashes > n1  # the NEW freeze, coherent
+
+    docs = _mk_docs(spark, [
+        _doc(1, "en", "totally unrelated clean prose here"),
+        _doc(2, "en", "prefix zeta eta theta iota kappa suffix"),
+    ])
+    kept = {r.doc_id
+            for r in _apply_decon(spark, docs, dd, 0).collect()}
+    assert kept == {1}  # doc 2 hits the NEW eval set's shingles
+
+
+def test_rebuild_accepts_decontaminate_false(spark, tmp_path):
+    """r10 (ADVICE): rebuild mode normalizes decontaminate=False to
+    'stage off' like delta mode does, instead of raising — a caller
+    sharing one kwargs dict across modes must not get a spurious
+    ValueError."""
+    wd = str(tmp_path / "wd")
+    curate_batch(spark, _mk_docs(spark, _corpus(0, 12)), wd, alpha=1.0)
+    r = curate_increment(
+        spark, _mk_docs(spark, _corpus(100, 6)), wd, batch_id=1,
+        mode="rebuild", alpha=1.0, decontaminate=False,
+    )
+    assert "after_decon" not in r  # stage disabled, not errored
+    assert not os.path.isdir(os.path.join(wd, "frozen_decon"))

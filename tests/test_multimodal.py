@@ -297,3 +297,26 @@ def test_resize_fake_path_is_deterministic_stride(spark):
     assert r.fmt == "fake"
     assert bytes(r.out_bytes) == want
     assert r.out_md5 == hashlib.md5(want).hexdigest()
+
+
+def test_decode_media_records_per_batch_deprecated_alias(spark):
+    """r10 (ADVICE): records_per_batch kept as a deprecated alias for
+    emit_chunk_rows (its meaning moved from input-batch to emitted-
+    chunk bounding in r9); passing it warns and still applies."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"sample text number {i}", "s") for i in range(4)],
+        "doc_id long, lang string, text string, source string",
+    )
+    media = binarize_documents(docs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = decode_media(media, records_per_batch=2)
+        n = out.count()
+    assert n == 4
+    assert any(
+        issubclass(x.category, DeprecationWarning)
+        and "emit_chunk_rows" in str(x.message)
+        for x in w
+    )

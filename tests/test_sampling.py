@@ -378,3 +378,36 @@ def test_target_mixture_hits_requested_proportions(spark):
         target_mixture_rebalance(
             df, "lang", {"en": 0}, F.col("doc_id")
         ).collect()
+
+
+def test_target_mixture_validates_before_empty_exit_and_types_nulls(spark):
+    """r10 (ADVICE): (a) invalid weights raise even when NO stratum
+    matches (validation used to sit after the empty-counts early
+    exit); (b) the broadcast rate frame's __stratum column is typed
+    from the frame's schema, so string strata survive a None-first
+    iteration order (the old next(iter(counts)) inference picked
+    'long' and createDataFrame blew up)."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.sampling import (
+        target_mixture_rebalance,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("en", 3), ("en", 4)],
+        "lang string, doc_id long",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        # 'xx' matches no stratum: counts would be empty, but the bad
+        # weight must still be rejected
+        target_mixture_rebalance(df, "lang", {"xx": -1}, F.col("doc_id"))
+
+    # None stratum listed first in the weights -> it is also the
+    # likely first counts key; the rate frame must still type
+    # __stratum as string (from df.schema) and null-safe-join it
+    out = target_mixture_rebalance(
+        df, "lang", {None: 1, "en": 1}, F.col("doc_id")
+    )
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    # both strata have n=2, w=1 -> both bind at T=2, keep everything
+    assert got == {(None, 1), (None, 2), ("en", 3), ("en", 4)}

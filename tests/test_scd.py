@@ -164,3 +164,26 @@ def test_scd2_merge_invariant_property(spark):
         assert merged == full
 
     run()
+
+
+def test_scd2_merge_rejects_null_tiebreak_with_readable_message(spark):
+    """r10 (ADVICE): a NULL tiebreak made `tb >= 0` NULL, which fell
+    to the otherwise branch where concat with the NULL cast nulled the
+    whole diagnostic — raise_error fired with an opaque null message.
+    NULLs must hit the SAME readable error as negatives."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    ups = spark.createDataFrame(
+        [(1, "a", 10, 0)], "k long, v string, ts long, seq long"
+    )
+    cur = scd2_history(ups, ["k"], ["v"], "ts", "seq")
+    bad = spark.createDataFrame(
+        [(1, "b", 10, None)], "k long, v string, ts long, seq long"
+    )
+    with _pytest.raises(Exception, match="must be >= 0.*NULL"):
+        scd2_merge(cur, bad, ["k"], ["v"], "ts", "seq").collect()
