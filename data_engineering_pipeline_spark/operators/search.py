@@ -264,7 +264,10 @@ def mmr_rerank(
         "mmr_obj",
     ]
 
-    def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # full type hints: with `key` unhinted, pyspark's eval-type
+    # inference falls back to argument counting and emits a
+    # UserWarning on every run (the one noisy line in the r9 bench log)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         scores: dict[int, int] = {}
         sim: dict[tuple[int, int], int] = {}
         for ia_v, sc_v, ib_v, sim_v in zip(

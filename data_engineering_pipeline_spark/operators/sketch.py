@@ -723,6 +723,116 @@ def exact_kth_values(
     return out
 
 
+def exact_ntile_cutpoints(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+    descending: bool = True,
+) -> list[tuple[int, int]]:
+    """The (value, tiebreak) composite order statistics at ntile's
+    bucket boundaries — the driver-side half of a scale-safe EXACT
+    ntile(n) OVER (ORDER BY value [DESC], tiebreak ASC).
+
+    ntile is position-based: value cutoffs alone cannot reproduce it
+    when tied values straddle a bucket boundary. But when `tiebreak_col`
+    is UNIQUE (per-entity frames: one row per customer/doc), the order
+    is total, and the boundary is pinned by a PAIR: the value at the
+    boundary rank plus the tiebreak of the exact boundary ROW among
+    that value's ties. Both come from exact_kth_values' distributed
+    bit-prefix refinement — no window, no global sort:
+
+      1. boundary ranks from ntile's bucket-size arithmetic
+         (first n%nb buckets get one extra row);
+      2. boundary VALUES = order statistics at those ranks (value at a
+         rank is tiebreak-independent, the _freeze_ppl_lm lemma);
+      3. one conditional aggregate counts rows strictly BEFORE each
+         boundary value, converting each global rank to a LOCAL rank
+         among that value's ties;
+      4. boundary TIEBREAKS = order statistics of tiebreak_col within
+         each boundary value's tie group (bounded subsets, pushed-down
+         equality scans).
+
+    Returns [(value_k, tiebreak_k)] for k = 1..n_buckets-1 boundary
+    ranks (duplicates appear when trailing buckets are empty — that is
+    exactly what makes the map-side compare in exact_ntile_bucket
+    assign them nothing). Both columns must be integer-typed (cast
+    dates with unix_date); rows where either is NULL are the caller's
+    problem — this mirrors ntile's NULL-ordering only for non-null
+    input."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    n = df.count()
+    if n == 0 or n_buckets == 1:
+        return []
+    q, r = divmod(n, n_buckets)
+    bounds: list[int] = []
+    cum = 0
+    for i in range(1, n_buckets):
+        cum += q + (1 if i <= r else 0)
+        bounds.append(cum if cum >= 1 else 1)
+    # empty trailing buckets: cum stops growing; dedupe for the probe,
+    # keep duplicates in the output
+    want = sorted(set(b for b in bounds if b >= 1))
+    if not want:
+        return []
+    # desc rank k = asc rank n-k+1; value at a rank is exact either way
+    asc_ranks = [n - k + 1 for k in want] if descending else list(want)
+    vals = exact_kth_values(df, value_col, asc_ranks)
+    v_at = {
+        k: vals[(n - k + 1) if descending else k] for k in want
+    }
+    # rows strictly before each boundary's value in ONE scan
+    v = F.col(value_col)
+    aggs = []
+    for i, k in enumerate(want):
+        vv = int(v_at[k])
+        cond = (v > F.lit(vv)) if descending else (v < F.lit(vv))
+        aggs.append(F.sum(cond.cast("long")).alias(f"c{i}"))
+    crow = df.agg(*aggs).collect()[0]
+    c_before = {k: int(crow[f"c{i}"] or 0) for i, k in enumerate(want)}
+    # boundary tiebreak: local asc rank (k - c_before) within the tie
+    # group; groups sharing a value share one probe
+    t_at: dict[int, int] = {}
+    by_val: dict[int, list[int]] = {}
+    for k in want:
+        by_val.setdefault(int(v_at[k]), []).append(k)
+    for vv, ks in by_val.items():
+        ties = df.filter(v == F.lit(vv))
+        local = exact_kth_values(
+            ties, tiebreak_col, [k - c_before[k] for k in ks]
+        )
+        for k in ks:
+            t_at[k] = local[k - c_before[k]]
+    return [(int(v_at[k]), int(t_at[k])) for k in bounds]
+
+
+def exact_ntile_bucket(
+    value: Column,
+    tiebreak: Column,
+    cutpoints: list[tuple[int, int]],
+    descending: bool = True,
+) -> Column:
+    """Map-side companion to exact_ntile_cutpoints: the 1-based ntile
+    bucket of a row, as a pure expression over the driver-collected
+    boundary pairs — bucket = 1 + (number of boundaries the row sorts
+    strictly AFTER). No shuffle, no window; bit-identical to
+    ntile(n) OVER (ORDER BY value [DESC], tiebreak ASC) on frames
+    where tiebreak is unique."""
+    b = F.lit(1)
+    for vv, tt in cutpoints:
+        if descending:
+            after = (value < F.lit(vv)) | (
+                (value == F.lit(vv)) & (tiebreak > F.lit(tt))
+            )
+        else:
+            after = (value > F.lit(vv)) | (
+                (value == F.lit(vv)) & (tiebreak > F.lit(tt))
+            )
+        b = b + after.cast("int")
+    return b
+
+
 def cms_estimate(
     cms: DataFrame,
     items: DataFrame,

@@ -23,13 +23,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotation.
 
 
-def _latest_green_rounds() -> dict[str, int]:
-    """Scan repo-root CORRECTNESS_r*.json -> {query: latest green round}."""
+def _latest_green_rounds(root=None) -> dict[str, int]:
+    """Scan repo-root CORRECTNESS_r*.json -> {query: latest green round}.
+    `root` overrides the scan directory (unit tests pin the parsing
+    rules against synthetic files; production always uses the repo
+    root)."""
     import json
     import re as _re
     from pathlib import Path
 
-    repo_root = Path(__file__).resolve().parents[2]
+    repo_root = Path(root) if root else Path(__file__).resolve().parents[2]
     latest: dict[str, int] = {}
     for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", f.name)

@@ -1342,36 +1342,62 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (last order date),
     frequency (order count), monetary (exact cents sum) quartiles —
     the classic behavioral segmentation, deterministic via custkey
-    tie-breaks. The three global ntiles are single-partition sorts
-    over CUSTOMERS (not orders) — allowlisted in the plan lint
-    (tests/test_plans_physical.py INTENDED_GLOBAL_WINDOW) because the
-    DuckDB oracle replays the exact position-based ntile ranks, which
-    value-based cutoffs cannot reproduce on ties. At 100 TB compute
-    the 3 cutoffs per metric via exact_kth_values
-    (operators/sketch.py — exact, distributed, no global sort) or
-    qsketch_quantiles (approximate), then bucket with a map-side
-    compare; only the tie-straddling boundary rule changes."""
-    from pyspark.sql import Window
+    tie-breaks.
+
+    r10: the three global ntile(4) windows (single-partition sorts
+    over all customers at 100 TB) are replaced by the PRODUCTION
+    construction — exact_ntile_cutpoints (operators/sketch.py):
+    ntile's bucket-size arithmetic gives 3 boundary ranks per metric,
+    exact_kth_values' distributed bit-prefix refinement gives the
+    boundary values, and the tie-straddling boundary is pinned by the
+    boundary ROW's custkey within its tie group. Because o_custkey is
+    unique per row the (metric DESC, custkey) order is total, so the
+    map-side bucket compare is BIT-IDENTICAL to the oracle's
+    positional ntile — the same freeze construction the curation ppl
+    gate uses, now with zero windows in this plan (the registry-wide
+    no-partition-window lint covers it; no allowlist entry)."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_ntile_bucket,
+        exact_ntile_cutpoints,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("r"),
-        F.count(F.lit(1)).alias("f"),
-        F.sum(
-            F.round(F.col("o_totalprice") * 100).cast("long")
-        ).alias("m"),
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("m"),
+        )
+        # int key for the probes: o_orderdate is TIMESTAMP_NTZ; epoch
+        # seconds (day + time-of-day) is an order-faithful injective
+        # integer image at the data's second resolution
+        .withColumn(
+            "rd",
+            F.unix_date(F.col("r").cast("date")) * F.lit(86400)
+            + F.hour("r") * F.lit(3600)
+            + F.minute("r") * F.lit(60)
+            + F.second("r"),
+        )
+        # one row per customer; probed several times driver-side below
+        # — materialize once so the orders groupBy runs once
+        .localCheckpoint()
     )
+    cuts = {
+        metric: exact_ntile_cutpoints(cust, metric, "o_custkey", 4)
+        for metric in ("rd", "f", "m")
+    }
     return cust.select(
         "o_custkey",
-        F.ntile(4).over(
-            Window.orderBy(F.desc("r"), "o_custkey")
-        ).cast("long").alias("r_tile"),
-        F.ntile(4).over(
-            Window.orderBy(F.desc("f"), "o_custkey")
-        ).cast("long").alias("f_tile"),
-        F.ntile(4).over(
-            Window.orderBy(F.desc("m"), "o_custkey")
-        ).cast("long").alias("m_tile"),
+        *[
+            exact_ntile_bucket(
+                F.col(metric), F.col("o_custkey"), cuts[metric]
+            ).cast("long").alias(alias)
+            for metric, alias in
+            [("rd", "r_tile"), ("f", "f_tile"), ("m", "m_tile")]
+        ],
     ).orderBy("o_custkey")
 
 

@@ -66,22 +66,82 @@ def test_pagerank_quantized_hand_computed(spark):
 
 
 def test_cc_raises_on_non_convergence(spark):
-    """r9 review: exhausting max_iter with labels still moving must
-    raise, not silently return a SPLIT component (which would put
-    near-duplicates astride a train/eval split). A 12-vertex chain
-    has diameter 11: converges at max_iter=20, raises at max_iter=3."""
+    """r9 review (contract kept through the r10 star rewrite):
+    exhausting max_iter with the edge set still moving must raise, not
+    silently return a SPLIT component (which would put near-duplicates
+    astride a train/eval split). A 64-vertex chain cannot reach the
+    star fixed point in one alternation round."""
     import pytest as _pytest
 
     from data_engineering_pipeline_spark.operators.graph import (
         connected_components,
     )
 
-    n = 12
+    n = 64
     verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    ok = connected_components(verts, edges, max_iter=20)
+    ok = connected_components(verts, edges)
     assert {r.component for r in ok.collect()} == {0}
     with _pytest.raises(ValueError, match="did not converge"):
-        connected_components(verts, edges, max_iter=3)
+        connected_components(verts, edges, max_iter=1)
+
+
+def test_cc_star_chain_round_bound(spark):
+    """r10: the whole point of the large-star/small-star rewrite is
+    that rounds scale with log(component size), not diameter. A
+    256-vertex CHAIN (diameter 255 — the propagation algorithm's
+    worst case, which raised at its default max_iter=20) must converge
+    in <= ~2*log2(n) alternation rounds."""
+    import math
+
+    from data_engineering_pipeline_spark.operators.graph import (
+        _alternating_components,
+    )
+
+    n = 256
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = _alternating_components(
+        verts, edges, "id", "src", "dst", max_iter=40
+    )
+    got = {r.id: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 2 * int(math.log2(n))  # 16 for n=256
+
+
+def test_cc_star_matches_propagation_on_random_graphs(spark):
+    """r10 property test: the star algorithm's labels equal the
+    independent min-label-propagation implementation's on random
+    sparse graphs (mixed singletons, stars, chains, cycles, dense
+    blobs — whatever the sampler produces)."""
+    import random
+
+    from data_engineering_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    rng = random.Random(0xC0C0)
+    for trial in range(6):
+        n = rng.randint(1, 60)
+        m = rng.randint(0, 2 * n)
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] or [(0, 0)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        star = {
+            r.id: r.component
+            for r in connected_components(verts, edges).collect()
+        }
+        prop = {
+            r.id: r.component
+            for r in connected_components_propagation(
+                verts, edges, max_iter=n + 1
+            ).collect()
+        }
+        assert star == prop, f"trial {trial}: {sorted(pairs)}"

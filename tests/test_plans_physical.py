@@ -193,12 +193,12 @@ def test_bloom_probe_broadcasts_the_word_table(spark, sf_smoke):
 #     (plans/curation_pipeline.py _freeze_ppl_lm) computes the SAME
 #     cutoffs via exact_kth_values' distributed histogram refinement —
 #     no window; the graded query keeps ntile for oracle parity only.
-#   - op-rfm-segments quartiles: global-rank semantics by definition;
-#     at scale the cutoffs would come from exact_kth_values (exact) or
-#     qsketch_quantiles (approximate), then one map-side bucket join.
+# (op-rfm-segments left this list in r10: its quartiles now come from
+# exact_ntile_cutpoints — ntile bucket ranks -> exact_kth_values ->
+# tie-group boundary custkey -> map-side compare — bit-identical to
+# the oracle's positional ntile with no window in the plan.)
 INTENDED_GLOBAL_WINDOW = {
     "curation-ppl-gate",
-    "op-rfm-segments",
     "text-bigram-ppl",
     "text-kneser-ney-ppl",
     "text-kneser-ney3-ppl",

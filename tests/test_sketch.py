@@ -681,3 +681,71 @@ def test_bloom_sized_filter_no_false_negatives_lower_fpr(spark):
         probes, big, F.col("hk"), hasher=ident, bits=1 << 24
     ).filter("is_member = 1").count()
     assert fp_big < fp_small / 4, (fp_small, fp_big)
+
+
+def test_exact_ntile_matches_window_ntile_bit_for_bit(spark):
+    """r10: exact_ntile_cutpoints + exact_ntile_bucket reproduce
+    ntile(n) OVER (ORDER BY v DESC, tb ASC) EXACTLY — including tied
+    values straddling bucket boundaries (the case value-only cutoffs
+    cannot express) and n < n_buckets (empty trailing buckets) — on
+    seeded random data with heavy ties."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_engineering_pipeline_spark.operators.sketch import (
+        exact_ntile_bucket,
+        exact_ntile_cutpoints,
+    )
+
+    rng = random.Random(0x2F11)
+    cases = [(1, 4), (2, 4), (3, 3), (7, 4)] + [
+        (rng.randint(4, 120), rng.choice([2, 3, 4, 8])) for _ in range(5)
+    ]
+    for n, nb in cases:
+        # values from a tiny domain -> many ties, negatives included
+        rows = [(i, rng.randint(-3, 3)) for i in range(n)]
+        df = spark.createDataFrame(rows, "tb long, v long")
+        want = {
+            r.tb: r.t
+            for r in df.select(
+                "tb",
+                F.ntile(nb)
+                .over(Window.orderBy(F.desc("v"), "tb"))
+                .alias("t"),
+            ).collect()
+        }
+        cuts = exact_ntile_cutpoints(df, "v", "tb", nb)
+        got = {
+            r.tb: r.t
+            for r in df.select(
+                "tb",
+                exact_ntile_bucket(
+                    F.col("v"), F.col("tb"), cuts
+                ).alias("t"),
+            ).collect()
+        }
+        assert got == want, f"n={n} nb={nb} rows={sorted(rows)}"
+
+    # ascending variant too
+    df = spark.createDataFrame(
+        [(i, rng.randint(0, 2)) for i in range(25)], "tb long, v long"
+    )
+    want = {
+        r.tb: r.t
+        for r in df.select(
+            "tb",
+            F.ntile(4).over(Window.orderBy("v", "tb")).alias("t"),
+        ).collect()
+    }
+    cuts = exact_ntile_cutpoints(df, "v", "tb", 4, descending=False)
+    got = {
+        r.tb: r.t
+        for r in df.select(
+            "tb",
+            exact_ntile_bucket(
+                F.col("v"), F.col("tb"), cuts, descending=False
+            ).alias("t"),
+        ).collect()
+    }
+    assert got == want
