@@ -284,6 +284,12 @@ def pagerank_quantized(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # an empty edge set is a legitimate input at scale (a filtered
+        # subgraph, an empty partition-date): return the empty
+        # (node, p) frame instead of ZeroDivisionError on the driver
+        # (r10 review)
+        return nodes.withColumn("p", F.lit(0).cast("long"))
     base = ((damp_den - damp_num) * scale // damp_den) // n_nodes
     pr = nodes.withColumn("p", F.lit(scale // n_nodes).cast("long"))
     for _ in range(iters):

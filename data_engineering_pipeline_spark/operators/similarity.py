@@ -639,6 +639,14 @@ def train_ivf_centroids(
     pre = pre.filter(F.col("__n") > 0)
     unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
     feats = pre.select(array_to_vector(unit).alias("features"))
+    if feats.limit(1).isEmpty():
+        # fail loudly with the actual cause instead of KMeans' opaque
+        # Py4J error: a corpus that is empty (or entirely zero-norm)
+        # cannot train a quantizer (r10 review)
+        raise ValueError(
+            "train_ivf_centroids: corpus has no vectors with a "
+            "positive norm; cannot fit the coarse quantizer"
+        )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
     cents = []
     for c in model.clusterCenters():
@@ -691,6 +699,18 @@ def ann_topk_ivf(
     is provably exhaustive (== brute force): the graded query config.
     Norms are computed once per row on both sides (never per pair).
     Output schema matches ann_topk_brute."""
+    if corpus.limit(1).isEmpty():
+        # no corpus -> no neighbors, same contract as ann_topk_brute on
+        # an empty corpus; without this the KMeans fit dies on zero
+        # rows with an opaque Py4J error (r10 review). An empty corpus
+        # is routine at scale (a partition filter that matched nothing).
+        ct = corpus.schema[corpus_id].dataType
+        return queries.limit(0).select(
+            F.col(query_id),
+            F.lit(None).cast(ct).alias(corpus_id),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     centroids = train_ivf_centroids(corpus, vec_col, n_cells, seed)
 
     def top_cells(vec: Column, n: int) -> Column:

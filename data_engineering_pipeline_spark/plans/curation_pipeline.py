@@ -397,6 +397,7 @@ def curate_batch(
     ppl_gate: tuple[int, int] | None = None,
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
+    split_max_bucket: int | None = None,
     timings: dict | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
@@ -409,17 +410,34 @@ def curate_batch(
         min_quality=min_quality, alpha=alpha,
         split_threshold=split_threshold, ppl_gate=ppl_gate,
         decontaminate=decontaminate, decon_max_hits=decon_max_hits,
-        timings=timings,
+        split_max_bucket=split_max_bucket, timings=timings,
     )
 
 
-def _assign_splits(curated_docs: DataFrame, threshold: float) -> DataFrame:
+def _assign_splits(
+    curated_docs: DataFrame,
+    threshold: float,
+    max_bucket_size: int | None = None,
+    mark=None,
+    stats: dict | None = None,
+) -> DataFrame:
     """Leakage-safe split column over the curated survivors: pairs at
     `threshold` (LOWER than the dedup threshold, so moderately-similar
     docs that survived dedup still co-locate) -> connected components
     -> deterministic 90/5/5 component-hash split. A rebuild-time
     decision, like rate freezing: split membership is versioned with
-    the curated snapshot it was computed on."""
+    the curated snapshot it was computed on.
+
+    `max_bucket_size` caps hot LSH band buckets (cap_hot_buckets) —
+    at rebuild scale a boilerplate template cluster of m docs floods
+    its band buckets and costs O(m^2) candidate pairs PER BAND. The
+    split only needs component MEMBERSHIP, so the cap's recall loss
+    here merely relaxes co-location for the over-capped tail of a hot
+    cluster rather than leaking verified near-dups across splits:
+    every pair the capped graph does emit still pins its component to
+    one split. `mark`/`stats` (the curate_increment timing hooks)
+    split the stage wall into pair-graph vs components and record the
+    realized pair count, the number the cap exists to bound."""
     from data_engineering_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
@@ -428,11 +446,23 @@ def _assign_splits(curated_docs: DataFrame, threshold: float) -> DataFrame:
     )
 
     pairs = minhash_lsh_pairs(
-        curated_docs, "doc_id", "text", threshold, bands=16
+        curated_docs, "doc_id", "text", threshold, bands=16,
+        max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
+    if mark is not None:
+        # materialize the pair graph once so the timing boundary is
+        # real (components' init checkpoint then reads it back instead
+        # of recomputing the LSH + verify plan)
+        pairs = pairs.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["split_pairs"] = pairs.count()
+        mark("split_pairs")
     assign = leakage_safe_split(
         curated_docs.select("doc_id"), pairs
     ).select("doc_id", "split")
+    if mark is not None:
+        assign = assign.localCheckpoint(eager=True)
+        mark("split_components")
     return curated_docs.join(assign, "doc_id")
 
 
@@ -449,6 +479,7 @@ def curate_increment(
     ppl_gate: tuple[int, int] | None = None,
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
+    split_max_bucket: int | None = None,
     timings: dict | None = None,
     txn_app: str = "curate",
 ) -> dict:
@@ -671,16 +702,27 @@ def curate_increment(
         _mark("ppl_gate")
     sampled = _rebalance(filtered, alpha)
     if split_threshold is not None:
-        sampled = _assign_splits(sampled, split_threshold)
+        # sub-walls (r9 verdict item 3): _assign_splits marks
+        # "split_pairs" (LSH pair graph, checkpointed) and
+        # "split_components" (connected components) itself when
+        # timings are requested, and records stats["split_pairs"] —
+        # the count split_max_bucket exists to bound
+        sampled = _assign_splits(
+            sampled, split_threshold,
+            max_bucket_size=split_max_bucket,
+            mark=_mark if timings is not None else None,
+            stats=stats if timings is not None else None,
+        )
     # refreeze the per-lang rates for subsequent delta increments
     _keep_ppm_of(filtered, alpha).write.mode("overwrite").parquet(
         p["rates"]
     )
+    _mark("rates_freeze")
 
     curated = SnapshotTable(spark, p["curated"])
     curated.overwrite(sampled, txn=(txn_app, batch_id))
     stats["curated"] = curated.read().count()
-    _mark("rebalance_split_write")
+    _mark("curated_write")
 
     res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
     stats["shards_rebuilt"] = len(res["rebuilt"])

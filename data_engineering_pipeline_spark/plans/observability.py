@@ -33,9 +33,17 @@ def standard_corpus_metrics(text_col: str = "text") -> dict[str, Column]:
     and size envelope — cheap expressions, evaluated once per row as
     the rows already stream by."""
     col = F.col(text_col)
+    # sums coalesce to 0: over an EMPTY batch sum() is NULL, and the
+    # one run where an orchestrator's `metrics["n_null_text"] > k`
+    # check matters most — a pipeline landing zero rows — is exactly
+    # where a bare sum would hand it None and a TypeError (r10 review)
     return {
         "n_rows": F.count(F.lit(1)),
-        "n_null_text": F.sum(F.when(col.isNull(), 1).otherwise(0)),
-        "total_chars": F.sum(F.coalesce(F.length(col), F.lit(0))),
+        "n_null_text": F.coalesce(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+        ),
+        "total_chars": F.coalesce(
+            F.sum(F.coalesce(F.length(col), F.lit(0))), F.lit(0)
+        ),
         "max_chars": F.max(F.coalesce(F.length(col), F.lit(0))),
     }

@@ -2520,10 +2520,21 @@ def op_snapshot_change_feed(spark: SparkSession,
         ["o_orderkey"],
     )
     t.delete_where("o_orderkey % 5 = 0")
+    # empty-input robustness (r10 review): DML on an empty table is a
+    # documented commit-less no-op, so the head may sit below 2 —
+    # clamp the feed range (and with no DML commits at all, the feed
+    # is the empty frame) instead of requesting versions never cut
+    head = t.latest_version()
+    if head == 0:
+        feed = spark.createDataFrame(
+            [], "o_orderkey long, _change_type string, cents long, "
+                "_commit_version long"
+        )
+    else:
+        feed = t.change_feed(0, min(2, head), ["o_orderkey"])
     return (
-        t.change_feed(0, 2, ["o_orderkey"])
-        .select("o_orderkey", "_change_type", "cents",
-                "_commit_version")
+        feed.select("o_orderkey", "_change_type", "cents",
+                    "_commit_version")
         .orderBy("_commit_version", "o_orderkey", "_change_type")
     )
 
@@ -2596,11 +2607,15 @@ def op_snapshot_change_feed_format(spark: SparkSession,
     )
     t.delete_where("o_orderkey % 5 = 0", mode="mor")
     sds.register(spark)
+    # same clamp as op-snapshot-change-feed: on empty input the DML
+    # commits are no-ops and the head stays 0 — don't ask the reader
+    # to start past it (r10 review)
     return (
         spark.read.format(sds.FORMAT_NAME)
         .option("path", t.path)
         .option("readChangeFeed", "true")
-        .option("startingVersion", "1").load()
+        .option("startingVersion", str(min(1, t.latest_version())))
+        .load()
         .select("o_orderkey", "_change_type", "cents",
                 "_commit_version")
         .orderBy("_commit_version", "o_orderkey", "_change_type")

@@ -3183,7 +3183,16 @@ class SnapshotTable:
             version = self.version_at_timestamp(timestamp)
         files = self._live_files(version)
         if not files:
-            raise ValueError("empty table (no committed version)")
+            v0 = self.latest_version() if version is None else version
+            schema0 = self._schema_at(v0) if v0 is not None else None
+            if schema0 is None:
+                raise ValueError("empty table (no committed version)")
+            # a COMMITTED table with zero live files — an empty first
+            # append through the datasource, or DML that deleted every
+            # row — is a legitimate state: read it as an empty frame
+            # with the committed schema. The old unconditional raise
+            # made a fully-deleted table unreadable (r10 review).
+            return self.spark.createDataFrame([], schema0)
         v = self.latest_version() if version is None else version
         schema = self._schema_at(v)
         files = self._apply_prunes(files, prune, bloom, v)

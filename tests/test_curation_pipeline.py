@@ -757,3 +757,82 @@ def test_rebuild_accepts_decontaminate_false(spark, tmp_path):
     )
     assert "after_decon" not in r  # stage disabled, not errored
     assert not os.path.isdir(os.path.join(wd, "frozen_decon"))
+
+
+def _template_corpus(n_unique, n_template, base_id=0):
+    """n_unique dissimilar docs + a planted template cluster: identical
+    20-word boilerplate differing only in the trailing token — below
+    the dedup threshold's reach only in that trailing-shingle region,
+    so the cluster floods LSH band buckets (the O(m^2)-pairs shape
+    cap_hot_buckets exists for)."""
+    rows = _corpus(base_id, n_unique)
+    template = (
+        "shared boilerplate header with many common words repeated "
+        "across the template cluster body section and closing footer"
+    )
+    for i in range(n_template):
+        rows.append(
+            _doc(base_id + 10_000 + i, "en", f"{template} variant{i}")
+        )
+    return rows
+
+
+def test_split_cap_bounds_planted_template_cluster(spark):
+    """r9 verdict item 3: a hot template cluster is quadratic in the
+    split's pair graph; with max_bucket_size the realized pair count
+    is bounded, every doc still gets exactly one split, and every
+    pair the CAPPED graph emits still has both ends in one split
+    (recall loss relaxes co-location only — it cannot straddle a
+    surviving pair across splits)."""
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        _assign_splits,
+    )
+
+    docs = _mk_docs(spark, _template_corpus(120, 60))
+
+    stats_un, stats_cap = {}, {}
+    noop = lambda key: None  # noqa: E731
+    out_un = _assign_splits(
+        docs, 0.5, max_bucket_size=None, mark=noop, stats=stats_un
+    )
+    out_cap = _assign_splits(
+        docs, 0.5, max_bucket_size=10, mark=noop, stats=stats_cap
+    )
+
+    m = 60
+    assert stats_un["split_pairs"] >= m * (m - 1) // 2  # quadratic
+    assert stats_cap["split_pairs"] < stats_un["split_pairs"] / 4
+
+    rows = out_cap.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+    # surviving capped pairs never straddle splits
+    split_of = {r.doc_id: r.split for r in rows}
+    from data_engineering_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", 0.5, bands=16, max_bucket_size=10
+    ).select("id_a", "id_b").collect()
+    assert pairs, "capped graph should still emit within-cap pairs"
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b]
+
+
+def test_rebuild_timings_decompose_split_stage(spark, tmp_path):
+    """The rebuild's old monolithic rebalance_split_write wall is now
+    split_pairs / split_components / rates_freeze / curated_write,
+    and split_max_bucket threads through curate_batch to the pair
+    graph."""
+    wd = str(tmp_path / "wd")
+    t: dict = {}
+    s = curate_batch(
+        spark, _mk_docs(spark, _template_corpus(40, 12)), wd,
+        alpha=1.0, split_threshold=0.5, split_max_bucket=8, timings=t,
+    )
+    for key in ("split_pairs", "split_components", "rates_freeze",
+                "curated_write"):
+        assert key in t and t[key] >= 0.0
+    assert "rebalance_split_write" not in t
+    assert isinstance(s["split_pairs"], int)

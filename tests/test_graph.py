@@ -145,3 +145,17 @@ def test_cc_star_matches_propagation_on_random_graphs(spark):
             ).collect()
         }
         assert star == prop, f"trial {trial}: {sorted(pairs)}"
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """r10 review: an empty edge set (a filtered subgraph that matched
+    nothing) must return the empty (node, p) frame, not crash with
+    ZeroDivisionError on the driver."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_quantized(edges)
+    assert out.columns == ["node", "p"]
+    assert out.count() == 0

@@ -70,3 +70,16 @@ def test_streaming_observed_metrics(spark, sf_smoke, tmp_path):
     )
     batch_rows = load_table(spark, sf_smoke, "events").count()
     assert total == batch_rows
+
+
+def test_empty_batch_metrics_are_zero_not_null(spark):
+    """r10 review: an EMPTY batch must report n_null_text/total_chars
+    as 0, not None — the empty-landing run is exactly where an
+    orchestrator's `metrics[...] > threshold` audit check fires."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    df, obs = observed(empty, "audit_empty", **standard_corpus_metrics())
+    df.count()
+    got = obs.get
+    assert got["n_rows"] == 0
+    assert got["n_null_text"] == 0
+    assert got["total_chars"] == 0

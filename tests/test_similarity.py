@@ -719,3 +719,26 @@ def test_zero_norm_vectors_do_not_crash(spark):
     # and the IVF path end-to-end
     got = ann_topk_ivf(q, c, k=2, n_cells=2).collect()
     assert len(got) > 0
+
+
+def test_ann_topk_ivf_empty_corpus_returns_empty(spark):
+    """r10 review: IVF on an empty corpus returns the empty brute-
+    schema frame instead of dying inside the KMeans fit."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [], "corpus_id long, embedding array<double>"
+    )
+    out = ann_topk_ivf(q, c, n_cells=4, n_probe=4)
+    assert out.columns == ["query_id", "corpus_id", "cos_sim", "rank"]
+    assert out.count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive norm"):
+        train_ivf_centroids(c, "embedding", n_cells=4)

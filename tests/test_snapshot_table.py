@@ -2552,3 +2552,40 @@ def test_vacuum_sweeps_stranded_commit_log_temps(spark, tmp_path):
     # the table still reads fine and a new commit lands normally
     t.append(_kv(spark, [(2, "b")]))
     assert t.read().count() == 2
+
+
+def test_read_zero_live_files_is_empty_frame(spark, tmp_path):
+    """r10 review: a COMMITTED table with zero live files — an empty
+    first append through the format, or DML that deleted every row —
+    reads as an empty frame with the committed schema; only a table
+    with no committed version at all still raises."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.sources import (
+        spark_datasource as sds,
+    )
+
+    # uncommitted table still raises
+    t0 = SnapshotTable(spark, str(tmp_path / "never"))
+    with _pytest.raises(ValueError, match="no committed version"):
+        t0.read()
+
+    # empty append through the format: version 0 commits, read is empty
+    sds.register(spark)
+    p = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "a long, b string")
+    empty.write.format(sds.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    got = SnapshotTable(spark, p).read()
+    assert got.columns == ["a", "b"]
+    assert got.count() == 0
+
+    # delete-everything leaves a readable empty table
+    p2 = str(tmp_path / "t2")
+    t2 = SnapshotTable(spark, p2)
+    t2.append(spark.createDataFrame([(1, "x")], "a long, b string"))
+    t2.delete_where("a >= 0")
+    got2 = t2.read()
+    assert got2.columns == ["a", "b"]
+    assert got2.count() == 0
