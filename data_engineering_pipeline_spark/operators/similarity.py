@@ -71,7 +71,15 @@ def _rank_topk(scored: DataFrame, query_id: str, corpus_id: str,
     (score desc, corpus id) — the deterministic engine-independent
     ordering the oracles replay — keep rank <= k. One definition so a
     tie-break change can never silently diverge across the brute /
-    LSH / IVF / PQ paths."""
+    LSH / IVF / PQ paths.
+
+    NaN contract (r10 review): a NaN score ranks FIRST — Spark and
+    DuckDB both order NaN above every number, so this is still
+    engine-parity — meaning one corrupt (NaN/inf) corpus vector tops
+    every query's result. Corrupt vectors should be sanitized
+    upstream (the IVF quantizer already skips them for its FIT); a
+    production ingest gate belongs before the index, not hidden in
+    the ranking tail."""
     w = Window.partitionBy(query_id).orderBy(
         F.col(score_col).desc(), F.col(corpus_id)
     )
@@ -635,8 +643,15 @@ def train_ivf_centroids(
     # zero-norm vectors carry no direction — they cannot inform the
     # quantizer, and under ANSI mode dividing by their norm would
     # raise DIVIDE_BY_ZERO and kill the fit. They still get ASSIGNED a
-    # cell later (raw-dot argmax needs no division).
-    pre = pre.filter(F.col("__n") > 0)
+    # cell later (raw-dot argmax needs no division). The NaN guard is
+    # load-bearing: Spark ORDERS NaN above every number, so `NaN > 0`
+    # is TRUE and a NaN/inf vector would sail through into the KMeans
+    # fit, which rejects non-finite values (r10 review).
+    pre = pre.filter(
+        (F.col("__n") > 0)
+        & ~F.isnan(F.col("__n"))
+        & (F.col("__n") < F.lit(float("inf")))
+    )
     unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
     feats = pre.select(array_to_vector(unit).alias("features"))
     if feats.limit(1).isEmpty():

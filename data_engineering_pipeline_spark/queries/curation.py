@@ -213,7 +213,8 @@ _BUDGET = 256
     "curation-pack",
     f"""
     WITH RECURSIVE t AS (
-      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      SELECT doc_id,
+             CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n_tokens
       FROM documents
     ),
     s AS (SELECT doc_id, n_tokens,
@@ -248,8 +249,13 @@ def curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path packs buckets independently at the cost of one
     underfilled pack per bucket boundary)."""
     docs = load_table(spark, sf_dir, "documents")
+    # null text -> 0 tokens (an empty doc packs as weight 0), not a
+    # NULL weight — pack_greedy fails loudly on NULL by design, and a
+    # single null-text row must not kill the whole packing job (r10
+    # review; the oracle's coalesce mirrors this)
     weighted = docs.select(
-        "doc_id", F.size(tokens("text")).alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"),
     )
     return pack_report(pack_greedy(weighted, _BUDGET))
 

@@ -188,3 +188,26 @@ def test_boilerplate_segments_drops_every_occurrence(spark):
     assert out[4]["n_boiler"] == 0
     assert out[4]["clean_text"] == "no boilerplate at all"
     assert out[5]["n_segments"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_pack_query_null_text_is_zero_weight(spark, tmp_path):
+    """r10 review: a null-text document reaches curation-pack as
+    weight 0 (coalesced token count), not as a NULL weight that would
+    trip pack_greedy's fail-loud guard and kill the whole job."""
+    import duckdb
+
+    from data_engineering_pipeline_spark.queries.curation import QUERIES
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = str(tmp_path)
+    duckdb.sql(f"""
+      COPY (
+        SELECT * FROM (SELECT * FROM '{src}' LIMIT 20)
+        UNION ALL BY NAME
+        SELECT * FROM (VALUES (9000001, CAST(NULL AS VARCHAR), 'en',
+                               'src0', CAST(NULL AS BIGINT)))
+          t(doc_id, text, lang, source, n_chars)
+      ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    out = QUERIES["curation-pack"](spark, d).collect()
+    assert out  # runs to completion; the null doc packs at weight 0

@@ -742,3 +742,32 @@ def test_ann_topk_ivf_empty_corpus_returns_empty(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive norm"):
         train_ivf_centroids(c, "embedding", n_cells=4)
+
+
+def test_ivf_quantizer_skips_nonfinite_vectors(spark):
+    """r10 review: Spark orders NaN ABOVE every number, so `norm > 0`
+    alone let NaN/inf vectors through to the KMeans fit (which rejects
+    non-finite input). The quantizer must train on the finite rows and
+    still serve queries."""
+    import math
+
+    from data_engineering_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    rows.append((97, [float("nan"), 1.0]))
+    rows.append((98, [float("inf"), 1.0]))
+    c = spark.createDataFrame(
+        rows, "corpus_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    got = ann_topk_ivf(q, c, k=3, n_cells=2, n_probe=2).collect()
+    assert len(got) == 3
+    # the finite corpus rows are served; the NaN row's rank-first
+    # placement is the documented engine-parity contract (_rank_topk)
+    finite_ids = {r.corpus_id for r in got
+                  if r.cos_sim is not None and not math.isnan(r.cos_sim)}
+    assert finite_ids, "finite neighbors must survive a corrupt row"
