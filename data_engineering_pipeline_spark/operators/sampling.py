@@ -33,6 +33,31 @@ def key_hash(*keys: Column) -> Column:
     return h
 
 
+def mixed_key_hash(*keys: Column) -> Column:
+    """key_hash folded through the sketch scramble — for ORDER-
+    sensitive uses (shard order, training-order schedules).
+
+    key_hash alone is ONE affine LCG fold: for contiguous ids the
+    values are base + 69069*id with no wraparound until ~62k ids, so
+    sorting by it reproduces ID ORDER and an epoch change shifts every
+    value equally — "epoch-keyed shuffle order" that neither shuffles
+    nor re-keys (r10 review, caught by the curriculum epoch test).
+    Rate decisions (hash_sample, the rebalancers) only consume
+    key_hash MOD small constants, where the affine structure is
+    harmless and the simple form stays oracle-mirrored everywhere —
+    those keep key_hash. Ordering consumes the VALUE, so it gets the
+    two-round quadratic cross-mix the sketches use (_scrambled_u —
+    nonlinear, so id-order and epoch-shift structure both break), at
+    the cost of the longer (but already oracle-mirrored, see the HLL
+    oracles) SQL mirror."""
+    from data_engineering_pipeline_spark.operators.sketch import (
+        _scrambled_u,
+        int_residue_hash,
+    )
+
+    return _scrambled_u(int_residue_hash(key_hash(*keys)))
+
+
 def hash_sample(df: DataFrame, rate_pct: int, *keys: Column) -> DataFrame:
     """Bernoulli-style deterministic sample: keep rows whose key hash
     lands in the first rate_pct of 100 buckets. Stateless and

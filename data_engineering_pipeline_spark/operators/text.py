@@ -136,6 +136,60 @@ def quality_score(text: Column | str, *, toks: Column | None = None) -> Column:
     )
 
 
+def gopher_rules(
+    text: Column | str,
+    *,
+    toks: Column | None = None,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbol_pm: int = 100,
+    min_alpha_pm: int = 800,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, table A1
+    adapted to flat text): the standard cheap pre-filter a curation
+    pipeline runs BEFORE model-based scoring. Returns one boolean
+    Column per rule plus the conjunction under "keep":
+
+      word_count     min_tokens <= n <= max_tokens
+      mean_word_len  min_mean_len <= total_chars/n <= max_mean_len
+      symbol_ratio   (#'#' + #'...') / n <= max_symbol_pm / 1000
+      alpha_words    words containing an ASCII letter >= min_alpha_pm
+                     / 1000 of all words
+      stop_words     >= min_stopwords stopword occurrences
+
+    Every comparison is DIVISION-FREE integer arithmetic (the ratio
+    thresholds are per-mille ints, cross-multiplied), so the rules are
+    bit-exact cross-engine, immune to float boundary ties, and
+    ANSI-safe on zero-token docs (no divisor to guard — an empty doc
+    simply fails word_count). Per-row map work only: one scan, no
+    shuffle, whole-stage codegen."""
+    col = F.col(text) if isinstance(text, str) else text
+    t = _toks(text if toks is None else None, toks)
+    n = F.size(t)
+    total_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_hash = F.size(F.split(col, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(col, r"\.\.\.", -1)) - 1
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    rules = {
+        "word_count": (n >= min_tokens) & (n <= max_tokens),
+        "mean_word_len": (total_chars >= min_mean_len * n)
+        & (total_chars <= max_mean_len * n),
+        "symbol_ratio": (n_hash + n_ellipsis) * 1000 <= max_symbol_pm * n,
+        "alpha_words": n_alpha * 1000 >= min_alpha_pm * n,
+        "stop_words": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    rules["keep"] = keep
+    return rules
+
+
 def lang_scores(
     text: Column | str | None = None, *, toks: Column | None = None
 ) -> dict[str, Column]:

@@ -562,17 +562,31 @@ ORACLES["curation-temperature-alpha"] = _temp_alpha_oracle_sql()
 @_register(
     "curation-shards",
     """
-    WITH h AS (
+    WITH h0 AS (
       SELECT doc_id, n_chars,
              ((1 + doc_id) * 69069 + 1) % 4294967296 AS hk
       FROM documents
+    ), hr AS (
+      SELECT doc_id, n_chars,
+             hk % 1000000007 AS h1, hk % 999999937 AS h2
+      FROM h0
+    ), r1 AS (
+      SELECT doc_id, n_chars,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM hr
+    ), hu AS (
+      SELECT doc_id, n_chars,
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM r1
     ), r AS (
-      SELECT CAST(hk % 8 AS BIGINT) AS shard, doc_id,
-             row_number() OVER (PARTITION BY hk % 8
-                                ORDER BY hk, doc_id) AS pos,
-             count(*) OVER (PARTITION BY hk % 8) AS n_docs,
-             sum(n_chars) OVER (PARTITION BY hk % 8) AS sum_chars
-      FROM h
+      SELECT CAST(u % 8 AS BIGINT) AS shard, doc_id,
+             row_number() OVER (PARTITION BY u % 8
+                                ORDER BY u, doc_id) AS pos,
+             count(*) OVER (PARTITION BY u % 8) AS n_docs,
+             sum(n_chars) OVER (PARTITION BY u % 8) AS sum_chars
+      FROM hu
     )
     SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id,
            CAST(n_docs AS BIGINT) AS n_docs,
@@ -586,8 +600,10 @@ def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sharding.py): shard assignment and within-shard order
     are pure functions of (epoch, doc_id), so the oracle reproduces
     the exact layout — head rows of each shard prove the ORDER, the
-    per-shard counts prove assignment and balance. The epoch folds
-    into the hash (epoch 0 here: seed hash = (0*69069+1) = 1)."""
+    per-shard counts prove assignment and balance. The hash is
+    mixed_key_hash (r10): the LCG fold (epoch 0: seed = 1) then the
+    sketches' two-round quadratic cross-mix, so within-shard order is
+    a genuine permutation of contiguous ids, not ID order."""
     from pyspark.sql import Window
 
     from data_engineering_pipeline_spark.operators.sharding import (
@@ -1021,4 +1037,69 @@ def curation_decon_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+_CURR_WEIGHTS = {"en": 3, "de": 2, "fr": 1}
+_CURR_W_TOTAL = 6  # sum of weights; cycle width
+
+@_register(
+    "curation-curriculum",
+    f"""
+    WITH k AS (
+      SELECT doc_id, lang,
+             ((1 + doc_id) * 69069 + 1) % 4294967296 AS hk
+      FROM documents WHERE lang IN ('de', 'en', 'fr')
+    ), kr AS (
+      SELECT doc_id, lang,
+             hk % 1000000007 AS h1, hk % 999999937 AS h2
+      FROM k
+    ), k1 AS (
+      SELECT doc_id, lang,
+             (h1 * h1 + 48271 * h1 + h2) % 1000000007 AS g1,
+             (h2 * h2 + 69621 * h2 + h1) % 999999937 AS g2
+      FROM kr
+    ), ku AS (
+      SELECT doc_id, lang,
+             (g1 * g1 + 48271 * g1 + g2) % 1000000007 * 999999937
+             + (g2 * g2 + 69621 * g2 + g1) % 999999937 AS u
+      FROM k1
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY u, doc_id) - 1
+                  AS BIGINT) AS r
+      FROM ku
+    ), m AS (
+      SELECT doc_id, lang, r,
+             CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 3
+                       ELSE 1 END AS w,
+             CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 2
+                       ELSE 5 END AS o
+      FROM r
+    )
+    SELECT CAST((r // w) * {_CURR_W_TOTAL} + o + (r % w) AS BIGINT)
+             AS pos,
+           doc_id, lang
+    FROM m ORDER BY pos
+    """,
+)
+def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order curriculum (operators/sharding.py
+    curriculum_interleave): the curated corpus is scheduled as an
+    exact 3:2:1 en:de:fr weighted round-robin — every 6-position
+    cycle carries the target mixture, not just the corpus in
+    expectation — with within-domain order from the epoch-keyed hash
+    (epoch 0 here). Pure int64 position arithmetic, so the oracle
+    replays the entire schedule; domains outside the spec are
+    dropped (the target_mixture_rebalance contract)."""
+    from data_engineering_pipeline_spark.operators.sharding import (
+        curriculum_interleave,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curriculum_interleave(docs, "lang", _CURR_WEIGHTS, F.col("doc_id"))
+        .select("pos", "doc_id", "lang")
+        .orderBy("pos")
     )

@@ -568,3 +568,59 @@ def ann_index_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, queries, path, k=TOP_K, refine=_PQ_REFINE,
         cell_of=_sem_cell_col,
     )
+
+
+@_register(
+    "embedding-hard-pairs",
+    f"""
+    WITH {_VECS},
+    l AS (SELECT n.vec_id, n.v, n.nrm, e2.label
+          FROM n JOIN embeddings e2 USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, label AS ql
+          FROM l WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cid, q.ql, c.label AS cl,
+             round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 4)
+               AS s
+      FROM q JOIN l c ON c.vec_id <> q.query_id
+    ),
+    neg AS (
+      SELECT query_id, cid AS hard_neg_id, s AS hard_neg_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, cid) AS rn
+            FROM scored WHERE ql <> cl) WHERE rn = 1
+    ),
+    pos AS (
+      SELECT query_id, cid AS hard_pos_id, s AS hard_pos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY s ASC, cid) AS rn
+            FROM scored WHERE ql = cl) WHERE rn = 1
+    )
+    SELECT q.query_id, neg.hard_neg_id, neg.hard_neg_sim,
+           pos.hard_pos_id, pos.hard_pos_sim
+    FROM q LEFT JOIN neg USING (query_id)
+    LEFT JOIN pos USING (query_id)
+    ORDER BY q.query_id
+    """,
+)
+def embedding_hard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (operators/similarity.py
+    hard_pair_mining): for each of the first 10 vectors, the hardest
+    negative (top-cosine different-label row) and hardest positive
+    (bottom-cosine same-label row) — the mining step that turns a
+    labeled embedding corpus into contrastive training pairs. Exact
+    arm graded (rounded-cosine ranking, id tie-break); at corpus
+    scale candidate generation swaps to the ANN index per label
+    partition, feeding the same two windows."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        hard_pair_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    return hard_pair_mining(queries, corpus).orderBy("query_id")

@@ -1871,3 +1871,71 @@ def text_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("group", "q_pct", "n", "exact_val", "lo", "hi", "est")
         .orderBy("group", "q_pct")
     )
+
+
+_GOPHER_MIN_T, _GOPHER_MAX_T = 30, 80
+_GOPHER_MIN_ML, _GOPHER_MAX_ML = 4, 5
+
+@_register(
+    "text-gopher-rules",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n,
+        coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+          AS tc,
+        len(string_split(text, '#')) - 1 AS nh,
+        len(string_split(text, '...')) - 1 AS ne,
+        len(list_filter(toks, x -> x IN {_STOP_SQL})) AS ns,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          AS na
+      FROM t
+    )
+    SELECT doc_id,
+      (n >= {_GOPHER_MIN_T} AND n <= {_GOPHER_MAX_T}) AS word_count,
+      (tc >= {_GOPHER_MIN_ML} * n AND tc <= {_GOPHER_MAX_ML} * n)
+        AS mean_word_len,
+      ((nh + ne) * 1000 <= 100 * n) AS symbol_ratio,
+      (na * 1000 >= 800 * n) AS alpha_words,
+      (ns >= 2) AS stop_words,
+      ((n >= {_GOPHER_MIN_T} AND n <= {_GOPHER_MAX_T})
+       AND (tc >= {_GOPHER_MIN_ML} * n AND tc <= {_GOPHER_MAX_ML} * n)
+       AND ((nh + ne) * 1000 <= 100 * n)
+       AND (na * 1000 >= 800 * n)
+       AND (ns >= 2)) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021;
+    operators/text.py gopher_rules): the cheap rule-based pre-filter a
+    curation pipeline runs before any model-based scoring — word-count
+    band, mean-word-length band, symbol ratio, alphabetic-word
+    fraction, stopword presence — reported per rule plus the
+    conjunction. Thresholds are per-mille integers cross-multiplied,
+    so every boolean is bit-exact cross-engine with no division and
+    no float boundary ties; the whole query is one scan of map-side
+    codegen'd expressions (the 100 TB shape: this filter runs FIRST,
+    so it must cost one pass and nothing else)."""
+    from data_engineering_pipeline_spark.operators.text import (
+        gopher_rules,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    rules = gopher_rules(
+        "text",
+        toks=F.col("__toks"),
+        min_tokens=_GOPHER_MIN_T,
+        max_tokens=_GOPHER_MAX_T,
+        min_mean_len=_GOPHER_MIN_ML,
+        max_mean_len=_GOPHER_MAX_ML,
+    )
+    return toked.select(
+        "doc_id",
+        *[rules[k].alias(k) for k in
+          ("word_count", "mean_word_len", "symbol_ratio",
+           "alpha_words", "stop_words", "keep")],
+    ).orderBy("doc_id")

@@ -22,6 +22,23 @@ def _docs(spark, n=500):
     )
 
 
+
+def _mixed_py(epoch, key):
+    """Python mirror of operators/sampling.py mixed_key_hash: the
+    epoch-keyed LCG fold + the sketches' two-round quadratic
+    cross-mix (r10: shard order moved off the bare LCG, whose values
+    are affine in contiguous ids)."""
+    h = ((0 + epoch) * 69069 + 1) % 2**32
+    h = ((h + key) * 69069 + 1) % 2**32
+    h1, h2 = h % 1_000_000_007, h % 999_999_937
+    for _ in range(2):
+        h1, h2 = (
+            (h1 * h1 + 48271 * h1 + h2) % 1_000_000_007,
+            (h2 * h2 + 69621 * h2 + h1) % 999_999_937,
+        )
+    return h1 * 999_999_937 + h2
+
+
 def test_export_layout_sorted_and_complete(spark, tmp_path):
     out = str(tmp_path / "shards")
     export_shards(_docs(spark), out, 4, ["doc_id"])
@@ -37,8 +54,10 @@ def test_export_layout_sorted_and_complete(spark, tmp_path):
     f0 = [f for f in os.listdir(d0) if f.endswith(".parquet")]
     assert len(f0) == 1  # one writer task per shard
     ids = pq.read_table(os.path.join(d0, f0[0]))["doc_id"].to_pylist()
-    hk = [((1 + i) * 69069 + 1) % 2**32 for i in ids]  # epoch-0 LCG
+    hk = [_mixed_py(0, i) for i in ids]
     assert hk == sorted(hk)
+    # and the scramble means shuffle order is NOT id order (r10)
+    assert ids != sorted(ids)
 
 
 def test_shard_contents_partitioning_independent(spark):
@@ -68,23 +87,28 @@ def test_epoch_reshuffles(spark):
 
 
 def test_hash_matches_operator(spark):
-    """shuffle_shard's hash must be exactly key_hash(epoch, key) — the
-    cross-engine LCG the oracle reproduces."""
+    """shuffle_shard's hash must be exactly mixed_key_hash(epoch, key)
+    — the cross-engine scrambled LCG the oracle reproduces."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        mixed_key_hash,
+    )
+
     docs = _docs(spark, 50)
     sh = shuffle_shard(docs, 4, F.col("doc_id"), epoch=3)
     ref = docs.select(
-        "doc_id", key_hash(F.lit(3), F.col("doc_id")).alias("h")
+        "doc_id", mixed_key_hash(F.lit(3), F.col("doc_id")).alias("h")
     )
     j = sh.join(ref, "doc_id")
     assert j.filter(F.col("__h") != F.col("h")).count() == 0
 
 
 def test_epoch0_hash_key_in_oracle_form(spark):
-    """The epoch-0 shuffle hash folds to ((1+key)*69069+1) % 2^32 —
-    the closed form the curation-shards oracle SQL uses."""
+    """The epoch-0 shuffle hash folds to the scrambled
+    ((1+key)*69069+1) % 2^32 — the closed form the curation-shards
+    oracle SQL mirrors (LCG seed + two quadratic cross-mix rounds)."""
     sh = shuffle_shard(_docs(spark, 20), 4, F.col("doc_id"))
     for r in sh.collect():
-        assert r["__h"] == ((1 + r["doc_id"]) * 69069 + 1) % 2**32
+        assert r["__h"] == _mixed_py(0, r["doc_id"])
 
 
 def test_refresh_shards_rebuilds_only_affected(spark, tmp_path):
@@ -120,8 +144,7 @@ def test_refresh_shards_rebuilds_only_affected(spark, tmp_path):
     src.merge_into(upd, ["doc_id"])
     res2 = refresh_shards(src, out, 8, ["doc_id"])
     # doc 3 -> shard of hash(3), doc 7 -> shard of hash(7)
-    h = lambda i: ((1 + i) * 69069 + 1) % 2**32  # noqa: E731
-    want = sorted({h(3) % 8, h(7) % 8})
+    want = sorted({_mixed_py(0, 3) % 8, _mixed_py(0, 7) % 8})
     assert res2["rebuilt"] == want
     after = {
         d: os.path.getmtime(os.path.join(out, d))
@@ -332,3 +355,44 @@ def test_shard_manifest_audits_string_keyed_export(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="all as names"):
         shard_manifest(docs, 4, "doc_id", F.col("v"))
+
+
+def test_curriculum_interleave_exact_mixture_per_cycle(spark):
+    """curriculum_interleave (r10): while every domain still has rows,
+    EVERY cycle of width sum(weights) carries exactly the target mix;
+    positions are unique; epoch re-keys the within-domain order; and
+    non-positive weights are rejected."""
+    import pytest as _pytest
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        curriculum_interleave,
+    )
+
+    rows = (
+        [(i, "en") for i in range(30)]
+        + [(100 + i, "de") for i in range(20)]
+        + [(200 + i, "fr") for i in range(10)]
+        + [(300 + i, "xx") for i in range(5)]  # unspecified: dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    weights = {"en": 3, "de": 2, "fr": 1}
+    out = curriculum_interleave(
+        df, "domain", weights, F.col("doc_id")
+    ).collect()
+    assert len(out) == 60  # xx dropped
+    assert len({r.pos for r in out}) == 60  # dense-unique schedule
+    by_pos = {r.pos: r.domain for r in out}
+    # fr exhausts last here (10 cycles of 6 slots = 60 = all rows), so
+    # every cycle is full and carries exactly 3 en + 2 de + 1 fr
+    for c in range(10):
+        window = [by_pos[c * 6 + s] for s in range(6)]
+        assert sorted(window) == ["de", "de", "en", "en", "en", "fr"]
+
+    e1 = {r.doc_id: r.pos for r in curriculum_interleave(
+        df, "domain", weights, F.col("doc_id"), epoch=1).collect()}
+    e0 = {r.doc_id: r.pos for r in out}
+    assert e0 != e1  # epoch re-keys the permutation
+    assert set(e0) == set(e1)  # same rows scheduled
+
+    with _pytest.raises(ValueError, match="positive"):
+        curriculum_interleave(df, "domain", {"en": 0}, F.col("doc_id"))

@@ -771,3 +771,39 @@ def test_ivf_quantizer_skips_nonfinite_vectors(spark):
     finite_ids = {r.corpus_id for r in got
                   if r.cos_sim is not None and not math.isnan(r.cos_sim)}
     assert finite_ids, "finite neighbors must survive a corrupt row"
+
+
+def test_hard_pair_mining_hand_computed(spark):
+    """hard_pair_mining (r10): hand-checkable 2-D geometry — the hard
+    negative is the closest OTHER-label vector, the hard positive the
+    farthest SAME-label one; a query whose label is unique gets a NULL
+    hard positive and an all-one-label corpus yields NULL negatives."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        hard_pair_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.1], 1),    # same label, very close
+        (2, [0.0, 1.0], 1),    # same label, orthogonal -> hard pos
+        (3, [1.0, 0.05], 2),   # other label, closest -> hard neg
+        (4, [-1.0, 0.0], 2),   # other label, opposite
+        (5, [0.5, 0.5], 3),    # unique label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.selectExpr("vec_id as query_id", "embedding", "label")
+    c = df.selectExpr("vec_id as corpus_id", "embedding", "label")
+    got = {r.query_id: r for r in hard_pair_mining(q, c).collect()}
+    assert got[0].hard_neg_id == 3   # closest different-label
+    assert got[0].hard_pos_id == 2   # farthest same-label
+    assert got[5].hard_pos_id is None  # unique label: no positive
+    assert got[5].hard_neg_id is not None
+
+    one = df.filter("label = 1")
+    got1 = {r.query_id: r for r in hard_pair_mining(
+        one.selectExpr("vec_id as query_id", "embedding", "label"),
+        one.selectExpr("vec_id as corpus_id", "embedding", "label"),
+    ).collect()}
+    assert all(r.hard_neg_id is None for r in got1.values())

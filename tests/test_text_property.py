@@ -260,3 +260,38 @@ def test_text_metrics_survive_pathological_docs(spark):
     )
     assert _filter_quality(ws, 0.0).count() == 2
     assert _filter_quality(ws, 0.1).count() == 1
+
+
+def test_gopher_rules_hand_computed(spark):
+    """gopher_rules (r10): hand-computed rule booleans on edge docs —
+    empty/whitespace docs fail word_count without any ANSI division
+    error, symbol-laden docs fail symbol_ratio, numeric docs fail
+    alpha_words, and a clean doc inside every band keeps."""
+    from data_engineering_pipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    clean = ("the quick brown fox jumps over the lazy dog and runs "
+             "into the wide field of tall grass near a quiet stream")
+    docs = [
+        (1, clean),                              # keeps (bounds 10..40)
+        (2, ""),                                 # empty: word_count False
+        (3, "   "),                              # whitespace-only
+        (4, "### " * 15 + "the a of to in is"),  # symbol-heavy
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 the a"), # numeric: alpha fails
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rules = gopher_rules("text", min_tokens=10, max_tokens=40)
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[rules[k].alias(k) for k in
+                        ("word_count", "mean_word_len", "symbol_ratio",
+                         "alpha_words", "stop_words", "keep")]
+        ).collect()
+    }
+    assert got[1].keep is True
+    assert got[2].word_count is False and not got[2].keep
+    assert got[3].word_count is False and not got[3].keep
+    assert got[4].symbol_ratio is False and not got[4].keep
+    assert got[5].alpha_words is False and not got[5].keep
