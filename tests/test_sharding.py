@@ -396,3 +396,35 @@ def test_curriculum_interleave_exact_mixture_per_cycle(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         curriculum_interleave(df, "domain", {"en": 0}, F.col("doc_id"))
+
+
+def test_curriculum_bucketed_rank_bit_equal_and_partitioned(spark):
+    """The production rank path (rank_buckets=N: equal-width hash
+    buckets + driver prefix sums + per-(domain,bucket) windows) is
+    BIT-IDENTICAL to the single-window graded path, and its physical
+    plan windows on (domain, bucket), never on domain alone."""
+    from data_engineering_pipeline_spark.operators.sharding import (
+        curriculum_interleave,
+    )
+
+    rows = (
+        [(i, "en") for i in range(120)]
+        + [(1000 + i, "de") for i in range(80)]
+        + [(2000 + i, "fr") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    weights = {"en": 3, "de": 2, "fr": 1}
+    base = {(r.doc_id, r.pos) for r in curriculum_interleave(
+        df, "domain", weights, F.col("doc_id")).collect()}
+    for n_b in (2, 7, 64):
+        got = {(r.doc_id, r.pos) for r in curriculum_interleave(
+            df, "domain", weights, F.col("doc_id"),
+            rank_buckets=n_b).collect()}
+        assert got == base, f"rank_buckets={n_b} diverged"
+
+    plan = curriculum_interleave(
+        df, "domain", weights, F.col("doc_id"), rank_buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "__b" in m.group(1) or "domain" not in m.group(1)
