@@ -452,3 +452,48 @@ def test_redact_pii_is_idempotent(spark):
     once = df.select(redact_pii("text").alias("t"))
     twice = once.select(redact_pii("t").alias("t"))
     assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+
+
+def test_hash_key_scale_paths_match_string_keys(spark):
+    """r10 review: the three exact-matching dedup operators promised a
+    hash-key shuffle at scale in their docstrings but always shuffled
+    full strings. The new fingerprint/hash_chunks/hash_keys paths must
+    produce identical results to the string-keyed graded defaults."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        boilerplate_segments,
+        chunk_dedup,
+        exact_dedup,
+    )
+
+    rows = []
+    for i in range(40):
+        body = f"document {i} body with some distinct words here {i}"
+        rows.append((i, body))
+    # exact dups (punctuation/case variants) + shared chunks/segments
+    rows += [
+        (100, "Document 7 body, with some distinct words here 7"),
+        (101, "shared chunk one two three four five six seven eight "
+              "nine ten unique tail 101"),
+        (102, "shared chunk one two three four five six seven eight "
+              "nine ten unique tail 102"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = {r.doc_id for r in exact_dedup(df, "text", "doc_id").collect()}
+    b = {r.doc_id for r in exact_dedup(
+        df, "text", "doc_id", fingerprint=True).collect()}
+    assert a == b and 100 not in a
+
+    ca = sorted(map(tuple, chunk_dedup(df, "doc_id", "text").collect()))
+    cb = sorted(map(tuple, chunk_dedup(
+        df, "doc_id", "text", hash_chunks=True).collect()))
+    assert ca == cb
+
+    nl = df.withColumn(
+        "text", F.regexp_replace("text", " with ", "\nwith ")
+    )
+    ba = sorted(map(tuple, boilerplate_segments(
+        nl, "doc_id", "text", min_docs=2).collect()))
+    bb = sorted(map(tuple, boilerplate_segments(
+        nl, "doc_id", "text", min_docs=2, hash_keys=True).collect()))
+    assert ba == bb
