@@ -127,6 +127,8 @@ HEADLINE = [
     "text-gopher-rules",
     "curation-curriculum",
     "embedding-hard-pairs",
+    "curation-decon-spans",
+    "curation-cluster-balance",
 ]
 
 TIMED_RUNS = 3

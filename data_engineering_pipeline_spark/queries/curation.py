@@ -1103,3 +1103,85 @@ def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", "doc_id", "lang")
         .orderBy("pos")
     )
+
+
+_SPAN_N = 3
+
+def _decon_spans_oracle() -> str:
+    from data_engineering_pipeline_spark.queries.dedup import (
+        _porthash_sql,
+    )
+
+    n = _SPAN_N
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), ev AS (
+      SELECT DISTINCT {_porthash_sql('gram')} AS g FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(toks) - {n - 1}),
+                 i -> array_to_string(toks[i : i + {n - 1}], ' ')))
+               AS gram
+        FROM t WHERE TRY_CAST(substr(source, 4) AS INTEGER) >= 10
+          AND len(toks) >= {n})
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+      WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 10
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             {_porthash_sql(
+                 f"array_to_string(toks[i : i + {n - 1}], ' ')")} AS g
+      FROM c, unnest(generate_series(1, len(toks) - {n - 1})) AS u(i)
+      WHERE len(toks) >= {n}
+    ), hits AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN ev ON ev.g = w.g
+    ), cov AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_contam_windows,
+             list_sort(list_distinct(flatten(list(
+               list_transform(generate_series(0, {n - 1}),
+                              k -> pos + k))))) AS cv
+      FROM hits GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(v.n_contam_windows, 0) AS BIGINT)
+             AS n_contam_windows,
+           CAST(coalesce(len(v.cv), 0) AS BIGINT) AS removed_tokens,
+           coalesce(array_to_string(list_filter(
+             list_transform(c.toks,
+               (x, i) -> CASE WHEN NOT list_contains(
+                                coalesce(v.cv, []), i - 1)
+                              THEN x END),
+             x -> x IS NOT NULL), ' '), '') AS clean_text
+    FROM c LEFT JOIN cov v ON v.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+@_register("curation-decon-spans", _decon_spans_oracle())
+def curation_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (operators/dedup.py
+    decontaminate_spans): instead of dropping every corpus document
+    that shares an n-gram with the eval set (curation-decon-mix's
+    policy), the contaminated token WINDOWS are cut out and the
+    document keeps its clean remainder — the surgical treatment for
+    long documents tainted by one boilerplate sentence. Sources
+    src10+ play the eval set, src0-9 the corpus (same cast as the
+    decon-mix query). Graded over the portable token hash so the
+    oracle replays the exact gram grouping; xxhash64 is the scale
+    default. Scale: the eval gram set broadcasts; the corpus pays one
+    windows explode + one doc_id groupBy; clean text is sliced with
+    an indexed transform (no second explode)."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+        portable_token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).try_cast("int")
+    corpus = docs.filter(srcnum < 10)
+    ev = docs.filter(srcnum >= 10)
+    return decontaminate_spans(
+        corpus, ev, n=_SPAN_N, gram_hash=portable_token_hash
+    ).orderBy("doc_id")

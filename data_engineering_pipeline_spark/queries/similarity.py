@@ -624,3 +624,80 @@ def embedding_hard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
     return hard_pair_mining(queries, corpus).orderBy("query_id")
+
+
+@_register(
+    "curation-cluster-balance",
+    f"""
+    WITH {_VECS},
+    g AS (SELECT vec_id, {_sem_cell_sql('v')} AS cell FROM n),
+    c AS (SELECT cell, count(*) AS n_vecs FROM g GROUP BY cell),
+    p AS (SELECT cell, n_vecs,
+                 CAST(floor(sqrt(CAST(min(n_vecs) OVER () AS DOUBLE)
+                                 / n_vecs) * 1000000.0) AS BIGINT)
+                   AS keep_ppm
+          FROM c),
+    k AS (
+      SELECT g.cell, count(*) AS n_kept, sum(g.vec_id) AS kept_id_sum
+      FROM g JOIN p USING (cell)
+      WHERE ((g.vec_id * 69069 + 1) % 4294967296) % 1000000
+            < p.keep_ppm
+      GROUP BY g.cell
+    )
+    SELECT CAST(p.cell AS BIGINT) AS cell,
+           CAST(p.n_vecs AS BIGINT) AS n_vecs, p.keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           k.kept_id_sum
+    FROM p LEFT JOIN k ON k.cell = p.cell
+    ORDER BY p.cell
+    """,
+)
+def curation_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: temperature rebalance
+    (alpha=0.5) with EMBEDDING-SPACE CLUSTERS as the strata instead of
+    metadata — the topic-balance step (DoReMi-style domain reweighting
+    when no domain labels exist: over-represented regions of embedding
+    space are downsampled by the sqrt law). Graded with the
+    deterministic grid quantizer shared with dedup-semantic so the
+    oracle computes identical cells; production swaps in the KMeans
+    quantizer (train_ivf_centroids) with the same stratum contract.
+    Scale: cell assignment is map-side arithmetic; the rebalancer
+    shuffles only the |cells|-row count table — the corpus is
+    filtered in place (the temperature_rebalance plan)."""
+    from data_engineering_pipeline_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", _sem_cell_col(F.col("embedding")).alias("cell")
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    mn = counts.agg(F.min("n_vecs").alias("__min_n"))
+    ppm = counts.join(F.broadcast(mn)).select(
+        "cell",
+        "n_vecs",
+        F.floor(
+            F.sqrt(F.col("__min_n").cast("double") / F.col("n_vecs"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("keep_ppm"),
+    )
+    kept = (
+        temperature_rebalance(cells, "cell", 0.5, F.col("vec_id"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.sum("vec_id").alias("__kept_sum"),
+        )
+    )
+    return (
+        ppm.join(kept, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "keep_ppm",
+            F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.col("__kept_sum").alias("kept_id_sum"),
+        )
+        .orderBy("cell")
+    )

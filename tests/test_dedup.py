@@ -497,3 +497,36 @@ def test_hash_key_scale_paths_match_string_keys(spark):
     bb = sorted(map(tuple, boilerplate_segments(
         nl, "doc_id", "text", min_docs=2, hash_keys=True).collect()))
     assert ba == bb
+
+
+def test_decontaminate_spans_hand_computed(spark):
+    """decontaminate_spans (r10): hand-checkable span surgery — the
+    contaminated 3-gram window's tokens vanish, the rest survive in
+    order; an untainted doc passes through verbatim; a fully-covered
+    doc returns ''; sub-n docs are untouched (no ANSI index errors)."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally clean document with nothing shared"),
+            (3, "beta gamma delta"),  # fully covered
+            (4, "tiny doc"),          # shorter than n: untouched
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xxx beta gamma delta yyy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in decontaminate_spans(
+        corpus, ev, n=3).collect()}
+    # doc 1: window at pos 1 ('beta gamma delta') covered -> removed
+    assert got[1].n_contam_windows == 1
+    assert got[1].removed_tokens == 3
+    assert got[1].clean_text == "alpha epsilon zeta"
+    assert got[2].n_contam_windows == 0
+    assert got[2].clean_text == "totally clean document with nothing shared"
+    assert got[3].clean_text == "" and got[3].removed_tokens == 3
+    assert got[4].n_contam_windows == 0 and got[4].clean_text == "tiny doc"
