@@ -107,6 +107,11 @@ INTENDED_NESTED_LOOP = {
     # pair enumeration over GROUPS (sources/crawls — hundreds, never
     # rows); the corpus itself is touched once, sketch-side only
     "corpus-overlap",
+    # r10: the exact contrastive-mining arm — broadcast query set x
+    # corpus, the ann-topk-cosine shape (production candidates come
+    # from the ANN index per label partition)
+    "embedding-hard-pairs",
+    "curation-cluster-balance",  # smallest-cell size: 1-row broadcast
 }
 
 
