@@ -491,24 +491,29 @@ def incremental_minhash_dedup(
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
     band_cols = _band_structs(bands, rows)
 
+    # SLIM banding (r10, caught by the 500k delta probe): the banded
+    # frames used to carry all K minhash columns through the 8-way
+    # band explode — an 8x duplication of the signature payload on
+    # BOTH shuffle sides of the candidate join, store side included
+    # (the probe's dominant growth term). Band only (id, band,
+    # bucket); candidates are id pairs; the K-column signatures are
+    # fetched back by id AFTER the distinct — two hash joins over the
+    # (few) candidates instead of duplicated payload over the (many)
+    # banded rows, the same candidates-then-fetch shape as
+    # minhash_lsh_pairs' verify stage.
     def banded(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(id_col), *mh_cols, F.explode(F.array(*band_cols)).alias("bb")
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
         ).select(
-            id_col, *mh_cols,
-            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+            id_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
 
     new_banded = banded(sig).alias("a")
     all_banded = banded(all_sigs).alias("b")
     # candidates: new docs vs ANYTHING (old or new) sharing a band bucket
-    matches = F.lit(0)
-    for c in mh_cols:
-        matches = matches + F.when(
-            F.col(f"a.{c}") == F.col(f"b.{c}"), 1
-        ).otherwise(0)
-    est = (matches / F.lit(num_hashes)).alias("est_jaccard")
-    pairs = (
+    cand = (
         new_banded.join(
             all_banded,
             (F.col("a.band") == F.col("b.band"))
@@ -518,9 +523,30 @@ def incremental_minhash_dedup(
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            est,
         )
         .distinct()
+    )
+    sa = all_sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in mh_cols],
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in mh_cols],
+    )
+    matches = F.lit(0)
+    for c in mh_cols:
+        matches = matches + F.when(
+            F.col(f"__a_{c}") == F.col(f"__b_{c}"), 1
+        ).otherwise(0)
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(num_hashes)).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )
     state = fresh_sig if state_mode == "delta" else all_sigs
