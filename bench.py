@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding-hard-pairs",
     "curation-decon-spans",
     "curation-cluster-balance",
+    "text-oov-rate",
 ]
 
 TIMED_RUNS = 3

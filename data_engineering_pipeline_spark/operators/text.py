@@ -261,3 +261,52 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return col
+
+
+def oov_rate(
+    docs,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-`vocab_size` words — the vocab-coverage filter a tokenizer
+    pipeline runs before training (a doc whose tokens are mostly
+    outside the working vocabulary is noise, markup, or the wrong
+    language; its sequences explode into rare-piece soup). Returns
+    (id, n_tokens, n_oov, oov_rate) for every doc with >= 1 token;
+    oov_rate is an int/int IEEE division (bit-deterministic).
+
+    Scale shape: the vocabulary is ONE partial-aggregated word count
+    + an ordered limit (TakeOrderedAndProject — per-partition heaps,
+    never a global sort of the vocabulary; ties break on the word so
+    the cut is deterministic), broadcast back; the corpus pays one
+    explode + one broadcast membership join + one id groupBy. The
+    vocab is corpus-derived here (self-coverage); pass-through of a
+    FROZEN external vocabulary is the same join with the limit
+    replaced by a table read."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    vocab = (
+        ex.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w")
+        .limit(int(vocab_size))
+        .select("w", F.lit(1).alias("__in_v"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_v").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens"),
+        )
+    )

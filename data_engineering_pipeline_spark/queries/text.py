@@ -1939,3 +1939,41 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
           ("word_count", "mean_word_len", "symbol_ratio",
            "alpha_words", "stop_words", "keep")],
     ).orderBy("doc_id")
+
+
+_OOV_V = 400
+
+@_register(
+    "text-oov-rate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    v AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM ex GROUP BY w) WHERE rn <= {_OOV_V}
+    )
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS oov_rate
+    FROM ex LEFT JOIN v ON v.w = ex.w
+    GROUP BY ex.doc_id ORDER BY ex.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage scoring (operators/text.py oov_rate): each
+    document's fraction of token occurrences outside the corpus'
+    top-400 words — the tokenizer-pipeline noise filter (high-OOV
+    docs are markup, wrong-language, or junk, and blow up into
+    rare-piece sequences). The vocab cut is an ordered limit with a
+    word tiebreak, so both engines keep the identical 400 words; the
+    rate is an int/int IEEE division. One corpus explode, one
+    broadcast membership join, one id groupBy."""
+    from data_engineering_pipeline_spark.operators.text import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=_OOV_V).orderBy("doc_id")
