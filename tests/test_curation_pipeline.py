@@ -836,3 +836,40 @@ def test_rebuild_timings_decompose_split_stage(spark, tmp_path):
         assert key in t and t[key] >= 0.0
     assert "rebalance_split_write" not in t
     assert isinstance(s["split_pairs"], int)
+
+
+def test_pipeline_survives_empty_batches(spark, tmp_path):
+    """r10: an empty batch is a routine orchestrator state (a source
+    that produced nothing this cycle) — the pipeline must land it,
+    run every stage, and report zeros, in all three shapes: empty
+    bootstrap without gates, empty bootstrap with ALL stages on, and
+    an empty delta increment against a populated work dir."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, lang string, text string"
+    )
+    ev = spark.createDataFrame(
+        [(1, "en", "zq1 xv7 wk13 jz3 aa bb cc")],
+        "doc_id long, lang string, text string",
+    ).select("text")
+
+    s1 = curate_batch(spark, empty, str(tmp_path / "w1"), alpha=1.0)
+    assert s1["landed"] == 0 and s1["curated"] == 0
+
+    s2 = curate_batch(
+        spark, empty, str(tmp_path / "w2"), alpha=1.0,
+        split_threshold=0.5, ppl_gate=(800_000, 500_000),
+        decontaminate=ev,
+    )
+    assert s2["landed"] == 0 and s2["curated"] == 0
+
+    w3 = str(tmp_path / "w3")
+    curate_batch(
+        spark, _mk_docs(spark, _corpus(0, 30)), w3, alpha=1.0,
+        ppl_gate=(800_000, 500_000), decontaminate=ev,
+    )
+    s3 = curate_increment(
+        spark, empty, w3, batch_id=1, mode="delta", alpha=1.0,
+        ppl_gate=(800_000, 500_000), decontaminate=True,
+    )
+    assert s3["batch_survivors"] == 0 and s3["retracted"] == 0
+    assert s3["curated"] > 0  # the existing corpus is untouched
