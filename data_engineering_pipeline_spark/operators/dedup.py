@@ -982,5 +982,8 @@ def decontaminate_spans(
         F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias(
             "removed_tokens"
         ),
-        clean.alias("clean_text"),
+        # coalesce: a NULL-text doc has a NULL token array, so the
+        # sliced join is NULL — the oracle (and the "'' when everything
+        # was covered" contract) says empty string, not NULL
+        F.coalesce(clean, F.lit("")).alias("clean_text"),
     )

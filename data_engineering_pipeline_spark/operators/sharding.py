@@ -191,6 +191,13 @@ def refresh_shards(
 
     recover_shards(out_dir)
     state_path = os.path.join(out_dir, "_shards_state.json")
+    # layout/hash version: shard ASSIGNMENT is a pure function of the
+    # key-hash algorithm, so a hash change (key_hash -> mixed_key_hash,
+    # r10) silently strands untouched shard dirs on old-hash placement
+    # if the incremental path runs across it. Stamp the version into
+    # the watermark and force a full rebuild when it is absent or
+    # different, exactly like the n_shards/epoch mismatch path.
+    _HASH_VERSION = "mixed-v2"
 
     def _write_state(version: int) -> None:
         os.makedirs(out_dir, exist_ok=True)
@@ -198,7 +205,7 @@ def refresh_shards(
         with open(tmp, "w") as fh:
             json.dump(
                 {"applied": version, "n_shards": n_shards,
-                 "epoch": epoch}, fh,
+                 "epoch": epoch, "hash": _HASH_VERSION}, fh,
             )
         os.rename(tmp, state_path)
 
@@ -209,8 +216,10 @@ def refresh_shards(
     if os.path.exists(state_path):
         with open(state_path) as fh:
             st = json.load(fh)
-        if (st["n_shards"], st["epoch"]) != (n_shards, epoch):
-            applied = -1  # layout params changed: full rebuild
+        if (st["n_shards"], st["epoch"], st.get("hash")) != (
+            n_shards, epoch, _HASH_VERSION
+        ):
+            applied = -1  # layout params / hash algo changed: rebuild
         else:
             applied = st["applied"]
     if applied >= head:

@@ -1261,8 +1261,12 @@ def hard_pair_mining(
             F.col("__sim").alias("hard_neg_sim"),
         )
     )
+    # asc_nulls_last, NOT asc: Spark ASC is nulls-FIRST while the
+    # oracle's ORDER BY s ASC is nulls-LAST — a zero-norm/NULL
+    # embedding yields a NULL sim (try_divide) and plain asc would
+    # mine it as EVERY query's hard positive
     wp = Window.partitionBy(query_id).orderBy(
-        F.col("__sim").asc(), F.col(corpus_id)
+        F.col("__sim").asc_nulls_last(), F.col(corpus_id)
     )
     pos = (
         scored.filter(F.col("__ql") == F.col("__cl"))

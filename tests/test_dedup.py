@@ -530,3 +530,26 @@ def test_decontaminate_spans_hand_computed(spark):
     assert got[2].clean_text == "totally clean document with nothing shared"
     assert got[3].clean_text == "" and got[3].removed_tokens == 3
     assert got[4].n_contam_windows == 0 and got[4].clean_text == "tiny doc"
+
+
+def test_decontaminate_spans_null_text_clean_is_empty(spark):
+    """ADVICE r11: a NULL-text corpus doc has a NULL token array, so
+    the sliced rejoin was NULL while the oracle coalesces clean_text
+    to '' — one adversarial row away from a hash mismatch. Pin the
+    coalesce: clean_text is '' (never NULL) for null-text docs."""
+    from data_engineering_pipeline_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "beta gamma delta")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in decontaminate_spans(
+        corpus, ev, n=3).collect()}
+    assert got[2].clean_text == ""
+    assert got[2].n_contam_windows == 0
+    assert got[1].clean_text == "alpha"

@@ -428,3 +428,53 @@ def test_curriculum_bucketed_rank_bit_equal_and_partitioned(spark):
     import re
     for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
         assert "__b" in m.group(1) or "domain" not in m.group(1)
+
+
+def test_refresh_shards_hash_version_forces_rebuild(spark, tmp_path):
+    """ADVICE r11: shard ASSIGNMENT is a pure function of the key-hash
+    algorithm, so a watermark written under an older hash (r10 moved
+    key_hash -> mixed_key_hash) must NOT refresh incrementally —
+    untouched shard dirs would keep old-hash placement while changed
+    docs land at new-hash shards, duplicating/dropping rows. A state
+    file without the "hash" stamp (or with a different one) forces a
+    full rebuild; the current stamp refreshes incrementally."""
+    import json
+
+    from data_engineering_pipeline_spark.operators.sharding import (
+        refresh_shards,
+    )
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(_docs(spark, 200))
+    out = str(tmp_path / "shards")
+    assert refresh_shards(src, out, 4, ["doc_id"])["rebuilt"] == list(
+        range(4)
+    )
+    state_path = os.path.join(out, "_shards_state.json")
+    with open(state_path) as fh:
+        st = json.load(fh)
+    assert st["hash"] == "mixed-v2"
+
+    # simulate a pre-stamp export: drop the hash key, bump nothing else
+    del st["hash"]
+    with open(state_path, "w") as fh:
+        json.dump(st, fh)
+    upd = spark.createDataFrame(
+        [(3, "UPDATED")], "doc_id long, text string"
+    )
+    src.merge_into(upd, ["doc_id"])
+    res = refresh_shards(src, out, 4, ["doc_id"])
+    assert res["rebuilt"] == list(range(4))  # full rebuild, not 1 shard
+
+    # with the current stamp, the next change refreshes incrementally
+    src.merge_into(
+        spark.createDataFrame(
+            [(5, "UPDATED2")], "doc_id long, text string"
+        ),
+        ["doc_id"],
+    )
+    res2 = refresh_shards(src, out, 4, ["doc_id"])
+    assert res2["rebuilt"] == [_mixed_py(0, 5) % 4]

@@ -807,3 +807,32 @@ def test_hard_pair_mining_hand_computed(spark):
         one.selectExpr("vec_id as corpus_id", "embedding", "label"),
     ).collect()}
     assert all(r.hard_neg_id is None for r in got1.values())
+
+
+def test_hard_pair_mining_null_sim_never_hard_positive(spark):
+    """ADVICE r11: a zero-norm embedding yields a NULL cosine (nullif
+    divisor guard), and Spark's plain ASC is nulls-FIRST — before the
+    asc_nulls_last fix the degenerate vector became EVERY query's hard
+    positive, diverging from the oracle's nulls-LAST ORDER BY. The
+    NULL-sim row must rank after every real similarity."""
+    from data_engineering_pipeline_spark.operators.similarity import (
+        hard_pair_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.0, 1.0], 1),    # orthogonal same-label -> hard pos
+        (2, [0.0, 0.0], 1),    # zero-norm: NULL sim, must never win
+        (3, [1.0, 0.1], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.query_id: r for r in hard_pair_mining(
+        df.selectExpr("vec_id as query_id", "embedding", "label"),
+        df.selectExpr("vec_id as corpus_id", "embedding", "label"),
+    ).collect()}
+    assert got[0].hard_pos_id == 1          # not the zero-norm row 2
+    assert got[0].hard_pos_sim is not None
+    # the zero-norm row itself still gets answers ranked by real sims
+    assert got[2].hard_pos_id in (0, 1)
