@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.dedup import (
     exact_dedup,
-    incremental_minhash_dedup,
+)
+from data_engineering_pipeline_spark.operators.sig_store import (
+    open_migrated as open_sig_store,
 )
 from data_engineering_pipeline_spark.operators.sampling import (
     temperature_rebalance,
@@ -569,22 +571,21 @@ def curate_increment(
     stats["landed"] = landed.count()
     _mark("land")
 
-    # near-dedup the NEW docs against the persisted signature store;
-    # losers accumulate in their own store so later rebuilds remember
-    # every round's drop decisions without rescoring old pairs
-    existing = (
-        spark.read.parquet(p["sigs"])
-        if os.path.isdir(p["sigs"]) else None
-    )
+    # near-dedup the NEW docs against the persisted signature store
+    # (band-bucketed, operators/sig_store.py: the probe opens only the
+    # (band, bucket-prefix) dirs the batch's own buckets hash into and
+    # never re-derives band buckets from the K signature columns —
+    # the addendum-56 8.6x/decade read term); losers accumulate in
+    # their own store so later rebuilds remember every round's drop
+    # decisions without rescoring old pairs. A flat pre-r11 store is
+    # migrated in place on first open.
+    store = open_sig_store(spark, p["sigs"])
     seen = (
-        existing.select("doc_id") if existing is not None
+        store.seen_ids(landed.select("doc_id")) if store.exists()
         else landed.select("doc_id").limit(0)
     )
     new_docs = landed.join(seen, "doc_id", "left_anti")
-    sigs, pairs = incremental_minhash_dedup(
-        new_docs, existing,
-        state_mode="delta" if existing is not None else "full",
-    )
+    sigs, pairs = store.probe(new_docs, assume_fresh=True)
     drop_new = (
         pairs.select(F.greatest("id_a", "id_b").alias("doc_id"))
         .distinct()
@@ -598,7 +599,7 @@ def curate_increment(
     # same loser ids (deduped by the .distinct() on read); sigs without
     # losers can no longer happen.
     drop_new.write.mode("append").parquet(p["losers"])
-    sigs.write.mode("append").parquet(p["sigs"])
+    store.commit(sigs, batch_id)
     losers = spark.read.parquet(p["losers"]).distinct()
     _mark("neardup_probe")
 

@@ -88,17 +88,21 @@ def _sweep_stale_appends(path: str) -> None:
 def _incremental_dedup_sink(
     stream_df: DataFrame,
     out_path: str,
-    state_path: str,
     checkpoint: str,
     id_col: str,
-    pair_fn,
+    probe_fn,
+    commit_fn,
+    heal_paths: tuple = (),
 ) -> StreamingQuery:
     """Shared core of the streaming near-dup sinks: per micro-batch,
-    `pair_fn(batch_df, existing_state_or_None) -> (state_delta, pairs)`
-    produces duplicate pairs against everything seen so far plus the
-    batch's FRESH state rows; the drop rule and the append discipline
-    are identical for any incremental pair producer (MinHash text,
-    hyperplane embeddings...).
+    `probe_fn(batch_df) -> (state_delta, pairs)` produces duplicate
+    pairs against everything seen so far plus the batch's FRESH state
+    rows, and `commit_fn(state_delta, batch_id)` lands the fresh state
+    — the drop rule and the append discipline are identical for any
+    incremental pair producer (MinHash text, hyperplane embeddings...).
+    State storage is the provider's concern: the embedding sink keeps
+    the flat append directory; the MinHash sink probes/commits through
+    the band-bucketed BandedSignatureStore (operators/sig_store.py).
 
     Both the output table and the state store are APPEND-organized:
     each batch moves only its own part-files into the directory (ids
@@ -109,7 +113,7 @@ def _incremental_dedup_sink(
 
     Crash/replay contract: a crash anywhere between the appends and the
     checkpoint commit re-delivers the batch; the keys-only anti-joins
-    (against the state store inside pair_fn, against the output ids
+    (against the state store inside probe_fn, against the output ids
     here) re-derive only the still-missing rows, so append + replay
     CONVERGES — no remnant dirs, no healing pass needed for new-era
     stores. recover_table still runs once at start to heal stores left
@@ -128,21 +132,15 @@ def _incremental_dedup_sink(
 
     # self-heal pre-append-era swap remnants and crashed append stages
     # from a previous run
-    recover_table(out_path)
-    recover_table(state_path)
-    _sweep_stale_appends(out_path)
-    _sweep_stale_appends(state_path)
+    for pth in (out_path, *heal_paths):
+        recover_table(pth)
+        _sweep_stale_appends(pth)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        existing = (
-            spark.read.parquet(state_path)
-            if _has_parquet(state_path)
-            else None
-        )
-        delta, pairs = pair_fn(batch_df, existing)
+        delta, pairs = probe_fn(batch_df)
         new_ids = batch_df.select(F.col(id_col).alias("__o")).distinct()
         edges = pairs.select(
             F.col("id_a").alias("__d"), F.col("id_b").alias("__o")
@@ -168,7 +166,7 @@ def _incremental_dedup_sink(
             out_ids = spark.read.parquet(out_path).select(id_col)
             survivors = survivors.join(out_ids, id_col, "left_anti")
         _append_parquet(survivors, out_path, batch_id)
-        _append_parquet(delta, state_path, batch_id)
+        commit_fn(delta, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -197,20 +195,37 @@ def near_dedup_sink(
     _incremental_dedup_sink).
 
     Scale: state is one row of K minhashes per document ever seen —
-    tiny next to the corpus — and each batch shuffles only itself plus
-    bucket-colliding candidates. Single-writer, like the reference."""
-    from data_engineering_pipeline_spark.operators.dedup import (
-        incremental_minhash_dedup,
+    tiny next to the corpus — and it lives in the band-bucketed
+    BandedSignatureStore (operators/sig_store.py): band buckets are
+    persisted once at commit time (never re-derived per batch), the
+    probe lists only the (band, bucket-prefix) dirs the batch's own
+    buckets hash into, and the candidate join broadcasts the batch
+    side, so the store is scanned (pruned), never shuffled. A flat
+    pre-r11 state directory is migrated in place on first open.
+    Single-writer, like the reference."""
+    from data_engineering_pipeline_spark.operators.sig_store import (
+        open_migrated,
     )
 
-    def _pairs(batch_df, existing):
-        return incremental_minhash_dedup(
-            batch_df, existing, id_col, text_col, threshold,
-            state_mode="delta",
+    holder: dict = {}
+
+    def _store(spark):
+        if "s" not in holder:
+            holder["s"] = open_migrated(
+                spark, sig_path, id_col=id_col, text_col=text_col
+            )
+        return holder["s"]
+
+    def _probe(batch_df):
+        return _store(batch_df.sparkSession).probe(
+            batch_df, threshold=threshold
         )
 
+    def _commit(delta, batch_id):
+        _store(delta.sparkSession).commit(delta, batch_id)
+
     return _incremental_dedup_sink(
-        stream_docs, out_path, sig_path, checkpoint, id_col, _pairs
+        stream_docs, out_path, checkpoint, id_col, _probe, _commit
     )
 
 
@@ -238,7 +253,13 @@ def embedding_near_dedup_sink(
         incremental_embedding_dedup,
     )
 
-    def _pairs(batch_df, existing):
+    def _probe(batch_df):
+        spark = batch_df.sparkSession
+        existing = (
+            spark.read.parquet(index_path)
+            if _has_parquet(index_path)
+            else None
+        )
         # pin_batch: the signature expression (tables x bits x dim
         # literals) is evaluated ONCE per micro-batch instead of once
         # per action — the ~25 s/batch re-plan/codegen constant
@@ -257,8 +278,12 @@ def embedding_near_dedup_sink(
             pin_batch=True,
         )
 
+    def _commit(delta, batch_id):
+        _append_parquet(delta, index_path, batch_id)
+
     return _incremental_dedup_sink(
-        stream_vecs, out_path, index_path, checkpoint, id_col, _pairs
+        stream_vecs, out_path, checkpoint, id_col, _probe, _commit,
+        heal_paths=(index_path,),
     )
 
 

@@ -215,27 +215,27 @@ def test_crash_between_side_stores_converges(spark, tmp_path, monkeypatch):
     work = str(tmp_path / "w")
     curate_batch(spark, _mk_docs(spark, b1), work)
 
-    real = cp.incremental_minhash_dedup
+    real_open = cp.open_sig_store
 
-    class _CrashOnWrite:
-        """DataFrame proxy whose .write raises — the crash point."""
+    class _CrashStore:
+        """Store proxy whose .commit raises — the crash point (losers
+        landed, signatures did not)."""
 
-        def __init__(self, df):
-            self._df = df
+        def __init__(self, st):
+            self._st = st
 
         def __getattr__(self, name):
-            if name == "write":
+            if name == "commit":
                 raise RuntimeError("simulated crash before sigs append")
-            return getattr(self._df, name)
+            return getattr(self._st, name)
 
-    def crashing(new_docs, existing, *a, **kw):
-        sigs, pairs = real(new_docs, existing, *a, **kw)
-        return _CrashOnWrite(sigs), pairs
+    def crashing_open(spark_, root, **kw):
+        return _CrashStore(real_open(spark_, root, **kw))
 
-    monkeypatch.setattr(cp, "incremental_minhash_dedup", crashing)
+    monkeypatch.setattr(cp, "open_sig_store", crashing_open)
     with pytest.raises(RuntimeError, match="simulated crash"):
         curate_increment(spark, _mk_docs(spark, b2), work, batch_id=1)
-    monkeypatch.setattr(cp, "incremental_minhash_dedup", real)
+    monkeypatch.setattr(cp, "open_sig_store", real_open)
 
     # losers landed, sigs did not — the exact crash window; the replay
     # must still drop doc 990 and converge to the one-shot pipeline

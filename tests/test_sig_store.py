@@ -1,0 +1,179 @@
+"""Band-bucketed signature store (operators/sig_store.py): probe
+parity with the flat incremental operator, replay/crash convergence,
+partition-pruned reads (the file-open witness), and the structural
+meta guard."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_spark.operators.dedup import (
+    incremental_minhash_dedup,
+)
+from data_engineering_pipeline_spark.operators.sig_store import (
+    BandedSignatureStore,
+)
+
+
+def _docs(spark, ids, mutate=None):
+    """Deterministic docs with heavy shingle overlap inside id-pairs:
+    even ids and their +1 neighbors share most 3-shingles."""
+    rows = []
+    for i in ids:
+        base = i - (i % 2)
+        words = [f"w{base}_{k}" for k in range(12)]
+        if i % 2:
+            words[-1] = "tail_variant"
+        if mutate:
+            words = mutate(i, words)
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairset(pairs_df):
+    return {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in pairs_df.collect()
+    }
+
+
+def test_store_probe_matches_flat_operator(spark, tmp_path):
+    """Two sequential batches through the store produce EXACTLY the
+    flat operator's pair sets (ids and estimators) — the store is a
+    layout change, not a semantics change."""
+    b1 = _docs(spark, range(0, 20))
+    b2 = _docs(spark, list(range(20, 30)) + [100, 101])
+
+    flat_state, flat_p1 = incremental_minhash_dedup(b1, None)
+    _, flat_p2 = incremental_minhash_dedup(b2, flat_state)
+
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    f1, p1 = st.probe(b1)
+    assert _pairset(p1) == _pairset(flat_p1)
+    st.commit(f1, 1)
+    f2, p2 = st.probe(b2)
+    assert _pairset(p2) == _pairset(flat_p2)
+    st.commit(f2, 2)
+
+    # store contents == flat state (same rows, bucketed layout)
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "st" / "sigs")).collect()
+    }
+    assert got_ids == {r.doc_id for r in flat_state.collect()} | {
+        r.doc_id for r in f2.collect()
+    }
+
+
+def test_replayed_batch_converges(spark, tmp_path):
+    """Re-probing an already-committed batch: fresh is EMPTY, pairs
+    are recomputed identically (the sinks' drop rule replays), and the
+    re-commit adds zero files."""
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    b = _docs(spark, range(0, 12))
+    f, p = st.probe(b)
+    st.commit(f, 1)
+    files0 = set(glob.glob(str(tmp_path / "st" / "**" / "*.parquet"),
+                           recursive=True))
+    f2, p2 = st.probe(b)
+    assert f2.count() == 0
+    assert _pairset(p2) == _pairset(p)
+    st.commit(f2, 1)
+    files1 = set(glob.glob(str(tmp_path / "st" / "**" / "*.parquet"),
+                           recursive=True))
+    assert files0 == files1
+
+
+def test_crash_between_banded_and_sigs_converges(spark, tmp_path):
+    """The one ordered crash window: band rows land, signature rows
+    do not. The replayed commit re-derives the SAME fresh set (ids
+    still absent from sigs/), re-appends band rows (duplicates are
+    absorbed by the candidate distinct), and lands the signatures —
+    after which probes see every doc exactly once."""
+    from data_engineering_pipeline_spark.operators import sig_store
+
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    b1 = _docs(spark, range(0, 10))
+    f1, _ = st.probe(b1)
+
+    real_move = sig_store._move_partition_files
+    calls = {"n": 0}
+
+    def crashing(stage, dest, tok):
+        calls["n"] += 1
+        moved = real_move(stage, dest, tok)
+        if calls["n"] == 1:  # banded moved -> crash before sigs
+            raise RuntimeError("simulated crash after banded move")
+        return moved
+
+    sig_store._move_partition_files = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            st.commit(f1, 1)
+    finally:
+        sig_store._move_partition_files = real_move
+
+    assert not st.exists()  # sigs never landed
+    # replay: same batch probes fresh again and commits cleanly
+    st2 = BandedSignatureStore(spark, str(tmp_path / "st"))
+    f1b, p1b = st2.probe(b1)
+    assert f1b.count() == 10
+    st2.commit(f1b, 1)
+    # a colliding follow-up batch still finds its cross-batch dup once
+    b2 = _docs(spark, [1000], mutate=lambda i, w: [f"w0_{k}" for k in range(12)])
+    _, p2 = st2.probe(b2)
+    got = [(a, b) for a, b, _ in _pairset(p2)]
+    assert (0, 1000) in got            # the cross-batch dup is found
+    assert len(got) == len(set(got))   # and found exactly once
+
+
+def test_probe_prunes_partition_dirs(spark, tmp_path):
+    """File-open witness (addendum-42 form): a 3-doc batch against a
+    500-doc store lists only the (band, bpfx) dirs its own buckets
+    hash into — a strict subset of the store's dirs."""
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    f, _ = st.probe(_docs(spark, range(0, 500)))
+    st.commit(f, 1)
+    stats: dict = {}
+    _, p = st.probe(_docs(spark, [900, 901, 902]), stats=stats)
+    p.count()
+    assert stats["banded_dirs_total"] >= 200  # 8 bands x 32 bpfx, populated
+    # 3 docs -> at most 24 band buckets -> at most 24 dirs listed
+    assert stats["banded_dirs_opened"] <= 24
+    assert stats["banded_files_opened"] < stats["banded_files_total"] / 4
+
+
+def test_meta_guard_rejects_structural_mismatch(spark, tmp_path):
+    st = BandedSignatureStore(spark, str(tmp_path / "st"), bands=8)
+    f, _ = st.probe(_docs(spark, range(0, 4)))
+    st.commit(f, 1)
+    with pytest.raises(ValueError, match="structural"):
+        BandedSignatureStore(spark, str(tmp_path / "st"), bands=4)
+
+
+def test_migrate_flat_and_compact(spark, tmp_path):
+    """Flat-store migration converges (idempotent under replay) and
+    compaction folds per-batch files without changing contents."""
+    b1 = _docs(spark, range(0, 20))
+    flat, _ = incremental_minhash_dedup(b1, None)
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    st.migrate_flat(flat)
+    st.migrate_flat(flat)  # replayed migration: no duplicates
+    sigs = spark.read.parquet(str(tmp_path / "st" / "sigs"))
+    assert sigs.count() == 20
+    before = _pairset(st.probe(_docs(spark, [500, 501]))[1])
+    f2, _ = st.probe(_docs(spark, range(20, 40)))
+    st.commit(f2, 2)
+    n_files0 = len(glob.glob(str(tmp_path / "st" / "**" / "*.parquet"),
+                             recursive=True))
+    st.compact()
+    n_files1 = len(glob.glob(str(tmp_path / "st" / "**" / "*.parquet"),
+                             recursive=True))
+    assert n_files1 < n_files0  # two commits' files fold to one per dir
+    assert spark.read.parquet(str(tmp_path / "st" / "sigs")).count() == 40
+    after = _pairset(st.probe(_docs(spark, [500, 501]))[1])
+    assert before == after

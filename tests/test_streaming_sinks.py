@@ -128,8 +128,12 @@ def test_near_dedup_sink_cross_batch(spark, tmp_path, sf_smoke):
     assert 1002 in kept                    # novel doc survives
     assert 1000 not in kept                # exact cross-batch copy dropped
     assert 1001 not in kept                # near cross-batch copy dropped
-    # signature store covers every doc ever seen (dups included)
-    sig_ids = {r.doc_id for r in spark.read.parquet(sig).collect()}
+    # signature store covers every doc ever seen (dups included) —
+    # r11: state lives in the band-bucketed store's sigs/ partition
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(sig, "sigs")).collect()
+    }
     assert set(range(20)) | {1000, 1001, 1002} <= sig_ids
 
 
@@ -342,7 +346,15 @@ def test_state_store_is_append_organized(spark, tmp_path, sf_smoke):
         out, sig, str(tmp_path / "app_ck"),
     )
     q.awaitTermination()
-    sig_files_1 = set(os.listdir(sig))
+
+    def _sig_files():
+        # r11: bucketed store — file identity tracked recursively
+        import glob as _g
+
+        return set(_g.glob(os.path.join(sig, "**", "*.parquet"),
+                           recursive=True))
+
+    sig_files_1 = _sig_files()
     out_files_1 = set(os.listdir(out))
     assert sig_files_1 and out_files_1
 
@@ -359,12 +371,15 @@ def test_state_store_is_append_organized(spark, tmp_path, sf_smoke):
     q.awaitTermination()
     # batch 1's files survive bit-for-bit under their original names;
     # batch 2 only added files
-    assert sig_files_1 <= set(os.listdir(sig))
+    assert sig_files_1 <= _sig_files()
     assert out_files_1 <= set(os.listdir(out))
-    assert len(os.listdir(sig)) > len(sig_files_1)
+    assert len(_sig_files()) > len(sig_files_1)
     ids = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert ids == {1, 2, 3}
-    sig_ids = {r.doc_id for r in spark.read.parquet(sig).collect()}
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(sig, "sigs")).collect()
+    }
     assert sig_ids == {1, 2, 3}
 
 
