@@ -130,6 +130,9 @@ HEADLINE = [
     "curation-decon-spans",
     "curation-cluster-balance",
     "text-oov-rate",
+    # round 11 addition: two-batch incremental near-dup through the
+    # band-bucketed signature store — tracked from first appearance
+    "dedup-incremental-store",
 ]
 
 TIMED_RUNS = 3
@@ -146,11 +149,47 @@ TIMED_RUNS = 3
 FIRST_QUERY_WARMUPS = 3
 
 
+def _await_idle_machine() -> dict:
+    """Idle-machine precondition (VERDICT r10 'what's wrong' #2): three
+    separate rounds (addenda 45/51/58b) spent a closing addendum
+    re-adjudicating load-spiked walls because the bench ran minutes
+    after a long test-suite pass. Instead of trusting the caller, the
+    bench WAITS for the 1-minute loadavg to decay below a threshold
+    (bounded — a stuck-busy machine still benches rather than blinding
+    the round) and records what it saw, so a later reader can tell a
+    loaded run mechanically instead of via a steady-state rerun.
+    Override the threshold/budget with $SPARK_GRAFT_BENCH_MAX_LOAD /
+    $SPARK_GRAFT_BENCH_IDLE_WAIT_SEC (0 disables the wait)."""
+    try:
+        ncpu = os.cpu_count() or 8
+        thresh = float(
+            os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", max(2.0, ncpu / 8))
+        )
+        budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300")
+        )
+        waited = 0.0
+        load = os.getloadavg()[0]
+        while load > thresh and waited < budget:
+            time.sleep(15)
+            waited += 15
+            load = os.getloadavg()[0]
+        return {
+            "loadavg_at_start": round(load, 2),
+            "load_threshold": thresh,
+            "load_waited_sec": round(waited, 1),
+            "loaded": load > thresh,
+        }
+    except OSError:  # platform without getloadavg
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    load_info = _await_idle_machine()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -212,6 +251,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "sf": sf,
+        **load_info,
     }
     if write_mode:
         detail["mode"] = "write"
@@ -250,6 +290,11 @@ def main() -> None:
         out["mode"] = "write"
     if errors:
         out["n_errors"] = len(errors)
+    if load_info.get("loaded"):
+        # the idle wait timed out on a busy machine: flag the run so
+        # readers discount elevated walls without a steady-state rerun
+        out["loaded"] = True
+        out["loadavg_at_start"] = load_info["loadavg_at_start"]
     line = json.dumps(out)
     assert len(line) < 1500, f"bench line {len(line)} chars exceeds contract"
     print(line)

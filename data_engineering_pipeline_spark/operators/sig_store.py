@@ -202,7 +202,15 @@ class BandedSignatureStore:
         ex = shingle_sets(new_docs, id_col, self.text_col, self.n).select(
             F.col(id_col), F.explode("shingles").alias("shingle")
         )
-        sig = minhash_signature(ex, id_col, self.num_hashes)
+        # checkpoint the batch signatures ONCE: sig feeds the fresh
+        # anti-join, the banding, the verify lookup AND the caller's
+        # commit — without the checkpoint every one of those actions
+        # re-runs the shingle explode + minhash aggregation (and the
+        # caller's whole new_docs lineage above it); the r11 500k
+        # probe measured that recomputation as the dominant wall
+        sig = minhash_signature(ex, id_col, self.num_hashes).localCheckpoint(
+            eager=False
+        )
         if assume_fresh or not self.exists():
             fresh_sig = sig
         else:
@@ -211,7 +219,7 @@ class BandedSignatureStore:
             # picks the strategy from the pruned size at runtime
             fresh_sig = sig.join(
                 self.seen_ids(sig.select(id_col)), id_col, "left_anti"
-            )
+            ).localCheckpoint(eager=False)
 
         def banded(df: DataFrame) -> DataFrame:
             return df.select(
@@ -253,10 +261,16 @@ class BandedSignatureStore:
         # store rows outside the touched buckets can never satisfy the
         # bucket-equality join — the pruned union is exact
         all_banded = store_banded.unionByName(banded(fresh_sig))
+        # no broadcast hint on the batch side: for a micro-batch AQE
+        # broadcasts it anyway (batch_banded is checkpointed, so its
+        # size is exact at runtime), while a bootstrap probe of a
+        # whole corpus through an empty store would otherwise
+        # driver-collect millions of banded rows into a forced
+        # broadcast (the r11 500k rebuild measured minutes for it)
         a = batch_banded.alias("a")
         b = all_banded.alias("b")
         cand = (
-            F.broadcast(a)
+            a
             .join(
                 b,
                 (F.col("a.band") == F.col("b.band"))

@@ -99,13 +99,31 @@ def _keep_ppm_of(df: DataFrame, alpha: float) -> DataFrame:
 
 
 def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
-                   lm_dir: str) -> None:
+                   lm_dir: str,
+                   train_cap: int | None = 100_000) -> None:
     """REBUILD-TIME perplexity-model freeze (the CCNet contract, same
     versioning discipline as the temperature rates): train the KN
-    bigram LM on the corpus, score it with the SAME backoff scorer
-    increments will use, and persist the model tables plus the exact
-    integer tercile cutoffs. Later delta increments score against
-    these frozen artifacts until the next rebuild retrains.
+    bigram LM on a bounded trainer sample of the corpus, score it
+    with the SAME backoff scorer increments will use, and persist the
+    model tables plus the exact integer tercile cutoffs. Later delta
+    increments score against these frozen artifacts until the next
+    rebuild retrains.
+
+    `train_cap` (r11, VERDICT item 3): the freeze was the rebuild's
+    largest absolute stage (150.9 s at 500k docs, 5.5x per decade —
+    addendum 52) because the KN model's bigram TYPE space grows with
+    the corpus, so training and scoring the whole corpus makes an
+    O(corpus)-sized model for a gate that only needs a STABLE score
+    distribution. The contract of a perplexity gate is a stable
+    cutoff, not an exact corpus LM — CCNet itself trains its gate LM
+    on a fixed external sample — so the trainer corpus is capped to
+    the `train_cap` docs with the smallest mixed_key_hash (a
+    deterministic uniform sample: pure function of the corpus, so
+    rebuild/delta convergence is untouched; TakeOrderedAndProject, no
+    global sort), and the tercile cutoffs are the exact order
+    statistics OF THAT SAMPLE. With train_cap >= corpus (every test
+    corpus) the freeze is bit-identical to the uncapped form.
+    train_cap=None disables the cap.
 
     The cutoffs are EXACT order statistics, but computed scale-safely:
     ntile(3) over an unpartitioned window would single-partition-sort
@@ -120,10 +138,21 @@ def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
         kn_doc_ce_backoff,
         kn_train,
     )
+    from data_engineering_pipeline_spark.operators.sampling import (
+        mixed_key_hash,
+    )
     from data_engineering_pipeline_spark.operators.sketch import (
         exact_kth_values,
     )
 
+    if train_cap is not None:
+        # checkpoint the sampled trainer corpus: the freeze fires ~6
+        # actions over bg (4 model writes, the score persist, the
+        # cutoff refinement) and each would otherwise re-run the
+        # TakeOrdered sample over the full corpus
+        corpus = corpus.orderBy(
+            mixed_key_hash(F.col("doc_id")).asc(), F.col("doc_id")
+        ).limit(train_cap).localCheckpoint(eager=False)
     bg = bigram_explode(corpus)
     model = kn_train(bg)
     for name in ("lq", "ctx", "cont", "nb"):
@@ -400,6 +429,7 @@ def curate_batch(
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
     split_max_bucket: int | None = None,
+    ppl_train_cap: int | None = 100_000,
     timings: dict | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
@@ -412,7 +442,8 @@ def curate_batch(
         min_quality=min_quality, alpha=alpha,
         split_threshold=split_threshold, ppl_gate=ppl_gate,
         decontaminate=decontaminate, decon_max_hits=decon_max_hits,
-        split_max_bucket=split_max_bucket, timings=timings,
+        split_max_bucket=split_max_bucket,
+        ppl_train_cap=ppl_train_cap, timings=timings,
     )
 
 
@@ -482,6 +513,7 @@ def curate_increment(
     decontaminate: DataFrame | bool | None = None,
     decon_max_hits: int = 0,
     split_max_bucket: int | None = None,
+    ppl_train_cap: int | None = 100_000,
     timings: dict | None = None,
     txn_app: str = "curate",
 ) -> dict:
@@ -609,7 +641,15 @@ def curate_increment(
                 "delta mode needs frozen rates: run a rebuild first"
             )
         rates = spark.read.parquet(p["rates"])
-        curated = SnapshotTable(spark, p["curated"])
+        curated = SnapshotTable(
+        spark, p["curated"],
+        # bloom_cols (r11, VERDICT item 2): doc ids are
+        # high-cardinality and UNCLUSTERED — exactly the case where
+        # min/max stat pruning keeps every file and the per-file bloom
+        # sidecars prune the MoR merge's matched-row scan to the files
+        # that might actually hold the batch's keys
+        bloom_cols=["doc_id"],
+    )
         # retract pre-existing docs that just lost to a lower-id
         # newcomer (loser id not in this batch's landed rows)
         retract = drop_new.join(
@@ -694,7 +734,8 @@ def curate_increment(
         # retrain + refreeze the perplexity LM on this rebuild's
         # quality survivors, then gate them with the fresh cutoffs —
         # the same refreeze point as the temperature rates below
-        _freeze_ppl_lm(spark, filtered, p["ppl_lm"])
+        _freeze_ppl_lm(spark, filtered, p["ppl_lm"],
+                       train_cap=ppl_train_cap)
         _mark("ppl_freeze")
         filtered = _apply_ppl_gate(
             spark, filtered, p["ppl_lm"], ppl_gate[0], ppl_gate[1]
@@ -720,7 +761,15 @@ def curate_increment(
     )
     _mark("rates_freeze")
 
-    curated = SnapshotTable(spark, p["curated"])
+    curated = SnapshotTable(
+        spark, p["curated"],
+        # bloom_cols (r11, VERDICT item 2): doc ids are
+        # high-cardinality and UNCLUSTERED — exactly the case where
+        # min/max stat pruning keeps every file and the per-file bloom
+        # sidecars prune the MoR merge's matched-row scan to the files
+        # that might actually hold the batch's keys
+        bloom_cols=["doc_id"],
+    )
     curated.overwrite(sampled, txn=(txn_app, batch_id))
     stats["curated"] = curated.read().count()
     _mark("curated_write")

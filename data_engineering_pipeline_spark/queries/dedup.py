@@ -776,3 +776,77 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register("dedup-incremental-store", _JACCARD_ORACLE)
+def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental near-dup through the band-bucketed
+    signature store (operators/sig_store.py, r11): sources src0-9
+    land as batch 1, everything else probes as batch 2 against the
+    PERSISTED store — the continuous-ingestion path where the corpus
+    is never re-scanned and the probe opens only the (band,
+    bucket-prefix) partitions its own buckets hash into. Candidates
+    from both probes are exact-verified (the minhash_lsh_pairs
+    discipline), so the union must equal the all-pairs Jaccard oracle:
+    a pair inside batch 1 comes from probe 1, any pair touching batch
+    2 from probe 2 (new-vs-anything), and at the graded B=16/r=2
+    banding a qualifying pair misses all bands with prob <= 2.1e-5
+    (the dedup-minhash-lsh flake budget). Store state lives in a
+    per-run temp dir; probes are pure functions of the input, so the
+    driver's repeated executions are independent."""
+    import os
+    import tempfile
+
+    from data_engineering_pipeline_spark.operators.dedup import (
+        shingle_sets,
+    )
+    from data_engineering_pipeline_spark.operators.sig_store import (
+        BandedSignatureStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).try_cast("int")
+    b1 = docs.filter(srcnum < 10)
+    b2 = docs.join(b1.select("doc_id"), "doc_id", "left_anti")
+    root = tempfile.mkdtemp(prefix="sig_store_q_")
+    # small prefix moduli for the graded scale: the partition scheme
+    # is structural (meta-stamped), and 16 bands x 4 bucket prefixes
+    # keeps a benchmark-sized store at ~64 files where the production
+    # default (32) would write 512 tiny ones; pruning behavior is
+    # graded by the store's own test suite, not here
+    st = BandedSignatureStore(
+        spark, os.path.join(root, "st"), bands=16,
+        sig_pfx=8, bucket_pfx=4,
+    )
+    f1, p1 = st.probe(b1, threshold=0.0)  # all candidates; verify below
+    st.commit(f1, 1)
+    _, p2 = st.probe(b2, threshold=0.0)
+    cand = (
+        p1.select("id_a", "id_b")
+        .unionByName(p2.select("id_a", "id_b"))
+        .distinct()
+    )
+    # exact verification, minhash_lsh_pairs-style: candidates are few,
+    # fetch both shingle arrays per pair and intersect in-expression
+    sets = shingle_sets(docs, "doc_id", "text", 3)
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sha")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("__shb")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).alias("shared"),
+            F.size("__sha").alias("na"),
+            F.size("__shb").alias("nb"),
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )

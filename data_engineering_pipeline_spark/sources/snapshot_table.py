@@ -360,8 +360,21 @@ def _file_stats(files: list[str], stat_cols: list[str]) -> list[dict]:
 _COLMAP_UNGUARDED = object()
 
 _BLOOM_DIR = "_bloom"
-_BLOOM_K = 7  # hash probes per value (optimal for ~10 bits/element)
-_BLOOM_BITS_PER_ROW = 10  # sizing target => ~1% false-positive rate
+# Bloom sizing (r11): a merge probes each candidate file's sidecar
+# with EVERY distinct source key, so the per-file survival odds are
+# ~q * fp — at the old ~1% fp a 5,000-key batch kept every file and
+# the index only served point lookups. 20 bits/row with k=14 gives
+# fp ~7e-5 before the power-of-2 m rounding (usually another 2-4x
+# margin), which keeps big-batch merge pruning effective up to
+# q ~ 10^4 distinct keys. Old sidecars persist their own k and still
+# probe correctly.
+_BLOOM_K = 14
+_BLOOM_BITS_PER_ROW = 20
+# distinct-key cap for collecting a big merge batch's key values for
+# bloom probing (driver holds one value list; the positions job and
+# the vectorized bit test are both O(q) with tiny constants). Batches
+# beyond the cap fall back to stat-range pruning only.
+_BLOOM_MERGE_POINT_CAP = 65536
 
 
 def _bloom_path(table_path: str, data_file: str) -> str:
@@ -1090,7 +1103,20 @@ class SnapshotTable:
                     col, values, doc["m"], dtype, k=doc["k"]
                 )
             bits = cols[phys]
-            for ps in pos_cache[key]:
+            ps_list = pos_cache[key]
+            if len(ps_list) > 256:
+                # big-batch probe: one vectorized gather over the
+                # bitset instead of q*k Python bit tests (the merge
+                # path probes thousands of keys per candidate file)
+                import numpy as np
+
+                pos = np.asarray(ps_list, dtype=np.int64)
+                words = np.frombuffer(bits, dtype="<u8")[pos >> 6]
+                hit = (
+                    (words >> (pos & 63).astype(np.uint64)) & 1
+                ).astype(bool)
+                return bool(hit.all(axis=1).any())
+            for ps in ps_list:
                 hit = True
                 for p in ps:
                     word = int.from_bytes(
@@ -1859,7 +1885,30 @@ class SnapshotTable:
                 if merge_cm is not None else None
             ),
         )
-        if points and candidates:
+        bloom_points: dict[str, list] = dict(points)
+        if not points and candidates:
+            # big batch (beyond the stat point cap): the bloom index
+            # can still prune if we collect the batch's distinct key
+            # values for the bloom-indexed key columns — one capped
+            # keys-only distinct per column, driver holds the values
+            # (<= _BLOOM_MERGE_POINT_CAP longs), the bit test is
+            # vectorized per file. This is the path a 100 TB delta
+            # merge lives on: thousands of mostly-new keys against an
+            # unclustered table, where stat ranges keep everything.
+            for k in keys:
+                if k not in self._effective_bloom_cols():
+                    continue
+                vals = [
+                    r[0]
+                    for r in source.select(k)
+                    .where(F.col(k).isNotNull())
+                    .distinct()
+                    .limit(_BLOOM_MERGE_POINT_CAP + 1)
+                    .collect()
+                ]
+                if vals and len(vals) <= _BLOOM_MERGE_POINT_CAP:
+                    bloom_points[k] = sorted(vals)
+        if bloom_points and candidates:
             # bloom pre-prune (no-op without sidecars): on an
             # UNCLUSTERED table every file's [min,max] spans the key
             # domain and the stat prune keeps everything — the bloom
@@ -1872,7 +1921,11 @@ class SnapshotTable:
             # equi-match, and an empty probe set proves nothing).
             candidates = self._bloom_keep_files(
                 candidates,
-                [(k, points[k]) for k in keys if points.get(k)],
+                [
+                    (k, bloom_points[k])
+                    for k in keys
+                    if bloom_points.get(k)
+                ],
                 head,
             )
         # observability for tests and probes: how far metadata alone

@@ -873,3 +873,61 @@ def test_pipeline_survives_empty_batches(spark, tmp_path):
     )
     assert s3["batch_survivors"] == 0 and s3["retracted"] == 0
     assert s3["curated"] > 0  # the existing corpus is untouched
+
+
+def test_ppl_train_cap_deterministic_and_convergent(spark, tmp_path):
+    """VERDICT r11 item 3: the frozen-LM trainer corpus is capped to a
+    deterministic hash-top-N sample. With cap >= corpus the freeze is
+    bit-identical to the uncapped form; with cap < corpus the frozen
+    cuts are a pure function of the corpus (two identical rebuilds
+    agree) and the capped rebuild+delta sequence still converges to
+    the capped one-shot result."""
+    import os as _os
+
+    kw = dict(alpha=1.0, ppl_gate=(500_000, 250_000))
+    b1, b2 = _corpus(0, 60), _corpus(100, 40)
+
+    def cuts_of(wd):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(
+                _os.path.join(wd, "frozen_ppl_lm", "cuts")
+            ).collect()
+        )
+
+    # cap >= corpus == uncapped, bit-identical
+    wa, wb = str(tmp_path / "a"), str(tmp_path / "b")
+    curate_batch(spark, _mk_docs(spark, b1), wa, **kw)  # default cap
+    curate_batch(spark, _mk_docs(spark, b1), wb,
+                 ppl_train_cap=None, **kw)
+    assert cuts_of(wa) == cuts_of(wb)
+
+    # cap < corpus: deterministic across identical rebuilds (and
+    # across input partitionings), and the cap actually bites —
+    # the sampled cuts differ from the full-corpus cuts
+    wc, wd_, we = (str(tmp_path / x) for x in ("c", "d", "e"))
+    curate_batch(spark, _mk_docs(spark, b1 + b2), wc,
+                 ppl_train_cap=40, **kw)
+    curate_batch(spark, _mk_docs(spark, b1 + b2).repartition(7), wd_,
+                 ppl_train_cap=40, **kw)
+    assert cuts_of(wc) == cuts_of(wd_)
+    curate_batch(spark, _mk_docs(spark, b1 + b2), we, **kw)
+    assert cuts_of(wc) != cuts_of(we)
+
+    # capped increments converge to the capped one-shot
+    seq = str(tmp_path / "seq")
+    curate_batch(spark, _mk_docs(spark, b1), seq, ppl_train_cap=40,
+                 **kw)
+    curate_increment(spark, _mk_docs(spark, b2), seq, batch_id=1,
+                     ppl_train_cap=40, **kw)
+    assert cuts_of(seq) == cuts_of(wc)
+    one_rows = {
+        tuple(r) for r in SnapshotTable(
+            spark, _os.path.join(wc, "curated")
+        ).read().collect()
+    }
+    seq_rows = {
+        tuple(r) for r in SnapshotTable(
+            spark, _os.path.join(seq, "curated")
+        ).read().collect()
+    }
+    assert seq_rows == one_rows

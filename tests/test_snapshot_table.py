@@ -1337,6 +1337,37 @@ def test_bloom_prunes_merge_candidates(spark, tmp_path):
     assert dict(rows_b)[7] == "upd" and dict(rows_b)[3777] == "upd"
 
 
+def test_bloom_prunes_big_batch_merge(spark, tmp_path):
+    """VERDICT r11 item 2: a MOSTLY-NEW big batch (beyond the stat
+    point cap of 1024 distinct keys) must still bloom-prune — the
+    delta-merge shape where thousands of fresh keys meet an
+    unclustered table and the matched-row scan would otherwise walk
+    every file. The batch's distinct keys are collected for bloom
+    probing (capped), the bit test is vectorized, and only the files
+    holding the few genuinely-matched keys survive."""
+    data = _df(spark, 0, 4000).repartition(8)
+    t_b = SnapshotTable(spark, str(tmp_path / "bb"),
+                        stat_cols=["k"], bloom_cols=["k"])
+    t_p = SnapshotTable(spark, str(tmp_path / "bp"), stat_cols=["k"])
+    t_b.append(data)
+    t_p.append(data)
+    # 3000 fresh keys + 2 existing ones: > point_cap, ~0 matches
+    src = spark.createDataFrame(
+        [(100_000 + i, "new") for i in range(3000)]
+        + [(7, "upd"), (3777, "upd")],
+        "k long, tag string",
+    )
+    for t in (t_b, t_p):
+        t.merge_into(src, ["k"], when_matched="update", mode="mor")
+    assert t_p.last_merge_stats["candidates"] == 8  # stats keep all
+    assert t_b.last_merge_stats["candidates"] <= 4  # blooms prune
+    rows_b = sorted((r.k, r.tag) for r in t_b.read().collect())
+    rows_p = sorted((r.k, r.tag) for r in t_p.read().collect())
+    assert rows_b == rows_p
+    assert len(rows_b) == 7000
+    assert dict(rows_b)[7] == "upd" and dict(rows_b)[100_500] == "new"
+
+
 # ---------------- incremental join materialization ----------------
 
 
