@@ -162,11 +162,17 @@ def _await_idle_machine() -> dict:
     $SPARK_GRAFT_BENCH_IDLE_WAIT_SEC (0 disables the wait)."""
     try:
         ncpu = os.cpu_count() or 8
+        # tight threshold on purpose: the first guarded run started at
+        # loadavg 3.27 (under the old ncpu/8=4.0 gate) and the WHOLE
+        # shared query set benched ~1.2x elevated — residual load
+        # inflates uniformly, so the gate must demand near-idle
         thresh = float(
-            os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", max(2.0, ncpu / 8))
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_MAX_LOAD", max(1.5, ncpu / 16)
+            )
         )
         budget = float(
-            os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300")
+            os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600")
         )
         waited = 0.0
         load = os.getloadavg()[0]
