@@ -329,10 +329,24 @@ class BandedSignatureStore:
         return fresh_sig, pairs
 
     # -------------------------------------------------------- commit
+    # per-partition-dir file count that triggers auto-compaction at
+    # the end of a commit: every commit adds ~1 file per touched dir,
+    # so an unmaintained long stream accumulates one file per batch
+    # per dir and the probe's pruned reads degrade into a
+    # small-files listing problem. 64 bounds a dir's files while
+    # keeping compaction amortized (one fold per 64 batches).
+    COMPACT_THRESHOLD = 64
+
     def commit(self, fresh_sig: DataFrame, batch_id: int = 0) -> None:
         """Append a batch's fresh signatures: band rows FIRST, then
         signature rows (see module docstring for the crash order).
-        Each partition dir only ever GAINS files — O(batch) writes."""
+        Each partition dir only ever GAINS files — O(batch) writes —
+        and when the sigs store's first partition dir crosses
+        COMPACT_THRESHOLD files the whole store folds to one file per
+        dir (stage + swap, crash leaves old or new set, both
+        complete). The trigger samples ONE dir instead of walking the
+        tree: commits touch every populated dir symmetrically, so any
+        dir's file count tracks the batch count."""
         from data_engineering_pipeline_spark.operators.dedup import (
             _band_rows,
             _band_structs,
@@ -378,6 +392,9 @@ class BandedSignatureStore:
             return
         _move_partition_files(s_stage, self._sigs, tok)
         shutil.rmtree(stage, ignore_errors=True)
+        sample = self._sig_dirs(None)
+        if sample and _n_parquet(sample[0]) > self.COMPACT_THRESHOLD:
+            self.compact()
 
     # --------------------------------------------------- maintenance
     def migrate_flat(self, flat_sigs: DataFrame, batch_id: int = 0) -> None:

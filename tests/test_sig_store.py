@@ -177,3 +177,39 @@ def test_migrate_flat_and_compact(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "st" / "sigs")).count() == 40
     after = _pairset(st.probe(_docs(spark, [500, 501]))[1])
     assert before == after
+
+
+def test_commit_auto_compacts_at_threshold(spark, tmp_path, monkeypatch):
+    """A long stream of commits must not accumulate one file per batch
+    per partition dir forever: when a sampled sigs dir crosses
+    COMPACT_THRESHOLD the commit folds the store to one file per dir,
+    and probe results are unchanged across the fold."""
+    monkeypatch.setattr(BandedSignatureStore, "COMPACT_THRESHOLD", 3)
+    st = BandedSignatureStore(spark, str(tmp_path / "st"),
+                              sig_pfx=2, bucket_pfx=2)
+    for b in range(6):
+        f, _ = st.probe(_docs(spark, range(b * 10, b * 10 + 10)))
+        st.commit(f, b)
+    sig_files = glob.glob(
+        str(tmp_path / "st" / "sigs" / "**" / "*.parquet"),
+        recursive=True,
+    )
+    # 6 commits over 2 pfx dirs would be ~6 files/dir uncompacted;
+    # the fold bounds each dir at threshold + 1
+    per_dir: dict = {}
+    for f in sig_files:
+        per_dir.setdefault(os.path.dirname(f), 0)
+        per_dir[os.path.dirname(f)] += 1
+    assert max(per_dir.values()) <= 4
+    # contents intact: every committed id still present and probeable
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "st" / "sigs")).collect()
+    }
+    assert ids == set(range(0, 10)) | set(range(10, 20)) | set(
+        range(20, 30)) | set(range(30, 40)) | set(range(40, 50)) | set(
+        range(50, 60))
+    _, p = st.probe(
+        _docs(spark, [2000], mutate=lambda i, w: [f"w20_{k}" for k in range(12)])
+    )
+    assert any(a == 20 for a, b, _ in _pairset(p))
