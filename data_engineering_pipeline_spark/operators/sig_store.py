@@ -88,6 +88,19 @@ class BandedSignatureStore:
         # heal staging dirs left by a crashed commit (replay re-stages)
         for d in glob.glob(os.path.join(root, ".stage-*")):
             shutil.rmtree(d, ignore_errors=True)
+        # heal a crashed compact(): its swap window is rename(base ->
+        # aside) then rename(stage -> base) — dying between the two
+        # leaves the live dir MISSING with the aside holding the only
+        # copy. Restore the aside when base is gone; staged compacts
+        # are garbage either way (a rerun re-stages).
+        for base in (self._banded, self._sigs):
+            asides = sorted(glob.glob(base + ".old-*"))
+            if not os.path.isdir(base) and asides:
+                os.rename(asides.pop(0), base)
+            for d in asides:
+                shutil.rmtree(d, ignore_errors=True)
+            for d in glob.glob(base + ".compact-*"):
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---------------------------------------------------------- meta
     def _meta_dict(self) -> dict:

@@ -213,3 +213,28 @@ def test_commit_auto_compacts_at_threshold(spark, tmp_path, monkeypatch):
         _docs(spark, [2000], mutate=lambda i, w: [f"w20_{k}" for k in range(12)])
     )
     assert any(a == 20 for a, b, _ in _pairset(p))
+
+
+def test_compact_crash_window_heals(spark, tmp_path):
+    """compact()'s swap window: rename(base->aside) then
+    rename(stage->base). A crash between the two leaves the live dir
+    MISSING with the aside as the only copy — the next open must
+    restore it (and sweep stale compact stages), or the store
+    silently forgets the corpus."""
+    import shutil
+
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    f, _ = st.probe(_docs(spark, range(0, 20)))
+    st.commit(f, 1)
+
+    sigs = str(tmp_path / "st" / "sigs")
+    # simulate the crash: live -> aside, a stale stage left behind
+    os.rename(sigs, sigs + ".old-deadbeef")
+    os.makedirs(sigs + ".compact-feedface")
+    st2 = BandedSignatureStore(spark, str(tmp_path / "st"))
+    assert st2.exists()
+    assert not os.path.isdir(sigs + ".old-deadbeef")
+    assert not os.path.isdir(sigs + ".compact-feedface")
+    ids = {r.doc_id for r in spark.read.parquet(sigs).collect()}
+    assert ids == set(range(20))
+    shutil.rmtree(str(tmp_path / "st"), ignore_errors=True)
