@@ -523,3 +523,33 @@ def test_stream_source_raises_on_mid_stream_rename(spark, tmp_path):
         {"version": 1}, {"version": 2}
     )
     assert len(parts) >= 1
+
+
+def test_big_batch_bloom_prune_across_rename(spark, tmp_path):
+    """r11: the big-batch bloom point collection (merge sources beyond
+    the 1024-key stat cap) composes with column mapping — sidecars
+    written under the OLD physical name must still prune a big merge
+    probing under the NEW name, and the merge result must equal an
+    un-indexed twin's."""
+    data = spark.range(0, 4000).select(
+        F.col("id").alias("k"), F.lit("v0").alias("tag")
+    ).repartition(8)
+    t_b = SnapshotTable(spark, str(tmp_path / "rb"),
+                        stat_cols=["k"], bloom_cols=["k"])
+    t_p = SnapshotTable(spark, str(tmp_path / "rp"), stat_cols=["k"])
+    t_b.append(data)
+    t_p.append(data)
+    t_b.rename_column("k", "key_id")
+    t_p.rename_column("k", "key_id")
+    src = spark.createDataFrame(
+        [(100_000 + i, "new") for i in range(3000)] + [(7, "upd")],
+        "key_id long, tag string",
+    )
+    for t in (t_b, t_p):
+        t.merge_into(src, ["key_id"], when_matched="update", mode="mor")
+    assert t_p.last_merge_stats["candidates"] == 8
+    assert t_b.last_merge_stats["candidates"] <= 4  # blooms resolve old name
+    rows_b = sorted((r.key_id, r.tag) for r in t_b.read().collect())
+    rows_p = sorted((r.key_id, r.tag) for r in t_p.read().collect())
+    assert rows_b == rows_p and len(rows_b) == 7000
+    assert dict(rows_b)[7] == "upd"
