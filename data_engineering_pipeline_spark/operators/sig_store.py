@@ -405,8 +405,13 @@ class BandedSignatureStore:
             return
         _move_partition_files(s_stage, self._sigs, tok)
         shutil.rmtree(stage, ignore_errors=True)
-        sample = self._sig_dirs(None)
-        if sample and _n_parquet(sample[0]) > self.COMPACT_THRESHOLD:
+        # trigger on the FULLEST dir, not the lexicographically first:
+        # skewed/tiny batches don't touch dirs symmetrically, so a
+        # single sampled dir can lag the real maximum by a multiple
+        # (the walk is bounded — post-compaction every dir holds one
+        # file, so this counts at most dirs x threshold files).
+        dirs = self._sig_dirs(None)
+        if dirs and max(_n_parquet(d) for d in dirs) > self.COMPACT_THRESHOLD:
             self.compact()
 
     # --------------------------------------------------- maintenance

@@ -68,6 +68,47 @@ def _paths(work_dir: str) -> dict:
     }
 
 
+def _open_curated(spark: SparkSession, p: dict) -> SnapshotTable:
+    """The curated table handle, with its pruning metadata declared:
+    - stat_cols (r12, VERDICT item 1): every write records per-file
+      [min,max] on doc_id; once the table is range-CLUSTERED on it
+      (the rebuild writes clustered; maintain_curation() re-clusters
+      the MoR appends), the delta merge's stat point test alone drops
+      the files holding none of the batch's keys — metadata pruning
+      that needs no sidecar reads at all;
+    - bloom_cols (r11, VERDICT item 2): per-file bloom sidecars catch
+      what ranges cannot — fresh UNclustered delta appends, whose
+      [min,max] spans the whole id domain until the next compaction.
+    """
+    return SnapshotTable(
+        spark, p["curated"],
+        stat_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+
+
+def maintain_curation(
+    spark: SparkSession,
+    work_dir: str,
+    max_files: int = 64,
+    keep_versions: int = 30,
+    target_bytes: int | None = None,
+) -> dict:
+    """Scheduled housekeeping for the curated table — the call a
+    nightly job makes between delta increments: compacts when the MoR
+    appends/masks push the live file count past `max_files`,
+    RE-CLUSTERING by doc_id so the per-file id ranges the delta merge
+    prunes on stay tight and disjoint as the table grows, then expires
+    old versions and vacuums crash garbage. Pure sequencing of
+    SnapshotTable.maintain with the curated table's declared layout."""
+    return _open_curated(spark, _paths(work_dir)).maintain(
+        max_files=max_files,
+        keep_versions=keep_versions,
+        cluster_by=["doc_id"],
+        target_bytes=target_bytes,
+    )
+
+
 def _filter_quality(df: DataFrame, min_quality: float) -> DataFrame:
     return df.filter(quality_score("text") >= F.lit(min_quality))
 
@@ -641,15 +682,7 @@ def curate_increment(
                 "delta mode needs frozen rates: run a rebuild first"
             )
         rates = spark.read.parquet(p["rates"])
-        curated = SnapshotTable(
-        spark, p["curated"],
-        # bloom_cols (r11, VERDICT item 2): doc ids are
-        # high-cardinality and UNCLUSTERED — exactly the case where
-        # min/max stat pruning keeps every file and the per-file bloom
-        # sidecars prune the MoR merge's matched-row scan to the files
-        # that might actually hold the batch's keys
-        bloom_cols=["doc_id"],
-    )
+        curated = _open_curated(spark, p)
         # retract pre-existing docs that just lost to a lower-id
         # newcomer (loser id not in this batch's landed rows)
         retract = drop_new.join(
@@ -690,6 +723,14 @@ def curate_increment(
         curated.merge_into(
             surv, ["doc_id"], when_matched="update", mode="mor"
         )
+        # observability: how far manifest stats + blooms narrowed the
+        # merge before any data scan (the number the clustered layout
+        # exists to shrink). Unset when the merge short-circuited
+        # (empty survivor set / replayed txn).
+        ms = getattr(curated, "last_merge_stats", None)
+        if ms is not None:
+            stats["merge_live"] = ms["live"]
+            stats["merge_candidates"] = ms["candidates"]
         n_retract = retract.count()
         if n_retract:
             curated.merge_into(
@@ -761,16 +802,18 @@ def curate_increment(
     )
     _mark("rates_freeze")
 
-    curated = SnapshotTable(
-        spark, p["curated"],
-        # bloom_cols (r11, VERDICT item 2): doc ids are
-        # high-cardinality and UNCLUSTERED — exactly the case where
-        # min/max stat pruning keeps every file and the per-file bloom
-        # sidecars prune the MoR merge's matched-row scan to the files
-        # that might actually hold the batch's keys
-        bloom_cols=["doc_id"],
+    curated = _open_curated(spark, p)
+    # write CLUSTERED by doc_id (range partition + in-file sort): each
+    # curated file then owns one tight slice of the id domain, so delta
+    # merges stat-prune to the files actually holding the batch's keys
+    # in addition to the bloom test (r12, VERDICT item 1). One range
+    # shuffle the overwrite was going to pay as a round-robin anyway.
+    curated.overwrite(
+        sampled.repartitionByRange(
+            F.col("doc_id").asc_nulls_last()
+        ).sortWithinPartitions(F.col("doc_id").asc_nulls_last()),
+        txn=(txn_app, batch_id),
     )
-    curated.overwrite(sampled, txn=(txn_app, batch_id))
     stats["curated"] = curated.read().count()
     _mark("curated_write")
 

@@ -49,6 +49,8 @@ def _latest_green_rounds(root=None) -> dict[str, int]:
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
                 and not row.get("err")
             ):
                 latest[q] = max(latest.get(q, 0), rnd)

@@ -1537,7 +1537,11 @@ class SnapshotTable:
         count that goes stale as the table grows). Sizes come from the
         live files' on-disk footprint, driver-side, no scan.
 
-        `cluster_by` additionally Z-ORDERS the rewrite (Delta's
+        `cluster_by` additionally CLUSTERS the rewrite: one column is
+        an exact range-partition + sort on it (tight, pairwise-
+        disjoint per-file [min,max] — the layout that lets merge_into
+        stat-prune a keyed table, and it works for any orderable type
+        including strings); two or more columns Z-ORDER (Delta's
         OPTIMIZE ZORDER BY): rows are range-partitioned and sorted on
         the Morton key of the named columns, so every output file's
         manifest min/max is tight in ALL of them at once and
@@ -1586,7 +1590,23 @@ class SnapshotTable:
         # DV-aware: compaction materializes the masked rows away — the
         # rewrite retires every deletion vector on its source files
         df = self._read_files(read_files, cur_schema)
-        if cluster_by:
+        if cluster_by and len(cluster_by) == 1:
+            # single-column clustering: a plain range partition + sort
+            # beats the Z-order path — exact (no 2^bits grid
+            # quantization, so per-file [min,max] are TIGHT and
+            # pairwise disjoint) and type-agnostic (strings/decimals
+            # cluster too; the Morton grid needs floats). This is what
+            # makes a keyed MoR table mergeable at scale: after
+            # compact(cluster_by=[key]) each file owns one slice of
+            # the key domain and merge_into's stat point test drops
+            # every file holding none of the batch's keys, blooms or
+            # no blooms. Same single range-partition shuffle the
+            # rewrite pays anyway.
+            c = cluster_by[0]
+            df = df.repartitionByRange(
+                target_files, F.col(c).asc_nulls_last()
+            ).sortWithinPartitions(F.col(c).asc_nulls_last())
+        elif cluster_by:
             bounds: dict[str, tuple[float, float]] = {}
             entries = list(read_files.values())
             cl_cm = self._colmap_at(head)
@@ -1878,25 +1898,26 @@ class SnapshotTable:
 
         ranges = {k: (rng[f"lo_{k}"], rng[f"hi_{k}"]) for k in keys}
         merge_cm = self._colmap_at(head)
-        candidates = _prune_candidates(
-            live, keys, ranges, points,
-            stats_name=(
-                (lambda e, k: self._stats_name(e, k, merge_cm))
-                if merge_cm is not None else None
-            ),
-        )
-        bloom_points: dict[str, list] = dict(points)
-        if not points and candidates:
-            # big batch (beyond the stat point cap): the bloom index
-            # can still prune if we collect the batch's distinct key
-            # values for the bloom-indexed key columns — one capped
-            # keys-only distinct per column, driver holds the values
-            # (<= _BLOOM_MERGE_POINT_CAP longs), the bit test is
-            # vectorized per file. This is the path a 100 TB delta
-            # merge lives on: thousands of mostly-new keys against an
-            # unclustered table, where stat ranges keep everything.
+        if not points and live:
+            # big batch (beyond the stat point cap): a complete
+            # distinct-value list still prunes where the min..max range
+            # cannot — one capped keys-only distinct per indexed key
+            # column, driver holds the values
+            # (<= _BLOOM_MERGE_POINT_CAP longs). Collected for BOTH
+            # index kinds: bloom-indexed columns feed the vectorized
+            # sidecar bit test, and stat-indexed columns feed the
+            # bisect point test against per-file [min,max] — on a
+            # range-CLUSTERED table (compact(cluster_by=...)) that
+            # alone drops every file whose slice of the key domain
+            # holds none of the batch's keys. This is the path a
+            # 100 TB delta merge lives on: thousands of mostly-new
+            # keys scattered across the domain, where the range test
+            # keeps everything.
+            prunable = set(self._effective_stat_cols()) | set(
+                self._effective_bloom_cols()
+            )
             for k in keys:
-                if k not in self._effective_bloom_cols():
+                if k not in prunable:
                     continue
                 vals = [
                     r[0]
@@ -1907,7 +1928,15 @@ class SnapshotTable:
                     .collect()
                 ]
                 if vals and len(vals) <= _BLOOM_MERGE_POINT_CAP:
-                    bloom_points[k] = sorted(vals)
+                    points[k] = sorted(vals)
+        candidates = _prune_candidates(
+            live, keys, ranges, points,
+            stats_name=(
+                (lambda e, k: self._stats_name(e, k, merge_cm))
+                if merge_cm is not None else None
+            ),
+        )
+        bloom_points: dict[str, list] = dict(points)
         if bloom_points and candidates:
             # bloom pre-prune (no-op without sidecars): on an
             # UNCLUSTERED table every file's [min,max] spans the key
@@ -3991,12 +4020,28 @@ def _prune_candidates(
     stats_name=None,
 ) -> dict[str, dict]:
     """Files that MAY hold one of the merge source's keys, judged from
-    manifest stats alone (driver-side, O(files x keys)): each key
-    column must pass either the point-set test (any source value in
-    the file's [min,max] — tight for sparse scattered batches) or the
-    range test (big batches). A column with no recorded stats can
-    never prune a file. `stats_name(entry, col)` resolves the per-file
-    stats key on column-mapped tables (identity when None)."""
+    manifest stats alone (driver-side, O(files x log(points))): each
+    key column must pass either the point-set test (any source value
+    in the file's [min,max] — tight for sparse scattered batches AND
+    for big batches against a range-CLUSTERED table, where the range
+    test keeps every file but most files contain none of the batch's
+    keys) or the range test. Point sets are per-key SORTED and
+    COMPLETE distinct-value lists — the membership test is one bisect
+    per (file, key), so a 64k-point batch over 100k files stays
+    driver-cheap. A column with no recorded stats can never prune a
+    file. `stats_name(entry, col)` resolves the per-file stats key on
+    column-mapped tables (identity when None)."""
+    from bisect import bisect_left
+
+    def any_point_in(pts: list, mn, mx) -> bool:
+        try:
+            i = bisect_left(pts, mn)
+        except TypeError:
+            # mixed/incomparable types (stat physical type differs
+            # from the collected value type): fall back to the exact
+            # pairwise test
+            return any(_may_contain([mn, mx], x, x) for x in pts)
+        return i < len(pts) and not mx < pts[i]
 
     def may_hold(e: dict) -> bool:
         for k in keys:
@@ -4005,8 +4050,9 @@ def _prune_candidates(
             )
             if mm is None:
                 continue
-            if points:
-                if not any(_may_contain(mm, x, x) for x in points[k]):
+            pts = points.get(k)
+            if pts:
+                if not any_point_in(pts, mm[0], mm[1]):
                     return False
             elif not _may_contain(mm, *ranges[k]):
                 return False

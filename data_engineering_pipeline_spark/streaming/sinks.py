@@ -224,8 +224,16 @@ def near_dedup_sink(
     def _commit(delta, batch_id):
         _store(delta.sparkSession).commit(delta, batch_id)
 
+    # heal_paths: recover_table/_sweep_stale_appends only touch
+    # `{sig_path}.__tmp__/__old__/__app__` siblings, which the banded
+    # store never creates — a no-op for new-layout stores, but it
+    # restores the legacy healing for a pre-r11 flat state dir (a
+    # crashed swap's `.__old__` remnant with the live dir missing
+    # would otherwise migrate an EMPTY store, silently losing all
+    # prior dedup state).
     return _incremental_dedup_sink(
-        stream_docs, out_path, checkpoint, id_col, _probe, _commit
+        stream_docs, out_path, checkpoint, id_col, _probe, _commit,
+        heal_paths=(sig_path,),
     )
 
 

@@ -931,3 +931,62 @@ def test_ppl_train_cap_deterministic_and_convergent(spark, tmp_path):
         ).read().collect()
     }
     assert seq_rows == one_rows
+
+
+def test_curated_clusters_by_doc_id_and_merge_prunes(spark, tmp_path):
+    """r12 VERDICT item 1: the rebuild writes the curated table
+    range-CLUSTERED by doc_id with per-file stats recorded, delta
+    increments expose how far metadata pruned their merge, and
+    maintain_curation() re-clusters the accumulated MoR state without
+    changing contents."""
+    from data_engineering_pipeline_spark.plans.curation_pipeline import (
+        maintain_curation,
+    )
+
+    work = str(tmp_path / "w")
+    curate_batch(spark, _mk_docs(spark, _corpus(1000, 240)), work)
+    cur = SnapshotTable(spark, f"{work}/curated")
+    live = cur._live_files()
+    # every rebuild-written file carries doc_id [min,max] stats (AQE
+    # may coalesce the tiny test corpus to one file; at scale the
+    # range shuffle yields many, each owning one id slice)
+    assert all("doc_id" in e.get("stats", {}) for e in live.values())
+
+    b2 = [
+        (2000, "en", "a brand new document about freshly minted "
+                     "subjects with plenty of novel words inside"),
+        (2001, "de", "another brand new document concerning different "
+                     "freshly minted subjects and novel words"),
+    ]
+    s = curate_increment(
+        spark, _mk_docs(spark, b2), work, batch_id=1, mode="delta"
+    )
+    assert s["merge_candidates"] <= s["merge_live"] == len(live)
+
+    # re-cluster the accumulated MoR state via the maintenance entry
+    # point; a small byte target forces a multi-file clustered layout
+    before = {r.doc_id for r in cur.read().collect()}
+    out = maintain_curation(spark, work, max_files=1, target_bytes=4096)
+    assert out["compacted"]
+    after_live = cur._live_files()
+    assert len(after_live) > 1
+    spans = sorted(e["stats"]["doc_id"] for e in after_live.values())
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # tight AND disjoint id slices
+    assert {r.doc_id for r in cur.read().collect()} == before
+
+    # a delta whose ids land beyond every file's slice: the merge is
+    # narrowed below the live set by manifest stats alone
+    b3 = [
+        (5000, "en", "yet another entirely fresh document with its own "
+                     "unique vocabulary and no prior relatives at all"),
+        (5001, "de", "ein weiteres ganz neues dokument mit eigenem "
+                     "wortschatz und ohne fruehere verwandte"),
+    ]
+    s3 = curate_increment(
+        spark, _mk_docs(spark, b3), work, batch_id=2, mode="delta"
+    )
+    assert s3["merge_live"] == len(after_live)
+    assert s3["merge_candidates"] < s3["merge_live"]
+    got = {r.doc_id for r in cur.read().collect()}
+    assert before <= got  # no retractions: prior contents intact

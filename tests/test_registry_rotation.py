@@ -2,9 +2,12 @@
 decides WHICH ~50 queries the driver grades each round was itself
 ungraded (r9 verdict item 7). Pin it against synthetic
 CORRECTNESS_r*.json files: never-checked queries lead, then
-oldest-evidence-first; err rows and rows_match=false don't count as
-green; corrupt/partial files are skipped; ties break alphabetically;
-and the real registry currently leads with the oldest-evidence rows."""
+oldest-evidence-first; err rows, rows_match=false, schema_match=false
+and hash_match=false all don't count as green (r11 verdict nit 1: a
+rows-match-but-hash-mismatch query must stay at the FRONT of the
+driver window, not rotate out as freshly evidenced); corrupt/partial
+files are skipped; ties break alphabetically; and the real registry
+currently leads with the oldest-evidence rows."""
 
 from __future__ import annotations
 
@@ -22,17 +25,26 @@ def _write(tmp_path, name, payload):
     )
 
 
+def _green(**over):
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "err": None}
+    row.update(over)
+    return row
+
+
 def test_latest_green_rounds_parsing_rules(tmp_path):
     _write(tmp_path, "CORRECTNESS_r01.json", {
-        "a": {"rows_match": True},
-        "b": {"rows_match": True},
-        "c": {"rows_match": False},           # red: not green
-        "d": {"rows_match": True, "err": "boom"},  # err: not green
+        "a": _green(),
+        "b": _green(),
+        "c": _green(rows_match=False),        # red: not green
+        "d": _green(err="boom"),              # err: not green
         "e": "not-a-dict",                    # malformed row: skipped
+        "f": _green(hash_match=False),        # value mismatch: not green
+        "g": _green(schema_match=False),      # schema mismatch: not green
     })
     _write(tmp_path, "CORRECTNESS_r02.json", {
-        "a": {"rows_match": True},            # a re-proven in r2
-        "c": {"rows_match": True},            # c first green in r2
+        "a": _green(),                        # a re-proven in r2
+        "c": _green(),                        # c first green in r2
     })
     _write(tmp_path, "CORRECTNESS_r03.json", "{ corrupt json !!")
     _write(tmp_path, "CORRECTNESS_r04.json", ["not", "a", "dict"])
@@ -44,9 +56,9 @@ def test_latest_green_rounds_parsing_rules(tmp_path):
 
 def test_latest_green_survives_round_ten_and_sorts_numerically(tmp_path):
     # two-digit rounds: r10 must parse as 10, not sort/regex-trip
-    _write(tmp_path, "CORRECTNESS_r09.json", {"a": {"rows_match": True}})
-    _write(tmp_path, "CORRECTNESS_r10.json", {"a": {"rows_match": True},
-                                              "b": {"rows_match": True}})
+    _write(tmp_path, "CORRECTNESS_r09.json", {"a": _green()})
+    _write(tmp_path, "CORRECTNESS_r10.json", {"a": _green(),
+                                              "b": _green()})
     got = _latest_green_rounds(root=tmp_path)
     assert got == {"a": 10, "b": 10}
 

@@ -238,3 +238,42 @@ def test_compact_crash_window_heals(spark, tmp_path):
     ids = {r.doc_id for r in spark.read.parquet(sigs).collect()}
     assert ids == set(range(20))
     shutil.rmtree(str(tmp_path / "st"), ignore_errors=True)
+
+
+def test_commit_auto_compacts_on_skewed_dirs(spark, tmp_path, monkeypatch):
+    """The compaction trigger must watch the FULLEST sigs dir, not a
+    fixed sample: batches whose ids all hash into one pfx dir pile
+    files there while the lexicographically-first dir stays thin
+    (r11 ADVICE item 3)."""
+    monkeypatch.setattr(BandedSignatureStore, "COMPACT_THRESHOLD", 3)
+    st = BandedSignatureStore(spark, str(tmp_path / "st"),
+                              sig_pfx=2, bucket_pfx=2)
+
+    # split a candidate id range by the store's own pfx hash
+    cand = spark.range(0, 400).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(2)).alias("p"),
+    ).collect()
+    pfx0 = [r.id for r in cand if r.p == 0]
+    pfx1 = [r.id for r in cand if r.p == 1]
+    assert len(pfx0) >= 10 and len(pfx1) >= 60
+
+    # one mixed batch so BOTH dirs exist, then pfx1-only batches
+    f, _ = st.probe(_docs(spark, pfx0[:10] + pfx1[:10]))
+    st.commit(f, 0)
+    for b in range(1, 6):
+        f, _ = st.probe(_docs(spark, pfx1[b * 10: b * 10 + 10]))
+        st.commit(f, b)
+
+    per_dir: dict = {}
+    for f_ in glob.glob(str(tmp_path / "st" / "sigs" / "**" / "*.parquet"),
+                        recursive=True):
+        per_dir.setdefault(os.path.dirname(f_), 0)
+        per_dir[os.path.dirname(f_)] += 1
+    # without the max() trigger, pfx=1 holds 6 files (threshold 3)
+    assert max(per_dir.values()) <= 4
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "st" / "sigs")).collect()
+    }
+    assert ids == set(pfx0[:10]) | set(pfx1[:60])

@@ -2620,3 +2620,97 @@ def test_read_zero_live_files_is_empty_frame(spark, tmp_path):
     got2 = t2.read()
     assert got2.columns == ["a", "b"]
     assert got2.count() == 0
+
+
+# ---------------- single-column clustering (r12 VERDICT item 1) ----
+
+
+def test_compact_single_col_clustering_tightens_stats(spark, tmp_path):
+    """compact(cluster_by=[one col]) must range-partition + sort
+    EXACTLY (no Z-order grid): the rewritten files' manifest [min,max]
+    on the cluster column are pairwise DISJOINT, so a keyed merge can
+    stat-prune to the true footprint with no bloom sidecars at all."""
+    t = SnapshotTable(spark, str(tmp_path / "cl1"), stat_cols=["k"])
+    # four appends in interleaved key order: every file spans the
+    # whole domain before compaction
+    for off in range(4):
+        t.append(
+            spark.range(0, 1000).select(
+                (F.col("id") * 4 + off).alias("k"),
+                F.lit(f"b{off}").alias("tag"),
+            ).repartition(4)
+        )
+    live0 = t._live_files()
+    spans0 = [e["stats"]["k"] for e in live0.values()]
+    assert all(s[0] < 1000 and s[1] > 3000 for s in spans0)  # all wide
+
+    t.compact(target_files=8, cluster_by=["k"])
+    live = t._live_files()
+    assert len(live) == 8
+    spans = sorted(e["stats"]["k"] for e in live.values())
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # tight AND disjoint — exact, not gridded
+    # contents survived the rewrite
+    assert t.read().count() == 4000
+
+    # a sparse merge now prunes on stats alone (no bloom_cols handle)
+    src = spark.createDataFrame(
+        [(7, "upd"), (3901, "upd")], "k long, tag string"
+    )
+    t.merge_into(src, ["k"], when_matched="update")
+    assert t.last_merge_stats["live"] == 8
+    assert t.last_merge_stats["candidates"] <= 2
+    got = {r.k: r.tag for r in t.read().collect()}
+    assert got[7] == "upd" and got[3901] == "upd" and got[8] == "b0"
+
+
+def test_compact_clusters_string_column(spark, tmp_path):
+    """The exact single-column path must cluster ANY orderable type —
+    strings have no float image, so the Z-order grid can't take them;
+    the range partition + sort can."""
+    t = SnapshotTable(spark, str(tmp_path / "cl2"), stat_cols=["s"])
+    t.append(
+        spark.range(0, 2000).select(
+            F.format_string("doc-%04d", F.pmod(F.col("id") * 7, F.lit(2000)))
+            .alias("s"),
+            F.col("id").alias("v"),
+        ).repartition(4)
+    )
+    t.compact(target_files=4, cluster_by=["s"])
+    live = t._live_files()
+    assert len(live) == 4
+    spans = sorted(e["stats"]["s"] for e in live.values())
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+    src = spark.createDataFrame([("doc-0042", -1)], "s string, v long")
+    t.merge_into(src, ["s"], when_matched="update")
+    assert t.last_merge_stats["candidates"] == 1
+    assert {r.v for r in t.read().where(F.col("s") == "doc-0042").collect()} \
+        == {-1}
+
+
+def test_big_batch_merge_stat_point_prune_on_clustered_table(
+    spark, tmp_path
+):
+    """The 100 TB delta-merge shape, blooms OFF: a batch beyond the
+    1024-key stat point cap against a range-clustered table. The
+    min..max range test keeps every file (the batch spans the domain),
+    but the complete distinct-key collection (capped at 64k) plus the
+    per-file bisect drops every file whose key slice holds none of the
+    batch — candidates ~= the batch's true footprint."""
+    t = SnapshotTable(spark, str(tmp_path / "cl3"), stat_cols=["k"])
+    t.append(_df(spark, 0, 100_000).repartition(8))
+    t.compact(target_files=50, cluster_by=["k"])
+    assert len(t._live_files()) == 50
+    # 2000 keys in one narrow slice + one at the far end: range test
+    # alone would keep all 50 files
+    src = spark.createDataFrame(
+        [(i, "upd") for i in range(1000, 3000)] + [(99_999, "upd")],
+        "k long, tag string",
+    )
+    t.merge_into(src, ["k"], when_matched="update", mode="mor")
+    assert t.last_merge_stats["live"] == 50
+    assert t.last_merge_stats["candidates"] <= 4
+    got = t.read()
+    assert got.where(F.col("tag") == "upd").count() == 2001
+    assert got.count() == 100_000
