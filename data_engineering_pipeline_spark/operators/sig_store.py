@@ -57,7 +57,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _META = "_meta.json"
+_LAYOUT = "_layout.json"
 _LAYOUT_VERSION = "banded-v1"
+
+
+def _read_layout(base: str) -> dict | None:
+    """A layout dir's own modulus record (absent on pre-migration
+    stores: their modulus comes from the root meta)."""
+    lp = os.path.join(base, _LAYOUT)
+    if not os.path.exists(lp):
+        return None
+    with open(lp) as fh:
+        return json.load(fh)
+
+
+def _write_layout(base: str, layout: dict) -> None:
+    """Stamp a layout dir with the modulus its hive values were
+    computed under (atomic; underscore-prefixed so Spark's file
+    listing ignores it)."""
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, _LAYOUT + "." + uuid.uuid4().hex[:8])
+    with open(tmp, "w") as fh:
+        json.dump(layout, fh)
+    os.rename(tmp, os.path.join(base, _LAYOUT))
 
 
 class BandedSignatureStore:
@@ -101,6 +123,18 @@ class BandedSignatureStore:
                 shutil.rmtree(d, ignore_errors=True)
             for d in glob.glob(base + ".compact-*"):
                 shutil.rmtree(d, ignore_errors=True)
+        # per-layout moduli win over everything (see _check_meta):
+        # each layout dir carries the modulus its hive values were
+        # computed under, so a crash between compact()'s two layout
+        # swaps (banded migrated, sigs not yet) still reads BOTH
+        # layouts under their true moduli. Read AFTER healing — the
+        # layout file rides inside the dir the heal may restore.
+        lb = _read_layout(self._banded)
+        if lb is not None:
+            self.bucket_pfx = int(lb["bucket_pfx"])
+        ls = _read_layout(self._sigs)
+        if ls is not None:
+            self.sig_pfx = int(ls["sig_pfx"])
 
     # ---------------------------------------------------------- meta
     def _meta_dict(self) -> dict:
@@ -113,24 +147,50 @@ class BandedSignatureStore:
             "bucket_pfx": self.bucket_pfx,
         }
 
+    # params whose mismatch means the persisted state is semantically
+    # incompatible with this handle: probing across them silently
+    # misses duplicates, so they raise. The prefix MODULI are not in
+    # this set — they are pure layout, adopted from the store (only
+    # compact() may change them, rewriting every file under the new
+    # scheme), so a default-constructed handle keeps working on a
+    # store that has grown its partitioning.
+    _STRUCTURAL = ("layout", "n", "num_hashes", "bands")
+
     def _check_meta(self) -> None:
         mp = os.path.join(self.root, _META)
         if os.path.exists(mp):
             with open(mp) as fh:
                 have = json.load(fh)
-            if have != self._meta_dict():
+            mine = self._meta_dict()
+            if any(have.get(k) != mine[k] for k in self._STRUCTURAL):
                 raise ValueError(
                     "signature store %s was built with %r, opened "
-                    "with %r — banding/layout params are structural; "
-                    "rebuild the store instead of probing across them"
-                    % (self.root, have, self._meta_dict())
+                    "with %r — banding params are structural; rebuild "
+                    "the store instead of probing across them"
+                    % (self.root, have, mine)
                 )
+            # adopt the store's layout moduli (per-layout _layout.json
+            # files override these again in __init__)
+            if "sig_pfx" in have:
+                self.sig_pfx = int(have["sig_pfx"])
+            if "bucket_pfx" in have:
+                self.bucket_pfx = int(have["bucket_pfx"])
 
     def _write_meta(self) -> None:
         mp = os.path.join(self.root, _META)
         if os.path.exists(mp):
             return
         os.makedirs(self.root, exist_ok=True)
+        tmp = mp + "." + uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._meta_dict(), fh)
+        os.rename(tmp, mp)
+
+    def _rewrite_meta(self) -> None:
+        """Atomic in-place meta replace — ONLY compact() may call this
+        (a migration rewrote every file, so the new moduli describe
+        the store truthfully)."""
+        mp = os.path.join(self.root, _META)
         tmp = mp + "." + uuid.uuid4().hex[:8] + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(self._meta_dict(), fh)
@@ -354,12 +414,10 @@ class BandedSignatureStore:
         """Append a batch's fresh signatures: band rows FIRST, then
         signature rows (see module docstring for the crash order).
         Each partition dir only ever GAINS files — O(batch) writes —
-        and when the sigs store's first partition dir crosses
+        and when the FULLEST sigs partition dir crosses
         COMPACT_THRESHOLD files the whole store folds to one file per
         dir (stage + swap, crash leaves old or new set, both
-        complete). The trigger samples ONE dir instead of walking the
-        tree: commits touch every populated dir symmetrically, so any
-        dir's file count tracks the batch count."""
+        complete)."""
         from data_engineering_pipeline_spark.operators.dedup import (
             _band_rows,
             _band_structs,
@@ -405,14 +463,23 @@ class BandedSignatureStore:
             return
         _move_partition_files(s_stage, self._sigs, tok)
         shutil.rmtree(stage, ignore_errors=True)
+        # stamp each live layout dir with its modulus (first commit
+        # creates the dirs; later commits are a no-op stat)
+        if _read_layout(self._banded) is None:
+            _write_layout(self._banded, {"bucket_pfx": self.bucket_pfx})
+        if _read_layout(self._sigs) is None:
+            _write_layout(self._sigs, {"sig_pfx": self.sig_pfx})
         # trigger on the FULLEST dir, not the lexicographically first:
         # skewed/tiny batches don't touch dirs symmetrically, so a
         # single sampled dir can lag the real maximum by a multiple
         # (the walk is bounded — post-compaction every dir holds one
         # file, so this counts at most dirs x threshold files).
+        # auto_grow: the fold is also the point where the store checks
+        # whether its partition dirs have outgrown the probe-read
+        # budget and doubles the prefix moduli if so.
         dirs = self._sig_dirs(None)
         if dirs and max(_n_parquet(d) for d in dirs) > self.COMPACT_THRESHOLD:
-            self.compact()
+            self.compact(auto_grow=True)
 
     # --------------------------------------------------- maintenance
     def migrate_flat(self, flat_sigs: DataFrame, batch_id: int = 0) -> None:
@@ -429,25 +496,103 @@ class BandedSignatureStore:
             )
         self.commit(fresh, batch_id)
 
-    def compact(self) -> None:
+    # auto-grow target: compact(auto_grow=True) doubles a layout's
+    # prefix modulus until each partition dir holds at most this many
+    # bytes — the invariant that keeps a probe's read volume
+    # batch-proportional as the corpus grows (each opened dir is
+    # 1/(bands*bucket_pfx) of the store; a fixed modulus makes that
+    # slice grow linearly with the corpus, addendum 59's honest
+    # ceiling).
+    AUTO_GROW_DIR_BYTES = 8 * 1024 * 1024
+    MAX_PFX = 4096
+
+    def _grown_pfx(self, base: str, n_dirs_per_pfx: int, cur: int) -> int:
+        total = 0
+        for r, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass
+        new = cur
+        while (
+            new < self.MAX_PFX
+            and total / (n_dirs_per_pfx * new) > self.AUTO_GROW_DIR_BYTES
+        ):
+            new *= 2
+        return new
+
+    def compact(
+        self,
+        to_sig_pfx: int | None = None,
+        to_bucket_pfx: int | None = None,
+        auto_grow: bool = False,
+    ) -> None:
         """Fold each partition dir's accumulated per-batch files into
         one file (stage + swap per store; crash leaves either the old
-        or the new file set, both complete)."""
+        or the new file set, both complete).
+
+        `to_sig_pfx` / `to_bucket_pfx` MIGRATE the store to new prefix
+        moduli in the same rewrite — compact already touches every
+        file, so it is the one legal point where the partitioning may
+        change (r11 VERDICT item 5: a fixed bucket_pfx caps pruning as
+        the corpus grows). `auto_grow=True` picks the moduli instead:
+        doubled until each partition dir is back under
+        AUTO_GROW_DIR_BYTES — the commit-time auto-compaction passes
+        this, so a long-running store re-partitions itself as it
+        grows. Crash-safe: each staged layout dir carries its own
+        `_layout.json` (swapped atomically with the dir), so dying
+        between the two layout swaps leaves banded at the new modulus
+        and sigs at the old — and the next open reads each under its
+        true modulus. The root _meta.json is rewritten LAST (fresh
+        handles adopt it; per-layout files win until then)."""
+        new_sig = to_sig_pfx or self.sig_pfx
+        new_bucket = to_bucket_pfx or self.bucket_pfx
+        if auto_grow:
+            if _dir_has_parquet(self._banded):
+                new_bucket = max(
+                    new_bucket,
+                    self._grown_pfx(self._banded, self.bands, new_bucket),
+                )
+            if _dir_has_parquet(self._sigs):
+                new_sig = max(
+                    new_sig, self._grown_pfx(self._sigs, 1, new_sig)
+                )
         for base in (self._banded, self._sigs):
             if not _dir_has_parquet(base):
                 continue
             df = self.spark.read.parquet(base)
-            pcols = (
-                ["band", "bpfx"] if base is self._banded else ["pfx"]
-            )
+            if base is self._banded:
+                pcols = ["band", "bpfx"]
+                if new_bucket != self.bucket_pfx:
+                    df = df.drop("bpfx").withColumn(
+                        "bpfx",
+                        F.pmod(F.col("bucket"), F.lit(new_bucket)),
+                    )
+                layout = {"bucket_pfx": new_bucket}
+            else:
+                pcols = ["pfx"]
+                if new_sig != self.sig_pfx:
+                    df = df.drop("pfx").withColumn(
+                        "pfx",
+                        F.pmod(
+                            F.xxhash64(F.col(self.id_col)),
+                            F.lit(new_sig),
+                        ),
+                    )
+                layout = {"sig_pfx": new_sig}
             stage = base + ".compact-" + uuid.uuid4().hex[:8]
             df.repartition(*pcols).write.partitionBy(*pcols).mode(
                 "overwrite"
             ).parquet(stage)
+            _write_layout(stage, layout)
             aside = base + ".old-" + uuid.uuid4().hex[:8]
             os.rename(base, aside)
             os.rename(stage, base)
             shutil.rmtree(aside, ignore_errors=True)
+        self.bucket_pfx, self.sig_pfx = new_bucket, new_sig
+        self._rewrite_meta()
 
 
 def open_migrated(

@@ -187,13 +187,28 @@ def _freeze_ppl_lm(spark: SparkSession, corpus: DataFrame,
     )
 
     if train_cap is not None:
-        # checkpoint the sampled trainer corpus: the freeze fires ~6
-        # actions over bg (4 model writes, the score persist, the
-        # cutoff refinement) and each would otherwise re-run the
-        # TakeOrdered sample over the full corpus
-        corpus = corpus.orderBy(
-            mixed_key_hash(F.col("doc_id")).asc(), F.col("doc_id")
-        ).limit(train_cap).localCheckpoint(eager=False)
+        # top-k the (hash, doc_id) pairs ONLY, then semi-join the text
+        # back (r12, VERDICT item 3): the TakeOrderedAndProject merge
+        # is single-task by construction, so it must carry ~16 bytes
+        # per row, not multi-KB document bodies (~700 MB through one
+        # task at the old cap). The joined trainer set is identical —
+        # membership is a pure function of doc_id — and row order
+        # never matters downstream (kn_train counts, the cutoffs are
+        # order statistics). Checkpoint the sampled trainer corpus:
+        # the freeze fires ~6 actions over bg (4 model writes, the
+        # score persist, the cutoff refinement) and each would
+        # otherwise re-run the sample over the full corpus.
+        ids = (
+            corpus.select(
+                mixed_key_hash(F.col("doc_id")).alias("__h"), "doc_id"
+            )
+            .orderBy(F.col("__h").asc(), F.col("doc_id"))
+            .limit(train_cap)
+            .drop("__h")
+        )
+        corpus = corpus.join(
+            ids, "doc_id", "left_semi"
+        ).localCheckpoint(eager=False)
     bg = bigram_explode(corpus)
     model = kn_train(bg)
     for name in ("lq", "ctx", "cont", "nb"):

@@ -277,3 +277,113 @@ def test_commit_auto_compacts_on_skewed_dirs(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(str(tmp_path / "st" / "sigs")).collect()
     }
     assert ids == set(pfx0[:10]) | set(pfx1[:60])
+
+
+def test_compact_migrates_prefix_moduli(spark, tmp_path):
+    """r12 VERDICT item 5: compact(to_*) re-partitions the store to
+    higher prefix moduli (the one legal migration point — it rewrites
+    every file anyway). Probe results are unchanged, a fresh
+    default-constructed handle ADOPTS the migrated moduli instead of
+    raising, and the file-open witness shows a small probe opening a
+    strict fraction of the larger dir set."""
+    st = BandedSignatureStore(spark, str(tmp_path / "st"),
+                              bands=4, sig_pfx=2, bucket_pfx=2)
+    for b in range(2):
+        f, _ = st.probe(_docs(spark, range(b * 20, b * 20 + 20)))
+        st.commit(f, b)
+    probe_docs = _docs(spark, [500, 501, 0, 1])
+    before = _pairset(st.probe(probe_docs)[1])
+
+    st.compact(to_sig_pfx=8, to_bucket_pfx=8)
+    assert st.sig_pfx == 8 and st.bucket_pfx == 8
+    # hive values recomputed under the new moduli
+    bp = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(str(tmp_path / "st" / "banded" / "band=*" / "bpfx=*"))
+    }
+    sp = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(str(tmp_path / "st" / "sigs" / "pfx=*"))
+    }
+    assert max(bp) >= 2 and bp <= set(range(8))
+    assert max(sp) >= 2 and sp <= set(range(8))
+    assert _pairset(st.probe(probe_docs)[1]) == before
+
+    # a new handle with DEFAULT moduli adopts the store's (bands is
+    # still structural and still raises — pinned elsewhere)
+    st2 = BandedSignatureStore(spark, str(tmp_path / "st"), bands=4)
+    assert st2.sig_pfx == 8 and st2.bucket_pfx == 8
+    assert _pairset(st2.probe(probe_docs)[1]) == before
+
+    # pruning witness at the new moduli: a 2-doc probe opens a strict
+    # fraction of the banded dirs
+    stats: dict = {}
+    st2.probe(_docs(spark, [900, 901]), stats=stats)
+    assert stats["banded_dirs_opened"] < stats["banded_dirs_total"]
+
+
+def test_migration_crash_between_layout_swaps(spark, tmp_path):
+    """Dying between compact()'s banded swap and sigs swap leaves the
+    two layouts under DIFFERENT moduli. Each dir carries its own
+    _layout.json, so the next open reads each under its true modulus
+    and probes stay exact."""
+    import shutil as _sh
+
+    root = str(tmp_path / "st")
+    st = BandedSignatureStore(spark, root, bands=4,
+                              sig_pfx=2, bucket_pfx=2)
+    f, _ = st.probe(_docs(spark, range(0, 30)))
+    st.commit(f, 1)
+    probe_docs = _docs(spark, [500, 501, 2, 3])
+    before = _pairset(st.probe(probe_docs)[1])
+
+    # simulate the crash: run the full migration, then put the OLD
+    # sigs layout back (its _layout.json still says sig_pfx=2) and
+    # the OLD meta back — exactly the on-disk state of a crash after
+    # the banded swap
+    _sh.copytree(os.path.join(root, "sigs"), str(tmp_path / "old_sigs"))
+    old_meta = open(os.path.join(root, "_meta.json")).read()
+    st.compact(to_sig_pfx=8, to_bucket_pfx=8)
+    _sh.rmtree(os.path.join(root, "sigs"))
+    _sh.copytree(str(tmp_path / "old_sigs"), os.path.join(root, "sigs"))
+    with open(os.path.join(root, "_meta.json"), "w") as fh:
+        fh.write(old_meta)
+
+    st2 = BandedSignatureStore(spark, root, bands=4)
+    assert st2.bucket_pfx == 8  # banded migrated
+    assert st2.sig_pfx == 2     # sigs not yet
+    assert _pairset(st2.probe(probe_docs)[1]) == before
+    # re-running the interrupted migration converges
+    st2.compact(to_sig_pfx=8, to_bucket_pfx=8)
+    st3 = BandedSignatureStore(spark, root, bands=4)
+    assert st3.sig_pfx == 8 and st3.bucket_pfx == 8
+    assert _pairset(st3.probe(probe_docs)[1]) == before
+
+
+def test_auto_grow_doubles_moduli_when_dirs_outgrow_budget(
+    spark, tmp_path, monkeypatch
+):
+    """The commit-time auto-compaction passes auto_grow=True: when a
+    partition dir's bytes outgrow AUTO_GROW_DIR_BYTES the fold doubles
+    the prefix moduli, so probe read volume stays batch-proportional
+    as the corpus grows."""
+    monkeypatch.setattr(BandedSignatureStore, "COMPACT_THRESHOLD", 2)
+    monkeypatch.setattr(BandedSignatureStore, "AUTO_GROW_DIR_BYTES", 3000)
+    monkeypatch.setattr(BandedSignatureStore, "MAX_PFX", 8)
+    st = BandedSignatureStore(spark, str(tmp_path / "st"),
+                              bands=4, sig_pfx=2, bucket_pfx=2)
+    for b in range(4):
+        f, _ = st.probe(_docs(spark, range(b * 25, b * 25 + 25)))
+        st.commit(f, b)
+    assert st.bucket_pfx > 2 or st.sig_pfx > 2  # the fold grew the store
+    # contents and probe semantics intact after the growth
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "st" / "sigs")).collect()
+    }
+    assert ids == set(range(100))
+    _, p = st.probe(
+        _docs(spark, [2000],
+              mutate=lambda i, w: [f"w20_{k}" for k in range(12)])
+    )
+    assert any(a == 20 for a, b, _ in _pairset(p))
