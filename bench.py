@@ -190,6 +190,85 @@ def _await_idle_machine() -> dict:
         return {}
 
 
+def _run_control(ref: str, sf_dir: str, cur_timings: dict) -> dict:
+    """Two-tree drift control (VERDICT r11 item 7): bench the SAME
+    protocol on a git worktree of `ref` in this session, right after
+    the current tree, and report per-query ratio pairs — so
+    cross-round comparisons are measured against a same-day control
+    instead of argued from different-day machine states (the r10/r11
+    adjudication found the machine alone drifts 1.17x day-to-day).
+    The control runs in its own subprocess/JVM behind the same idle
+    gate; any failure is recorded, never fatal to the main bench."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", ref], cwd=here,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        wt = tempfile.mkdtemp(prefix=f"bench_ctrl_{sha[:8]}_")
+        shutil.rmtree(wt)  # worktree add wants a fresh path
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            cwd=here, check=True, capture_output=True,
+        )
+    except (subprocess.CalledProcessError, OSError) as exc:
+        return {"ref": ref, "err": f"worktree setup failed: {exc}"}
+    try:
+        ctrl_detail = os.path.join(wt, "CTRL_DETAIL.json")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_DETAIL=ctrl_detail,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        env.pop("SPARK_GRAFT_BENCH_CONTROL", None)
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(wt, "bench.py")],
+                cwd=wt, env=env, check=True, capture_output=True,
+                timeout=7200,
+            )
+            with open(ctrl_detail) as fh:
+                ctrl = json.load(fh)
+        except (subprocess.SubprocessError, OSError, ValueError) as exc:
+            return {"ref": ref, "sha": sha,
+                    "err": f"control bench failed: {exc}"[:500]}
+        cq = ctrl.get("queries", {})
+        ratios = {
+            k: round(v / cq[k], 3)
+            for k, v in cur_timings.items()
+            if isinstance(v, (int, float))
+            and isinstance(cq.get(k), (int, float)) and cq[k] > 0
+        }
+        shared = sorted(ratios)
+        tot_cur = sum(cur_timings[k] for k in shared)
+        tot_ctrl = sum(cq[k] for k in shared)
+        return {
+            "ref": ref,
+            "sha": sha,
+            "value": ctrl.get("value"),
+            "loadavg_at_start": ctrl.get("loadavg_at_start"),
+            "queries": {k: cq[k] for k in shared},
+            "spread": {
+                k: v for k, v in ctrl.get("spread", {}).items()
+                if k in ratios
+            },
+            "ratios": ratios,
+            "n_shared": len(shared),
+            "shared_total_ratio": (
+                round(tot_cur / tot_ctrl, 4) if tot_ctrl else None
+            ),
+        }
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here, capture_output=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -265,6 +344,16 @@ def main() -> None:
     if errors:
         detail["errors"] = errors
 
+    # optional same-session control tree: --control <ref> (or
+    # $SPARK_GRAFT_BENCH_CONTROL). Stops our JVM first so the control
+    # subprocess benches the same resources.
+    ctrl_ref = os.environ.get("SPARK_GRAFT_BENCH_CONTROL") or None
+    if "--control" in sys.argv:
+        ctrl_ref = sys.argv[sys.argv.index("--control") + 1]
+    if ctrl_ref:
+        spark.stop()
+        detail["control"] = _run_control(ctrl_ref, sf_dir, timings)
+
     here = os.path.dirname(os.path.abspath(__file__))
     default_name = "BENCH_DETAIL_WRITE.json" if write_mode else "BENCH_DETAIL.json"
     detail_path = os.environ.get(
@@ -296,6 +385,17 @@ def main() -> None:
         out["mode"] = "write"
     if errors:
         out["n_errors"] = len(errors)
+    if ctrl_ref:
+        c = detail["control"]
+        out["control"] = {
+            "ref": ctrl_ref,
+            **(
+                {"err": c["err"][:120]} if "err" in c else
+                {"value": c["value"],
+                 "shared_total_ratio": c["shared_total_ratio"],
+                 "n_shared": c["n_shared"]}
+            ),
+        }
     if load_info.get("loaded"):
         # the idle wait timed out on a busy machine: flag the run so
         # readers discount elevated walls without a steady-state rerun

@@ -26,6 +26,7 @@ from data_engineering_pipeline_spark.operators.text import (
 )
 from data_engineering_pipeline_spark.queries.text import _STOP_SQL, _TOKS
 from data_engineering_pipeline_spark.sources import load_table
+from data_engineering_pipeline_spark._tmpdirs import fresh_tmpdir
 
 QUERIES = {}
 ORACLES = {}
@@ -1020,7 +1021,7 @@ def curation_decon_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcnum = F.substring("source", 4, 10).try_cast("int")
     corpus = docs.filter(srcnum < 10)
     ev = docs.filter(srcnum >= 10).select("text")
-    d = tempfile.mkdtemp(prefix="decon_q_")
+    d = fresh_tmpdir("decon_q_")
     _freeze_decon(spark, ev, d)
     kept = _apply_decon(spark, corpus, d, 0).select("doc_id").withColumn(
         "__k", F.lit(1)

@@ -34,11 +34,8 @@ ORACLES = {}
 
 JACCARD_THRESHOLD = 0.7
 
-# dedup-incremental-store bookkeeping: temp store roots from prior
-# invocations (swept lazily on the next call — the returned frame
-# still reads the store until its first action), and the last run's
-# sub-wall decomposition for bench probes.
-_SIG_STORE_Q_ROOTS: list[str] = []
+# dedup-incremental-store: the last run's sub-wall decomposition for
+# bench probes.
 INCREMENTAL_STORE_TIMINGS: dict[str, float] = {}
 
 
@@ -799,17 +796,16 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 from probe 2 (new-vs-anything), and at the graded B=16/r=2
     banding a qualifying pair misses all bands with prob <= 2.1e-5
     (the dedup-minhash-lsh flake budget). Store state lives in a
-    per-run temp dir (prior runs' dirs are swept on the NEXT
-    invocation — sweeping at return would pull the store out from
+    per-run temp dir (fresh_tmpdir: prior runs' dirs are swept on the
+    NEXT invocation — sweeping at return would pull the store out from
     under the still-lazy result frame); probes are pure functions of
     the input, so the driver's repeated executions are independent.
     Sub-walls land in INCREMENTAL_STORE_TIMINGS for bench
     decomposition (the r11 verdict asked where the 10 s goes)."""
     import os
-    import shutil
-    import tempfile
     import time
 
+    from data_engineering_pipeline_spark._tmpdirs import fresh_tmpdir
     from data_engineering_pipeline_spark.operators.dedup import (
         shingle_sets,
     )
@@ -817,15 +813,11 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         BandedSignatureStore,
     )
 
-    while len(_SIG_STORE_Q_ROOTS) > 0:
-        shutil.rmtree(_SIG_STORE_Q_ROOTS.pop(), ignore_errors=True)
-
     docs = load_table(spark, sf_dir, "documents")
     srcnum = F.substring("source", 4, 10).try_cast("int")
     b1 = docs.filter(srcnum < 10)
     b2 = docs.join(b1.select("doc_id"), "doc_id", "left_anti")
-    root = tempfile.mkdtemp(prefix="sig_store_q_")
-    _SIG_STORE_Q_ROOTS.append(root)
+    root = fresh_tmpdir("sig_store_q_")
     # minimal prefix moduli for the graded scale: the partition scheme
     # is structural (meta-stamped) and this store lives for ONE run,
     # so 16 bands x 1 bucket prefix + 2 sig prefixes writes ~18 files

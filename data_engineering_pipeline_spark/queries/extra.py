@@ -17,6 +17,7 @@ from data_engineering_pipeline_spark.operators.sampling import (
 )
 from data_engineering_pipeline_spark.queries._exact import mean_money_round4
 from data_engineering_pipeline_spark.sources import load_table
+from data_engineering_pipeline_spark._tmpdirs import fresh_tmpdir
 
 QUERIES = {}
 ORACLES = {}
@@ -905,7 +906,7 @@ def op_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_tbl_q_")
+    base = fresh_tmpdir("snap_tbl_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
     t.append(orders.filter(F.col("o_orderstatus") == "O"))
@@ -955,7 +956,7 @@ def op_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_merge_q_")
+    base = fresh_tmpdir("snap_merge_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -1003,7 +1004,7 @@ def op_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_rename_q_")
+    base = fresh_tmpdir("snap_rename_q_")
     t = SnapshotTable(
         spark, os.path.join(base, "t"),
         stat_cols=["o_orderkey"], bloom_cols=["o_custkey"],
@@ -1071,7 +1072,7 @@ def op_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_cdf_q_")
+    base = fresh_tmpdir("snap_cdf_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -1135,7 +1136,7 @@ def op_snapshot_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = tempfile.mkdtemp(prefix="snap_ma_q_")
+    base = fresh_tmpdir("snap_ma_q_")
     src = SnapshotTable(spark, os.path.join(base, "src"))
     agg = SnapshotTable(spark, os.path.join(base, "agg"))
     src.append(
@@ -1489,7 +1490,7 @@ def op_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_del_q_")
+    base = fresh_tmpdir("snap_del_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -1535,7 +1536,7 @@ def op_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_upd_q_")
+    base = fresh_tmpdir("snap_upd_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
     t.update_where(
@@ -1595,7 +1596,7 @@ def op_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_mor_q_")
+    base = fresh_tmpdir("snap_mor_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -1677,7 +1678,7 @@ def op_snapshot_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_cdfm_q_")
+    base = fresh_tmpdir("snap_cdfm_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(
@@ -1738,7 +1739,7 @@ def op_snapshot_prune_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="snap_zb_q_")
+    base = fresh_tmpdir("snap_zb_q_")
     t = SnapshotTable(
         spark, os.path.join(base, "t"),
         stat_cols=["o_custkey", "o_totalprice"],
@@ -1794,7 +1795,7 @@ def op_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    base = tempfile.mkdtemp(prefix="snap_bloom_q_")
+    base = fresh_tmpdir("snap_bloom_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       bloom_cols=["o_custkey"])
     t.append(orders.repartition(8))
@@ -1869,7 +1870,7 @@ def op_snapshot_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_join,
     )
 
-    base = tempfile.mkdtemp(prefix="snap_ij_q_")
+    base = fresh_tmpdir("snap_ij_q_")
     a = SnapshotTable(spark, os.path.join(base, "a"),
                       stat_cols=["o_orderkey"])
     b = SnapshotTable(spark, os.path.join(base, "b"))
@@ -1976,7 +1977,7 @@ def op_snapshot_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_join,
     )
 
-    base = tempfile.mkdtemp(prefix="snap_star_q_")
+    base = fresh_tmpdir("snap_star_q_")
     a = SnapshotTable(spark, os.path.join(base, "a"),
                       stat_cols=["o_orderkey"])
     b = SnapshotTable(spark, os.path.join(base, "b"))
@@ -2061,7 +2062,7 @@ def op_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
     )
-    base = tempfile.mkdtemp(prefix="snap_rst_q_")
+    base = fresh_tmpdir("snap_rst_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.repartition(4))
@@ -2118,7 +2119,7 @@ def op_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
     )
-    base = tempfile.mkdtemp(prefix="snap_ts_q_")
+    base = fresh_tmpdir("snap_ts_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.repartition(4))
@@ -2175,7 +2176,7 @@ def op_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
     )
-    base = tempfile.mkdtemp(prefix="snap_clone_q_")
+    base = fresh_tmpdir("snap_clone_q_")
     src = SnapshotTable(spark, os.path.join(base, "src"),
                         stat_cols=["o_orderkey"])
     src.append(orders.repartition(4))
@@ -2246,7 +2247,7 @@ def op_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100)
                 .cast("long").alias("cents"))
     )
-    base = tempfile.mkdtemp(prefix="snap_dsrc_q_")
+    base = fresh_tmpdir("snap_dsrc_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"])
     t.append(orders.repartitionByRange(8, "o_orderkey"))
@@ -2304,7 +2305,7 @@ def op_snapshot_stream_source(spark: SparkSession,
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderpriority")
     )
-    base = tempfile.mkdtemp(prefix="snap_stream_q_")
+    base = fresh_tmpdir("snap_stream_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"))
     t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
@@ -2372,7 +2373,7 @@ def op_snapshot_format_write(spark: SparkSession,
             .cast("long").alias("cents"),
         )
     )
-    base = tempfile.mkdtemp(prefix="snap_fw_q_")
+    base = fresh_tmpdir("snap_fw_q_")
     p = os.path.join(base, "t")
     sds.register(spark)
     evens = orders.filter(F.col("o_orderkey") % 2 == 0)
@@ -2431,7 +2432,7 @@ def op_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
     )
-    base = tempfile.mkdtemp(prefix="snap_wap_q_")
+    base = fresh_tmpdir("snap_wap_q_")
     src = SnapshotTable(spark, os.path.join(base, "src"),
                         stat_cols=["o_orderkey"])
     src.append(orders.repartition(4))
@@ -2509,7 +2510,7 @@ def op_snapshot_change_feed(spark: SparkSession,
             .cast("long").alias("cents"),
         )
     )
-    base = tempfile.mkdtemp(prefix="snap_cfd_q_")
+    base = fresh_tmpdir("snap_cfd_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"], cdf=True)
     t.append(orders.repartition(4))
@@ -2595,7 +2596,7 @@ def op_snapshot_change_feed_format(spark: SparkSession,
             .cast("long").alias("cents"),
         )
     )
-    base = tempfile.mkdtemp(prefix="snap_cff_q_")
+    base = fresh_tmpdir("snap_cff_q_")
     t = SnapshotTable(spark, os.path.join(base, "t"),
                       stat_cols=["o_orderkey"], cdf=True)
     t.append(orders.repartition(4))
@@ -2670,7 +2671,7 @@ def op_snapshot_incr_agg_cdf(spark: SparkSession,
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = tempfile.mkdtemp(prefix="snap_macdf_q_")
+    base = fresh_tmpdir("snap_macdf_q_")
     src = SnapshotTable(spark, os.path.join(base, "src"), cdf=True)
     agg = SnapshotTable(spark, os.path.join(base, "agg"))
     src.append(

@@ -30,6 +30,7 @@ from data_engineering_pipeline_spark.operators.similarity import (
     cosine_pairs_lsh,
 )
 from data_engineering_pipeline_spark.sources import load_table
+from data_engineering_pipeline_spark._tmpdirs import fresh_tmpdir
 
 QUERIES = {}
 ORACLES = {}
@@ -370,7 +371,7 @@ def ann_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="ann_idx_q_")
+    base = fresh_tmpdir("ann_idx_q_")
     path = os.path.join(base, "idx")
     build_ann_index(
         spark, emb, path, id_col="vec_id", cell_of=_sem_cell_col
@@ -555,7 +556,7 @@ def ann_index_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = tempfile.mkdtemp(prefix="ann_ivfpq_q_")
+    base = fresh_tmpdir("ann_ivfpq_q_")
     path = os.path.join(base, "idx")
     build_ann_index(
         spark, emb, path, id_col="vec_id",
