@@ -133,6 +133,9 @@ HEADLINE = [
     # round 11 addition: two-batch incremental near-dup through the
     # band-bucketed signature store — tracked from first appearance
     "dedup-incremental-store",
+    # round 12 addition: exact single-column clustering + stat-point-
+    # pruned big-batch MoR merge — tracked from first appearance
+    "op-snapshot-cluster-merge",
 ]
 
 TIMED_RUNS = 3

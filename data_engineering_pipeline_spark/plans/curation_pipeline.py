@@ -753,7 +753,10 @@ def curate_increment(
                 insert_not_matched=False, mode="mor",
             )
         stats["retracted"] = n_retract
-        stats["curated"] = curated.read().count()
+        # exact logical row count from the manifest (rows minus
+        # DV-masked), driver-side — the old read().count() scanned the
+        # whole curated corpus per increment just for this stat
+        stats["curated"] = curated.detail()["num_rows"]
         _mark("merge")
         res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
         stats["shards_rebuilt"] = len(res["rebuilt"])
@@ -829,7 +832,7 @@ def curate_increment(
         ).sortWithinPartitions(F.col("doc_id").asc_nulls_last()),
         txn=(txn_app, batch_id),
     )
-    stats["curated"] = curated.read().count()
+    stats["curated"] = curated.detail()["num_rows"]  # manifest, no scan
     _mark("curated_write")
 
     res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])

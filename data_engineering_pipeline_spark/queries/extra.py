@@ -2704,3 +2704,70 @@ def op_snapshot_incr_agg_cdf(spark: SparkSession,
         )
         .orderBy("grp")
     )
+
+
+@_register(
+    "op-snapshot-cluster-merge",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+                ELSE round(o_totalprice, 2) END AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 20000000 AS o_orderkey,
+           -1 AS o_custkey, 0.0 AS price
+    FROM orders WHERE o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def op_snapshot_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-column exact clustering + stat-point-pruned big-batch
+    MERGE end-to-end (r12, VERDICT item 1; sources/snapshot_table.py
+    compact cluster_by=[one col] / merge_into big-batch point
+    collection): orders land round-robin across 8 files (every file's
+    o_orderkey [min,max] spans the domain), compact(cluster_by=
+    ["o_orderkey"]) range-partitions + sorts them into tight DISJOINT
+    id slices, and a merge whose source carries >1024 distinct keys
+    (every 7th orderkey updated to price -1, plus the same keys
+    shifted +20M as inserts) exercises the capped distinct-key
+    collection + per-file bisect: the update keys prune to their true
+    file footprint from stats alone (no bloom sidecars on this
+    table), and the beyond-range insert keys match nothing. A wrongly
+    pruned file surfaces as an un-updated row vs the oracle's CASE;
+    a wrongly kept file only costs IO. mode='mor' makes the updates
+    deletion-vector masks, so the read also grades the DV anti-join
+    over the clustered layout."""
+    import os
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = fresh_tmpdir("snap_clm_q_")
+    t = SnapshotTable(spark, os.path.join(base, "t"),
+                      stat_cols=["o_orderkey"])
+    t.append(orders.repartition(8))
+    t.compact(target_files=8, cluster_by=["o_orderkey"])
+    hits = orders.filter(F.col("o_orderkey") % 7 == 0)
+    src = hits.select(
+        "o_orderkey", "o_custkey", F.lit(-1.0).alias("o_totalprice")
+    ).unionByName(
+        hits.select(
+            (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+            F.lit(-1).cast("long").alias("o_custkey"),
+            F.lit(0.0).alias("o_totalprice"),
+        )
+    )
+    t.merge_into(src, ["o_orderkey"], when_matched="update", mode="mor")
+    return (
+        t.read()
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
