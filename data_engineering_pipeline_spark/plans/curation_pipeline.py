@@ -728,6 +728,15 @@ def curate_increment(
             # unassigned (absent from every split until the next
             # rebuild versions them in)
             surv = surv.withColumn("split", F.lit(None).cast("string"))
+        # checkpoint the survivors (batch-sized) BEFORE the merge:
+        # merge_into fires several driver actions over its source
+        # (row-count agg, grouped-keys sample, capped distinct-key
+        # collection, the staged write) and each would otherwise
+        # re-run the whole batch-filter lineage above — the frozen-LM
+        # scoring alone is ~20 s at the 500k decade, and the r12 probe
+        # measured the un-checkpointed merge re-paying it per action
+        # (merge wall 123 s with ZERO candidate files to scan).
+        surv = surv.localCheckpoint(eager=False)
         stats["batch_survivors"] = surv.count()
         _mark("batch_filters")
         # merge-on-read: the increment's write cost is the batch's
@@ -774,6 +783,13 @@ def curate_increment(
     )
     stats["after_dedup"] = keep.count()
     _mark("dedup")
+    # NOTE deliberate non-cache: the quality survivors are a
+    # corpus-sized frame (~70% of the corpus on the 500k probe), and
+    # caching them alongside the gate-survivor cache below OOMed the
+    # 8g local driver — re-paying the cheap expression-only quality
+    # scan per downstream stage is the right trade at any scale; only
+    # the POST-gate survivor set (the expensive-to-recompute, much
+    # smaller frame) is cached.
     filtered = _filter_quality(keep, min_quality)
     stats["after_quality"] = filtered.count()
     _mark("quality")
@@ -799,6 +815,20 @@ def curate_increment(
         filtered = _apply_ppl_gate(
             spark, filtered, p["ppl_lm"], ppl_gate[0], ppl_gate[1]
         )
+    # persist the final gate survivors: the rates freeze, the
+    # (possibly split-assigned) rebalance and the clustered curated
+    # write each fire their own actions over `filtered`, and without
+    # this cache every one re-pays the gate scoring (~40 s at the 500k
+    # decade, measured re-paid twice — r12 probe: rates_freeze
+    # 59.8 -> 1.0 s, curated_write 50.7 -> 5.0 s with the cache).
+    # MEMORY_AND_DISK: the survivor set is the small post-filter
+    # fraction of the corpus, and a spill beats recomputing a scored
+    # join at any scale.
+    from pyspark import StorageLevel
+
+    filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+    _cached = [filtered]
+    if ppl_gate is not None:
         stats["after_ppl_gate"] = filtered.count()
         _mark("ppl_gate")
     sampled = _rebalance(filtered, alpha)
@@ -838,4 +868,6 @@ def curate_increment(
     res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
     stats["shards_rebuilt"] = len(res["rebuilt"])
     _mark("shards")
+    for df_ in _cached:  # every consumer has materialized by here
+        df_.unpersist()
     return stats

@@ -547,7 +547,15 @@ def test_big_batch_bloom_prune_across_rename(spark, tmp_path):
     )
     for t in (t_b, t_p):
         t.merge_into(src, ["key_id"], when_matched="update", mode="mor")
-    assert t_p.last_merge_stats["candidates"] == 8
+    # r12: the big-batch STAT point collection fires across the rename
+    # too (stats resolve the old physical name), so the stats-only twin
+    # may prune files whose [min,max] holds none of the batch's keys —
+    # blooms must still be at least as tight, and never tighter than
+    # correct (the result-parity check below)
+    assert (
+        t_b.last_merge_stats["candidates"]
+        <= t_p.last_merge_stats["candidates"]
+    )
     assert t_b.last_merge_stats["candidates"] <= 4  # blooms resolve old name
     rows_b = sorted((r.key_id, r.tag) for r in t_b.read().collect())
     rows_p = sorted((r.key_id, r.tag) for r in t_p.read().collect())

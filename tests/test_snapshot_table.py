@@ -1359,7 +1359,14 @@ def test_bloom_prunes_big_batch_merge(spark, tmp_path):
     )
     for t in (t_b, t_p):
         t.merge_into(src, ["k"], when_matched="update", mode="mor")
-    assert t_p.last_merge_stats["candidates"] == 8  # stats keep all
+    # r12: the big-batch stat point collection may prune some files on
+    # the stats-only twin too (round-robin file spans are layout
+    # luck) — blooms must be at least as tight, never tighter than
+    # correct (result parity below)
+    assert (
+        t_b.last_merge_stats["candidates"]
+        <= t_p.last_merge_stats["candidates"]
+    )
     assert t_b.last_merge_stats["candidates"] <= 4  # blooms prune
     rows_b = sorted((r.k, r.tag) for r in t_b.read().collect())
     rows_p = sorted((r.k, r.tag) for r in t_p.read().collect())
