@@ -352,7 +352,12 @@ def main() -> None:
     # subprocess benches the same resources.
     ctrl_ref = os.environ.get("SPARK_GRAFT_BENCH_CONTROL") or None
     if "--control" in sys.argv:
-        ctrl_ref = sys.argv[sys.argv.index("--control") + 1]
+        i = sys.argv.index("--control") + 1
+        # a missing ref must not discard the finished bench run —
+        # record the misuse in the sidecar instead of raising
+        ctrl_ref = sys.argv[i] if i < len(sys.argv) else None
+        if ctrl_ref is None:
+            detail["control"] = {"err": "--control given without a ref"}
     if ctrl_ref:
         spark.stop()
         detail["control"] = _run_control(ctrl_ref, sf_dir, timings)

@@ -821,53 +821,63 @@ def curate_increment(
     # this cache every one re-pays the gate scoring (~40 s at the 500k
     # decade, measured re-paid twice — r12 probe: rates_freeze
     # 59.8 -> 1.0 s, curated_write 50.7 -> 5.0 s with the cache).
-    # MEMORY_AND_DISK: the survivor set is the small post-filter
+    # MEMORY_AND_DISK: the gate survivors are the small post-filter
     # fraction of the corpus, and a spill beats recomputing a scored
-    # join at any scale.
+    # join at any scale. ONLY when a gate actually reassigned
+    # `filtered` — with no decon and no ppl gate it is still the
+    # corpus-sized quality frame the NOTE above deliberately leaves
+    # uncached, and the downstream re-pay is the cheap expression scan.
     from pyspark import StorageLevel
 
-    filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-    _cached = [filtered]
-    if ppl_gate is not None:
-        stats["after_ppl_gate"] = filtered.count()
-        _mark("ppl_gate")
-    sampled = _rebalance(filtered, alpha)
-    if split_threshold is not None:
-        # sub-walls (r9 verdict item 3): _assign_splits marks
-        # "split_pairs" (LSH pair graph, checkpointed) and
-        # "split_components" (connected components) itself when
-        # timings are requested, and records stats["split_pairs"] —
-        # the count split_max_bucket exists to bound
-        sampled = _assign_splits(
-            sampled, split_threshold,
-            max_bucket_size=split_max_bucket,
-            mark=_mark if timings is not None else None,
-            stats=stats if timings is not None else None,
+    _cached = []
+    if decontaminate is not None or ppl_gate is not None:
+        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+        _cached.append(filtered)
+    try:
+        if ppl_gate is not None:
+            stats["after_ppl_gate"] = filtered.count()
+            _mark("ppl_gate")
+        sampled = _rebalance(filtered, alpha)
+        if split_threshold is not None:
+            # sub-walls (r9 verdict item 3): _assign_splits marks
+            # "split_pairs" (LSH pair graph, checkpointed) and
+            # "split_components" (connected components) itself when
+            # timings are requested, and records stats["split_pairs"]
+            # — the count split_max_bucket exists to bound
+            sampled = _assign_splits(
+                sampled, split_threshold,
+                max_bucket_size=split_max_bucket,
+                mark=_mark if timings is not None else None,
+                stats=stats if timings is not None else None,
+            )
+        # refreeze the per-lang rates for subsequent delta increments
+        _keep_ppm_of(filtered, alpha).write.mode("overwrite").parquet(
+            p["rates"]
         )
-    # refreeze the per-lang rates for subsequent delta increments
-    _keep_ppm_of(filtered, alpha).write.mode("overwrite").parquet(
-        p["rates"]
-    )
-    _mark("rates_freeze")
+        _mark("rates_freeze")
 
-    curated = _open_curated(spark, p)
-    # write CLUSTERED by doc_id (range partition + in-file sort): each
-    # curated file then owns one tight slice of the id domain, so delta
-    # merges stat-prune to the files actually holding the batch's keys
-    # in addition to the bloom test (r12, VERDICT item 1). One range
-    # shuffle the overwrite was going to pay as a round-robin anyway.
-    curated.overwrite(
-        sampled.repartitionByRange(
-            F.col("doc_id").asc_nulls_last()
-        ).sortWithinPartitions(F.col("doc_id").asc_nulls_last()),
-        txn=(txn_app, batch_id),
-    )
-    stats["curated"] = curated.detail()["num_rows"]  # manifest, no scan
-    _mark("curated_write")
+        curated = _open_curated(spark, p)
+        # write CLUSTERED by doc_id (range partition + in-file sort):
+        # each curated file then owns one tight slice of the id
+        # domain, so delta merges stat-prune to the files actually
+        # holding the batch's keys in addition to the bloom test
+        # (r12, VERDICT item 1). One range shuffle the overwrite was
+        # going to pay as a round-robin anyway.
+        curated.overwrite(
+            sampled.repartitionByRange(
+                F.col("doc_id").asc_nulls_last()
+            ).sortWithinPartitions(F.col("doc_id").asc_nulls_last()),
+            txn=(txn_app, batch_id),
+        )
+        stats["curated"] = curated.detail()["num_rows"]  # manifest
+        _mark("curated_write")
 
-    res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
-    stats["shards_rebuilt"] = len(res["rebuilt"])
-    _mark("shards")
-    for df_ in _cached:  # every consumer has materialized by here
-        df_.unpersist()
-    return stats
+        res = refresh_shards(curated, p["shards"], n_shards, ["doc_id"])
+        stats["shards_rebuilt"] = len(res["rebuilt"])
+        _mark("shards")
+        return stats
+    finally:
+        # exception-safe: a SnapshotConflict / job failure mid-stage
+        # must not leak a cached survivor set in a long-lived session
+        for df_ in _cached:
+            df_.unpersist()

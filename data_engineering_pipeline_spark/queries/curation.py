@@ -1010,7 +1010,6 @@ def curation_decon_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is eval-sized (kilobytes broadcast); the corpus side is
     one map probe; only bloom-positive shingles reach the verifier
     join (the 100 TB shape, measured in BASELINE.md)."""
-    import tempfile
 
     from data_engineering_pipeline_spark.plans.curation_pipeline import (
         _apply_decon,

@@ -899,7 +899,6 @@ def op_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions, overwrite not removing, time travel off by one) shows up
     as a wrong count/sum at some version."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -949,7 +948,6 @@ def op_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubling a 2-dp double is exact (exponent bump), so round(.,2) is
     cross-engine safe."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -997,7 +995,6 @@ def op_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a row/value mismatch. Point and bloom probe lists are bounded
     driver-side collects (~max_orderkey/397 values)."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1065,7 +1062,6 @@ def op_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write (same file, different version) must cancel out.
     Reads only the file-set symmetric difference of the two versions."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1127,7 +1123,6 @@ def op_snapshot_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides as exact cents (scaled longs) so incremental == full
     recompute bit-for-bit."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1483,7 +1478,6 @@ def op_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL-condition rows wrongly removed), under-deletion, or a
     file-confinement bug that drops unrelated rows all mismatch."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1529,7 +1523,6 @@ def op_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching rows, or an untouched-file row going missing, breaks
     the hash."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1589,7 +1582,6 @@ def op_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     a postimage lost under a later DV all break the hash. Doubling a
     2-dp double is exact, so round(.,2) is cross-engine safe."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1671,7 +1663,6 @@ def op_snapshot_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare. Exercises the dv-diff path where the file SET is
     unchanged between versions but effective contents differ."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1732,7 +1723,6 @@ def op_snapshot_prune_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions at once (multi-dim data skipping); effectiveness is
     asserted by the plan-level unit tests, correctness here."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1786,7 +1776,6 @@ def op_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain filter, which is exactly the bug class this query grades.
     False positives only cost IO and cancel under the exact filter."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1863,7 +1852,6 @@ def op_snapshot_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both-changed pair all break the hash. Doubling and adding integers
     to 2-dp doubles is exact, so round(.,2) is cross-engine safe."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -1969,7 +1957,6 @@ def op_snapshot_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs: a lost pair, a stale segment, or a double-counted delta
     anywhere in the chain breaks the count or the exact integer sum."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2051,7 +2038,6 @@ def op_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     any residue of the undone commits (a leaked DV mask, a surviving
     postimage, a lost row) breaks the hash."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2108,7 +2094,6 @@ def op_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution is a driver-side scan back from the log head (O(distance),
     no data IO) — the same cost shape as Delta's timestamp AS OF."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2165,7 +2150,6 @@ def op_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     DML reaching the source's files, a mis-resolved inherited `loc`)
     breaks the count or the hash."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2231,7 +2215,6 @@ def op_snapshot_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     files) driver-side; the scan parallelism is one task per surviving
     file."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources import (
         spark_datasource as sds,
@@ -2291,7 +2274,6 @@ def op_snapshot_stream_source(spark: SparkSession,
     Spark's own streaming checkpoint, so restart resumes exactly
     (proven under restart in tests/test_spark_datasource.py)."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources import (
         spark_datasource as sds,
@@ -2355,7 +2337,6 @@ def op_snapshot_format_write(spark: SparkSession,
     relationally; a lost staged file, a double-published manifest, or
     an Arrow schema drift breaks the exact integer sums."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources import (
         spark_datasource as sds,
@@ -2421,7 +2402,6 @@ def op_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the count or the hash. The pre-publish source remains
     time-travelable (asserted in tests)."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2495,7 +2475,6 @@ def op_snapshot_change_feed(spark: SparkSession,
     fallback is graded by the twin-equivalence test and the
     op-snapshot-cdf net-diff oracles."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2578,7 +2557,6 @@ def op_snapshot_change_feed_format(spark: SparkSession,
     MERGE-ON-READ, so the capture must carry the masked rows' full
     values — the read the plain MoR delete never does."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources import (
         spark_datasource as sds,
@@ -2662,7 +2640,6 @@ def op_snapshot_incr_agg_cdf(spark: SparkSession,
     event, an uncancelled no-op, a missed MoR delete row) lands
     directly in the counts or the exact cents."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.sources.snapshot_table import (
         SnapshotTable,
@@ -2714,7 +2691,8 @@ def op_snapshot_incr_agg_cdf(spark: SparkSession,
                 ELSE round(o_totalprice, 2) END AS price
     FROM orders
     UNION ALL
-    SELECT o_orderkey + 20000000 AS o_orderkey,
+    SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM orders)
+               AS o_orderkey,
            -1 AS o_custkey, 0.0 AS price
     FROM orders WHERE o_orderkey % 7 = 0
     ORDER BY o_orderkey
@@ -2752,11 +2730,16 @@ def op_snapshot_cluster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.repartition(8))
     t.compact(target_files=8, cluster_by=["o_orderkey"])
     hits = orders.filter(F.col("o_orderkey") % 7 == 0)
+    # insert-key shift derived from the data (1 + max orderkey), not a
+    # constant: TPC-H orderkeys reach 6M x SF, so any fixed offset
+    # collides with real keys at a large-enough SF and the "inserts"
+    # would silently become matched updates the oracle disagrees with
+    shift = (orders.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
     src = hits.select(
         "o_orderkey", "o_custkey", F.lit(-1.0).alias("o_totalprice")
     ).unionByName(
         hits.select(
-            (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+            (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
             F.lit(-1).cast("long").alias("o_custkey"),
             F.lit(0.0).alias("o_totalprice"),
         )

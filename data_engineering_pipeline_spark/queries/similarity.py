@@ -363,7 +363,6 @@ def ann_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans + n_probe production path shares all machinery, recall
     measured in tests/test_ann_index.py."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.operators.ann_index import (
         ann_index_search,
@@ -545,7 +544,6 @@ def ann_index_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell quantizer + grid codebooks, every intermediate deterministic,
     so the oracle replays both phases exactly."""
     import os
-    import tempfile
 
     from data_engineering_pipeline_spark.operators.ann_index import (
         ann_index_search_pq,

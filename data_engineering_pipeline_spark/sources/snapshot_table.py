@@ -4036,12 +4036,14 @@ def _prune_candidates(
     def any_point_in(pts: list, mn, mx) -> bool:
         try:
             i = bisect_left(pts, mn)
+            return i < len(pts) and not mx < pts[i]
         except TypeError:
-            # mixed/incomparable types (stat physical type differs
-            # from the collected value type): fall back to the exact
-            # pairwise test
-            return any(_may_contain([mn, mx], x, x) for x in pts)
-        return i < len(pts) and not mx < pts[i]
+            # incomparable types (e.g. date/decimal source values vs
+            # the stringified footer stats _file_stats keeps for
+            # non-primitive columns): no comparison can decide, so
+            # conservatively KEEP the file — pruning must never turn
+            # a type mismatch into a dropped candidate
+            return True
 
     def may_hold(e: dict) -> bool:
         for k in keys:

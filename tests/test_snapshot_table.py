@@ -2721,3 +2721,30 @@ def test_big_batch_merge_stat_point_prune_on_clustered_table(
     got = t.read()
     assert got.where(F.col("tag") == "upd").count() == 2001
     assert got.count() == 100_000
+
+
+def test_point_prune_incomparable_types_keep_file():
+    """A stat column whose footer stats were stringified (dates,
+    decimals) probed with native-typed source points must KEEP the
+    file, never raise or prune (r12 review finding: the bisect
+    TypeError fallback re-raised)."""
+    import datetime
+
+    from data_engineering_pipeline_spark.sources.snapshot_table import (
+        _prune_candidates,
+    )
+
+    live = {
+        "f1.parquet": {"stats": {"d": ["2021-01-01", "2021-06-30"]}},
+        "f2.parquet": {"stats": {}},  # no stats: always kept
+    }
+    pts = {"d": [datetime.date(2021, 3, 1)]}  # incomparable vs str
+    got = _prune_candidates(
+        live, ["d"], {"d": (None, None)}, pts
+    )
+    assert set(got) == {"f1.parquet", "f2.parquet"}
+    # comparable points still prune exactly
+    got2 = _prune_candidates(
+        live, ["d"], {"d": (None, None)}, {"d": ["2022-01-01"]}
+    )
+    assert set(got2) == {"f2.parquet"}
