@@ -252,43 +252,46 @@ def embedding_near_dedup_sink(
 ) -> StreamingQuery:
     """Streaming embedding near-duplicate filter — the semantic twin of
     near_dedup_sink: each micro-batch is hyperplane-signed and probed
-    against the persisted LSH index of everything seen so far
-    (operators/similarity.py incremental_embedding_dedup), candidates
-    exact-cosine-verified, survivors and fresh index rows appended
-    (replay-convergent, see _incremental_dedup_sink). Same drop rule
-    and state discipline; only the signer differs."""
-    from data_engineering_pipeline_spark.operators.similarity import (
-        incremental_embedding_dedup,
+    against the persisted LSH index of everything seen so far,
+    candidates exact-cosine-verified, survivors and fresh index rows
+    appended (replay-convergent, see _incremental_dedup_sink). Same
+    drop rule and state discipline; only the signer differs.
+
+    Scale (r12): state lives in the bucketed VecIndexStore
+    (operators/vec_store.py) — the probe opens only the (tbl,
+    sig-prefix) dirs the batch's probe signatures hash into and the
+    exact-cosine verify fetches only the candidate ids' vector
+    prefixes, where the old flat index re-read every row (with the
+    vector duplicated per hash table) per micro-batch. A flat pre-r12
+    index directory is migrated in place on first open. The batch's
+    signatures are localCheckpointed inside the store probe (the old
+    pin_batch: the signer compiles tables x bits x dim literals into
+    the plan — addendum 4's ~25 s/batch constant)."""
+    from data_engineering_pipeline_spark.operators.vec_store import (
+        open_migrated,
     )
 
+    holder: dict = {}
+
+    def _store(spark):
+        if "s" not in holder:
+            holder["s"] = open_migrated(
+                spark, index_path, id_col=id_col, vec_col=vec_col,
+                dim=dim, bits=bits, n_tables=n_tables,
+            )
+        return holder["s"]
+
     def _probe(batch_df):
-        spark = batch_df.sparkSession
-        existing = (
-            spark.read.parquet(index_path)
-            if _has_parquet(index_path)
-            else None
-        )
-        # pin_batch: the signature expression (tables x bits x dim
-        # literals) is evaluated ONCE per micro-batch instead of once
-        # per action — the ~25 s/batch re-plan/codegen constant
-        # BASELINE.md addendum 4 measured is mostly this
-        return incremental_embedding_dedup(
-            batch_df,
-            existing,
-            id_col,
-            vec_col,
-            threshold,
-            dim,
-            bits,
-            n_tables,
-            probe_radius,
-            state_mode="delta",
-            pin_batch=True,
+        return _store(batch_df.sparkSession).probe(
+            batch_df, threshold=threshold, probe_radius=probe_radius
         )
 
     def _commit(delta, batch_id):
-        _append_parquet(delta, index_path, batch_id)
+        _store(delta.sparkSession).commit(delta, batch_id)
 
+    # heal_paths: restores a pre-r12 flat index left mid-swap by the
+    # legacy scheme before the flat->bucketed migration runs (the
+    # banded store never creates swap remnants — no-op for new stores)
     return _incremental_dedup_sink(
         stream_vecs, out_path, checkpoint, id_col, _probe, _commit,
         heal_paths=(index_path,),

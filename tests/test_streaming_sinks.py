@@ -219,8 +219,13 @@ def test_embedding_near_dedup_sink_cross_batch(spark, tmp_path):
     assert 1002 in kept                   # novel vector survives
     assert 1000 not in kept               # exact cross-batch copy dropped
     assert 1001 not in kept               # near cross-batch copy dropped
-    # index covers every vector ever seen (one row per table)
-    idx_ids = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    # index covers every vector ever seen — r12: state lives in the
+    # bucketed store's vecs/ partition (one row per VECTOR now, not
+    # per table)
+    idx_ids = {
+        r["__id"]
+        for r in spark.read.parquet(os.path.join(idx, "vecs")).collect()
+    }
     assert set(range(12)) | {1000, 1001, 1002} <= idx_ids
 
 
