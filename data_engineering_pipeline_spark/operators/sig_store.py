@@ -35,10 +35,15 @@ signature landing without its band rows (the doc would never be
 probed again); banded-without-sigs merely re-appends duplicate band
 rows on replay, which the candidate `distinct()` absorbs.
 
-Structural parameters (num_hashes, bands, shingle n, prefix moduli)
-are stamped into `_meta.json` and validated on open — the same
-layout-version discipline as refresh_shards' hash stamp: state built
-under different banding must not be probed incrementally.
+Banding parameters (num_hashes, bands, shingle n) are stamped into
+`_meta.json` and validated on open — the same layout-version
+discipline as refresh_shards' hash stamp: state built under different
+banding must not be probed incrementally. The prefix MODULI are pure
+layout, not structure (r12): handles adopt them from the store (root
+meta, overridden by each layout dir's own `_layout.json`), and only
+compact() may change them — it rewrites every file anyway, and the
+commit-time auto-compaction passes auto_grow=True so the partitioning
+doubles as the store outgrows its per-dir byte budget.
 
 Semantics are IDENTICAL to operators/dedup.py
 incremental_minhash_dedup (same shingles, signatures, banding structs,
