@@ -172,6 +172,62 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@_register("dedup-embedding-incremental-store", _PAIRS_ORACLE)
+def dedup_embedding_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-batch incremental embedding near-dup through the bucketed
+    vector index store (operators/vec_store.py, r12) — the embedding
+    twin of dedup-incremental-store and the first ORACLE-graded path
+    through VecIndexStore (the r12 verdict's top gap: the streaming
+    embedding-dedup sink ran a store no oracle had ever hashed).
+    vec_id % 3 == 0 lands as batch 1, everything else probes as batch
+    2 against the PERSISTED store — the probe opens only the
+    (tbl, sig-prefix) partitions its own mask-expanded signatures
+    hash into, never rescanning the corpus. Graded config bits=2,
+    n_tables=1, probe_radius=2: radius >= bits makes the candidate
+    set provably exhaustive (probe masks cover all 2^2 signatures),
+    so probe-1 yields every qualifying batch-1 pair, probe-2 every
+    pair touching batch 2, and the union equals the all-pairs cosine
+    oracle exactly (same round-to-4 + threshold rule as the store's
+    verify stage). Store state lives in a per-run temp dir
+    (fresh_tmpdir — swept on the NEXT invocation, not at return,
+    because the result frame is still lazy over the store files).
+    Production configs (bits 12-16, radius 0-1, several tables) are
+    covered by tests/test_vec_store.py's flat-parity and pruning
+    suites."""
+    import os
+
+    from data_engineering_pipeline_spark.operators.vec_store import (
+        VecIndexStore,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.pmod("vec_id", F.lit(3)) == 0)
+    b2 = emb.filter(F.pmod("vec_id", F.lit(3)) != 0)
+    root = fresh_tmpdir("vec_store_q_")
+    # minimal prefix moduli for the graded scale (the partition scheme
+    # is layout, and this store lives for ONE run): 1 table x 2 sig
+    # prefixes + 2 vec prefixes keeps the per-commit file count ~6
+    # where the production default (32x32) would write hundreds of
+    # tiny files — the same fixed-cost trap dedup-incremental-store
+    # hit at sf0.1. Pruning behavior is graded by test_vec_store.py.
+    st = VecIndexStore(
+        spark, os.path.join(root, "st"), id_col="vec_id",
+        vec_col="embedding", dim=EMBED_DIM, bits=2, n_tables=1,
+        spfx=2, vpfx=2,
+    )
+    f1, p1 = st.probe(b1, threshold=NEARDUP_THRESHOLD, probe_radius=2)
+    st.commit(f1, 1)
+    _, p2 = st.probe(b2, threshold=NEARDUP_THRESHOLD, probe_radius=2)
+    return (
+        p1.unionByName(p2)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 @_register(
     "embedding-centroids",
     """
