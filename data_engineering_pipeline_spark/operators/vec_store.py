@@ -48,7 +48,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.sig_store import (
@@ -217,12 +217,25 @@ class VecIndexStore:
         probe_radius: int = 0,
         scale: int = 4,
         assume_fresh: bool = False,
+        max_bucket_size: int | None = None,
         stats: dict | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """(fresh_index_rows, dup_pairs) for a batch against the store
         — incremental_embedding_dedup's exact semantics with pruned
         reads. fresh_index_rows carries the embedding_index schema
-        (__id, __v, __n, tbl, sig); hand it to commit()."""
+        (__id, __v, __n, tbl, sig); hand it to commit().
+
+        `max_bucket_size` (off by default — oracle-exact) bounds the
+        candidate-verify volume against a degenerate embedding region
+        flooding one (tbl, sig) bucket — sig_store.probe's cap, same
+        design (see that docstring for the scale argument): each
+        STORE-side bucket, judged on the corpus view (store rows in
+        touched partitions + fresh rows), is truncated to its
+        `max_bucket_size` smallest ids, so candidates are
+        <= batch x tables x masks x cap and every flood member still
+        collides with the cluster's canonical (lowest-id, i.e.
+        surviving) representatives. `stats` also receives
+        `cand_pairs`, the volume the cap bounds."""
         from data_engineering_pipeline_spark.operators.similarity import (
             _probe_masks,
             cosine_ratio,
@@ -275,6 +288,20 @@ class VecIndexStore:
         all_signed = store_signed.unionByName(
             fresh_idx.select("__id", "tbl", "sig")
         )
+        if max_bucket_size is not None:
+            if stats is not None:
+                stats["capped_buckets"] = (
+                    all_signed.groupBy("tbl", "sig")
+                    .agg(F.count(F.lit(1)).alias("__bsz"))
+                    .filter(F.col("__bsz") > max_bucket_size)
+                    .count()
+                )
+            w = Window.partitionBy("tbl", "sig").orderBy("__id")
+            all_signed = (
+                all_signed.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= max_bucket_size)
+                .drop("__rk")
+            )
         a = probed.alias("a")
         b = all_signed.alias("b")
         cand = (
@@ -291,6 +318,8 @@ class VecIndexStore:
             .distinct()
             .localCheckpoint(eager=False)
         )
+        if stats is not None:
+            stats["cand_pairs"] = cand.count()
         cand_pfx = sorted(
             r[0]
             for r in cand.select(

@@ -486,6 +486,7 @@ def curate_batch(
     decon_max_hits: int = 0,
     split_max_bucket: int | None = None,
     ppl_train_cap: int | None = 100_000,
+    probe_max_bucket: int | None = 256,
     timings: dict | None = None,
 ) -> dict:
     """Bootstrap: land, dedup, filter, rebalance, export. Returns
@@ -499,7 +500,8 @@ def curate_batch(
         split_threshold=split_threshold, ppl_gate=ppl_gate,
         decontaminate=decontaminate, decon_max_hits=decon_max_hits,
         split_max_bucket=split_max_bucket,
-        ppl_train_cap=ppl_train_cap, timings=timings,
+        ppl_train_cap=ppl_train_cap,
+        probe_max_bucket=probe_max_bucket, timings=timings,
     )
 
 
@@ -570,6 +572,7 @@ def curate_increment(
     decon_max_hits: int = 0,
     split_max_bucket: int | None = None,
     ppl_train_cap: int | None = 100_000,
+    probe_max_bucket: int | None = 256,
     timings: dict | None = None,
     txn_app: str = "curate",
 ) -> dict:
@@ -620,7 +623,16 @@ def curate_increment(
     confirmed eval shingles; delta increments pass any truthy value
     (the frame is not re-read) and screen their batch against the
     FROZEN filter — so which eval set a doc was judged against is
-    versioned with the rebuild that froze it."""
+    versioned with the rebuild that froze it.
+
+    probe_max_bucket: hot-bucket cap for the signature-store probe
+    (sig_store.probe max_bucket_size), ON by default — this is the
+    production path the cap exists for: a boilerplate/template flood
+    otherwise makes the probe's candidate-verify join quadratic in
+    the flood size (the one non-O(batch) term left after addendum
+    65). Store-side buckets are truncated to their smallest ids, so
+    dup detection against the flood (exact copies included) is
+    preserved; pass None for uncapped oracle-exact probing."""
     if mode not in ("rebuild", "delta"):
         raise ValueError("mode must be 'rebuild' or 'delta'")
     if decontaminate is False:
@@ -687,7 +699,16 @@ def curate_increment(
         .localCheckpoint(eager=False)
     )
     new_docs = landed.join(new_ids, "doc_id", "left_semi")
-    sigs, pairs = store.probe(new_docs, assume_fresh=True)
+    # probe_max_bucket is ON by default here — the production path.
+    # The cap truncates each store-side band bucket to its smallest
+    # ids (the keep-survivors under the greatest-id-loses rule below),
+    # so a template flood can't make the candidate-verify join
+    # quadratic in the flood size, while every batch doc still
+    # collides with the representatives that outrank it — dup
+    # detection against the flood, exact copies included, is intact.
+    sigs, pairs = store.probe(
+        new_docs, assume_fresh=True, max_bucket_size=probe_max_bucket
+    )
     drop_new = (
         pairs.select(F.greatest("id_a", "id_b").alias("doc_id"))
         .distinct()

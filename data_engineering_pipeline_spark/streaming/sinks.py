@@ -184,6 +184,7 @@ def near_dedup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> StreamingQuery:
     """Streaming near-duplicate filter over document micro-batches: each
     batch is MinHash-signed and probed against the persisted signature
@@ -217,8 +218,12 @@ def near_dedup_sink(
         return holder["s"]
 
     def _probe(batch_df):
+        # max_bucket_size: sig_store.probe's hot-bucket cap (default
+        # off = oracle-exact; a long-lived production stream facing
+        # template floods should set it — see the curation pipeline's
+        # probe_max_bucket, which defaults it on)
         return _store(batch_df.sparkSession).probe(
-            batch_df, threshold=threshold
+            batch_df, threshold=threshold, max_bucket_size=max_bucket_size
         )
 
     def _commit(delta, batch_id):
@@ -249,6 +254,7 @@ def embedding_near_dedup_sink(
     bits: int = 12,
     n_tables: int = 6,
     probe_radius: int = 0,
+    max_bucket_size: int | None = None,
 ) -> StreamingQuery:
     """Streaming embedding near-duplicate filter — the semantic twin of
     near_dedup_sink: each micro-batch is hyperplane-signed and probed
@@ -283,7 +289,8 @@ def embedding_near_dedup_sink(
 
     def _probe(batch_df):
         return _store(batch_df.sparkSession).probe(
-            batch_df, threshold=threshold, probe_radius=probe_radius
+            batch_df, threshold=threshold, probe_radius=probe_radius,
+            max_bucket_size=max_bucket_size,
         )
 
     def _commit(delta, batch_id):

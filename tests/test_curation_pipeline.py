@@ -990,3 +990,35 @@ def test_curated_clusters_by_doc_id_and_merge_prunes(spark, tmp_path):
     assert s3["merge_candidates"] < s3["merge_live"]
     got = {r.doc_id for r in cur.read().collect()}
     assert before <= got  # no retractions: prior contents intact
+
+
+def test_probe_bucket_cap_keeps_one_flood_survivor(spark, tmp_path):
+    """probe_max_bucket (ON by default; pinned low here) under a
+    planted template flood: the capped store probe must still net
+    exactly one flood survivor — every other copy, in the bootstrap
+    AND in a later delta batch, lands in the losers store because
+    each copy collides with the cluster's lowest-id representative
+    even after store-side buckets truncate to the cap."""
+    work = str(tmp_path / "w")
+    tmpl = ("template boilerplate navigation footer copyright "
+            "subscribe newsletter contact about privacy terms " * 3)
+    b1 = _corpus(0, 40) + [(5000 + i, "en", tmpl) for i in range(30)]
+    curate_batch(
+        spark, _mk_docs(spark, b1), work, probe_max_bucket=4
+    )
+    losers = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work}/neardup_losers").collect()
+    }
+    assert set(range(5001, 5030)) <= losers and 5000 not in losers
+
+    b2 = _corpus(200, 5) + [(6000 + i, "en", tmpl) for i in range(5)]
+    curate_increment(
+        spark, _mk_docs(spark, b2), work, batch_id=1, mode="delta",
+        probe_max_bucket=4,
+    )
+    losers = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work}/neardup_losers").collect()
+    }
+    assert set(range(6000, 6005)) <= losers and 5000 not in losers

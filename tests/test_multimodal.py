@@ -320,3 +320,118 @@ def test_decode_media_records_per_batch_deprecated_alias(spark):
         and "emit_chunk_rows" in str(x.message)
         for x in w
     )
+
+
+def _encode_png(px, ctype, row_filters, plte=None, depth=8,
+                interlace=0):
+    """Forward PNG encoder for ground-truth tests: applies the real
+    per-scanline filters (0-4), deflates, and emits proper chunks —
+    the decoder must exactly invert it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = px.shape[0]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    w = px.shape[1]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = row_filters[y % len(row_filters)]
+        raw = flat[y]
+        enc = raw.copy()
+        if ft == 1:
+            for x in range(stride - 1, nch - 1, -1):
+                enc[x] = (raw[x] - raw[x - nch]) & 255
+        elif ft == 2:
+            enc = (raw - prev) & 255
+        elif ft == 3:
+            for x in range(stride):
+                left = raw[x - nch] if x >= nch else 0
+                enc[x] = (raw[x] - ((left + prev[x]) >> 1)) & 255
+        elif ft == 4:
+            for x in range(stride):
+                a = int(raw[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (raw[x] - pr) & 255
+        out.append(ft)
+        out += bytes(int(v) & 255 for v in enc)
+        prev = raw
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += chunk(b"PLTE", bytes(plte))
+    blob += chunk(b"IDAT", zlib.compress(bytes(out)))
+    blob += chunk(b"IEND", b"")
+    return blob
+
+
+def test_png_full_decode_recovers_ground_truth(spark):
+    """Full PNG pixel decode (r13): every filter type, the four
+    non-palette color types and palette expansion round-trip through
+    the Spark path to the exact generating mean; unsupported configs
+    (16-bit, interlaced) and corrupt IDAT degrade to the header tier
+    instead of crashing or faking."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (5, 9, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    idx = rng.randint(0, 4, (6, 5), dtype=np.uint8)
+    plte = bytes(rng.randint(0, 256, 12, dtype=np.uint8))
+    pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
+
+    blobs = [
+        (0, _encode_png(rgb, 2, [0, 1, 2, 3, 4])),
+        (1, _encode_png(gray, 0, [4, 3, 1, 2])),
+        (2, _encode_png(rgba, 6, [2, 4, 1])),
+        (3, _encode_png(idx, 3, [0, 1], plte=plte)),
+        (4, _encode_png(rgb, 2, [0], depth=16)),      # unsupported depth
+        (5, _encode_png(rgb, 2, [0], interlace=1)),   # Adam7
+    ]
+    # corrupt IDAT: valid chunks, garbage deflate stream
+    bad = bytearray(_encode_png(rgb, 2, [0]))
+    pos = bytes(bad).index(b"IDAT") + 4
+    bad[pos : pos + 8] = b"\x00" * 8
+    blobs.append((6, bytes(bad)))
+
+    media = spark.createDataFrame(
+        [(i, bytearray(b), "image/png", None) for i, b in blobs],
+        "media_id long, content binary, media_type string, "
+        "meta map<string,string>",
+    )
+    f = {r.media_id: r for r in decode_media(media).collect()}
+
+    for mid, px, nch in (
+        (0, rgb, 3), (1, gray, 1), (2, rgba, 4),
+    ):
+        assert f[mid].decoder == "builtin-png", mid
+        assert (f[mid].width, f[mid].height) == (px.shape[1], px.shape[0])
+        assert f[mid].channels == nch
+        assert abs(f[mid].mean_val - px.astype(np.float64).mean()) < 1e-9
+
+    expanded = pal[idx]
+    assert f[3].decoder == "builtin-png"
+    assert (f[3].width, f[3].height, f[3].channels) == (5, 6, 3)
+    assert abs(f[3].mean_val - expanded.astype(np.float64).mean()) < 1e-9
+
+    for mid in (4, 5, 6):
+        assert f[mid].decoder == "builtin-png-header", mid
+        assert (f[mid].width, f[mid].height) == (9, 5)
+        assert f[mid].mean_val is None

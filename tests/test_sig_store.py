@@ -387,3 +387,56 @@ def test_auto_grow_doubles_moduli_when_dirs_outgrow_budget(
               mutate=lambda i, w: [f"w20_{k}" for k in range(12)])
     )
     assert any(a == 20 for a, b, _ in _pairset(p))
+
+
+def test_probe_hot_bucket_cap_bounds_candidates(spark, tmp_path):
+    """Planted-template flood (the addendum-65 adversary): 60
+    identical docs flood every band bucket. With max_bucket_size the
+    store side of the candidate join is truncated to the bucket's
+    smallest ids, so candidate volume is batch-bounded — while every
+    later template copy STILL collides with the cluster's lowest-id
+    representative (the survivor under the greatest-id-loses rule),
+    so flood dup detection, exact copies included, is intact."""
+    tmpl = " ".join(["template"] * 12)
+
+    def plant(threshold_id):
+        def mutate(i, words):
+            return tmpl.split() if i >= threshold_id else words
+        return mutate
+
+    b1 = _docs(spark, list(range(0, 40)) + list(range(1000, 1060)),
+               mutate=plant(1000))
+    st = BandedSignatureStore(spark, str(tmp_path / "st"))
+    f1, _ = st.probe(b1)
+    st.commit(f1, 1)
+
+    b2 = _docs(spark, [50, 51, 2000, 2001, 2002], mutate=plant(2000))
+    nocap: dict = {}
+    _, p_nocap = st.probe(b2, max_bucket_size=None, stats=nocap)
+    pairs_nocap = _pairset(p_nocap)
+    cap: dict = {}
+    _, p_cap = st.probe(b2, max_bucket_size=8, stats=cap)
+    pairs_cap = _pairset(p_cap)
+
+    # uncapped: each batch copy pairs with all 60 flood members
+    assert nocap["cand_pairs"] > 150
+    # capped: each batch copy pairs with at most 8 representatives
+    assert cap["cand_pairs"] <= 3 * 8 + 5
+    assert cap["capped_buckets"] >= 1
+    # every new template copy is still caught as a dup of the
+    # cluster's lowest-id representative at estimator 1.0
+    for dup in (2000, 2001, 2002):
+        assert any(
+            b == dup and a == 1000 and est == 1.0
+            for a, b, est in pairs_cap
+        )
+    # non-flood pairs are untouched by the cap
+    assert {(a, b) for a, b, _ in pairs_cap if b < 2000} == {
+        (a, b) for a, b, _ in pairs_nocap if b < 2000
+    }
+
+    # normal batch against the same store: cap on == cap off exactly
+    b3 = _docs(spark, [60, 61])
+    _, q_nocap = st.probe(b3)
+    _, q_cap = st.probe(b3, max_bucket_size=8)
+    assert _pairset(q_cap) == _pairset(q_nocap)

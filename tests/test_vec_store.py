@@ -201,3 +201,60 @@ def test_swap_crash_heal_on_open(spark, tmp_path):
     got = {r["__id"] for r in spark.read.parquet(vecs).collect()}
     assert got == set(range(10))
     _sh.rmtree(root, ignore_errors=True)
+
+
+def test_probe_hot_bucket_cap_bounds_candidates(spark, tmp_path):
+    """Embedding twin of the sig-store cap witness: 60 identical
+    vectors flood their (tbl, sig) buckets; the cap truncates the
+    store side to the smallest ids, bounding candidates while every
+    new flood member still verifies against the cluster's lowest-id
+    representative."""
+    flood_v = [1.0 if k % 2 else -1.0 for k in range(16)]
+
+    def flooded(spark_, ids, flood_ids):
+        base = _vecs(spark_, ids)
+        rows = [(i, flood_v) for i in flood_ids]
+        extra = spark_.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return base.unionByName(extra)
+
+    st = VecIndexStore(spark, str(tmp_path / "st"), **CFG)
+    b1 = flooded(spark, range(0, 20), range(1000, 1060))
+    f1, _ = st.probe(b1, threshold=0.9, probe_radius=1)
+    st.commit(f1, 1)
+
+    b2 = flooded(spark, [30, 31], [2000, 2001, 2002])
+    nocap: dict = {}
+    _, p_nocap = st.probe(
+        b2, threshold=0.9, probe_radius=1, stats=nocap
+    )
+    cap: dict = {}
+    _, p_cap = st.probe(
+        b2, threshold=0.9, probe_radius=1, max_bucket_size=8, stats=cap
+    )
+    pairs_cap = _pairset(p_cap)
+
+    assert nocap["cand_pairs"] > 150
+    # flood contribution drops from 3 x 60 pairs to <= 3 x 8; the
+    # residual difference is random-vector candidates (bits=4 -> 16
+    # buckets/table), identical in both runs and verify-rejected
+    assert cap["cand_pairs"] <= nocap["cand_pairs"] - 120
+    assert cap["capped_buckets"] >= 1
+    for dup in (2000, 2001, 2002):
+        assert any(
+            b == dup and a == 1000 and sim >= 0.9
+            for a, b, sim in pairs_cap
+        )
+    # non-flood pairs unaffected
+    assert {(a, b) for a, b, _ in pairs_cap if b < 2000} == {
+        (a, b) for a, b, _ in _pairset(p_nocap) if b < 2000
+    }
+
+    # normal batch: capped probe is pair-identical to uncapped
+    b3 = _vecs(spark, [40, 41])
+    _, q_nocap = st.probe(b3, threshold=0.9, probe_radius=1)
+    _, q_cap = st.probe(
+        b3, threshold=0.9, probe_radius=1, max_bucket_size=8
+    )
+    assert _pairset(q_cap) == _pairset(q_nocap)
