@@ -408,25 +408,53 @@ class BandedSignatureStore:
                 ).alias("id_b"),
             )
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        # checkpoint cand ONLY when something reuses it across actions
+        # (the sigs-pruning collect below, or the stats counter). This
+        # is not an optimization nicety but load-bearing (r13): under
+        # AQE, even localCheckpoint(eager=False) materializes every
+        # shuffle stage of the plan AT CALL TIME (Dataset.toRdd builds
+        # the AQE query stages), so an unconditional checkpoint ran
+        # the full candidate join + distinct inside probe() — on a
+        # bootstrap probe of a corpus containing a template flood
+        # that is the quadratic wall, paid even when the caller never
+        # consumes the pairs (commit-only ingest).
+        if self.exists() or stats is not None:
+            cand = cand.localCheckpoint(eager=False)
         if stats is not None:
             stats["cand_pairs"] = cand.count()
-        cand_pfx = sorted(
-            r[0]
-            for r in cand.select(
-                F.explode(
-                    F.array(
-                        self._pfx_expr(F.col("id_a")),
-                        self._pfx_expr(F.col("id_b")),
-                    )
-                ).alias("p")
-            ).distinct().collect()
+        if self.exists():
+            cand_pfx = sorted(
+                r[0]
+                for r in cand.select(
+                    F.explode(
+                        F.array(
+                            self._pfx_expr(F.col("id_a")),
+                            self._pfx_expr(F.col("id_b")),
+                        )
+                    ).alias("p")
+                ).distinct().collect()
+            )
+            store_lookup = self._read(
+                self._sigs, self._sig_dirs(cand_pfx), sig,
+                [id_col] + mh_cols,
+            )
+        else:
+            # EMPTY store: the cand_pfx collect's only purpose is
+            # pruning the sigs read, and there is nothing to prune —
+            # but the collect would still MATERIALIZE the full
+            # candidate set eagerly. On a bootstrap probe whose
+            # caller never consumes the pairs (commit-only ingest of
+            # a corpus), that materialization is pure waste — and
+            # under a template flood it is the quadratic wall, paid
+            # for nothing (r13: a 20k-copy flood made the collect
+            # effectively unbounded). Keep the whole pairs plan lazy
+            # instead; callers that do consume pairs pay the
+            # candidate volume exactly once.
+            store_lookup = sig.select(id_col, *mh_cols).limit(0)
+        lookup = store_lookup.unionByName(
+            fresh_sig.select(id_col, *mh_cols)
         )
-        lookup = self._read(
-            self._sigs, self._sig_dirs(cand_pfx), sig,
-            [id_col] + mh_cols,
-        ).unionByName(fresh_sig.select(id_col, *mh_cols))
         sa = lookup.select(
             F.col(id_col).alias("id_a"),
             *[F.col(c).alias(f"__a_{c}") for c in mh_cols],

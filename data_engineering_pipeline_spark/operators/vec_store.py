@@ -316,25 +316,40 @@ class VecIndexStore:
                 F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
             )
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        # checkpoint only when reused across actions — under AQE even
+        # a lazy localCheckpoint materializes the plan's shuffle
+        # stages at call time (sig_store.probe, same r13 finding), so
+        # an unconditional checkpoint would execute the candidate
+        # join inside probe() even for commit-only bootstraps
+        if self.exists() or stats is not None:
+            cand = cand.localCheckpoint(eager=False)
         if stats is not None:
             stats["cand_pairs"] = cand.count()
-        cand_pfx = sorted(
-            r[0]
-            for r in cand.select(
-                F.explode(
-                    F.array(
-                        self._vpfx_expr(F.col("id_a")),
-                        self._vpfx_expr(F.col("id_b")),
-                    )
-                ).alias("p")
-            ).distinct().collect()
-        )
-        base = self._read(
-            self._vecs, self._vec_dirs(cand_pfx), new_idx,
-            ["__id", "__v", "__n"],
-        ).unionByName(
+        if self.exists():
+            cand_pfx = sorted(
+                r[0]
+                for r in cand.select(
+                    F.explode(
+                        F.array(
+                            self._vpfx_expr(F.col("id_a")),
+                            self._vpfx_expr(F.col("id_b")),
+                        )
+                    ).alias("p")
+                ).distinct().collect()
+            )
+            store_base = self._read(
+                self._vecs, self._vec_dirs(cand_pfx), new_idx,
+                ["__id", "__v", "__n"],
+            )
+        else:
+            # empty store: skip the cand_pfx collect — it exists only
+            # to prune the vecs read, and eagerly materializing the
+            # candidate set on a bootstrap whose caller may never
+            # consume the pairs is the quadratic-flood trap
+            # (sig_store.probe, same guard)
+            store_base = new_idx.select("__id", "__v", "__n").limit(0)
+        base = store_base.unionByName(
             fresh_idx.filter(F.col("tbl") == 0).select("__id", "__v", "__n")
         )
         va = base.select(
