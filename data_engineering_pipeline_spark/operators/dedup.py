@@ -1012,23 +1012,26 @@ def decontaminate_spans(
         ).alias("__cov"),
     )
     joined = base.join(covered, id_col, "left")
-    # indexed transform (x, i), not sequence+element_at: sequence(1, 0)
-    # DESCENDS on an empty token array and ANSI element_at raises on
-    # the out-of-range probe — the indexed lambda visits exactly the
-    # existing tokens
-    clean = F.array_join(
-        F.filter(
-            F.transform(
-                F.col("__t"),
-                lambda x, i: F.when(
-                    F.col("__cov").isNull()
-                    | ~F.array_contains(F.col("__cov"), i),
-                    x,
-                ),
-            ),
-            lambda s: s.isNotNull(),
-        ),
-        " ",
+    # survivors via array_except over the POSITION sequence, not a
+    # per-token array_contains probe: contains scans __cov per token —
+    # O(tokens x covered) per doc, quadratic on a long heavily-
+    # contaminated document (r13: 300 x 4k-token docs at ~50% window
+    # hits measured 6.7 s -> 1.2 s, output bit-identical) — while
+    # array_except builds one hash set of __cov and keeps array order,
+    # O(tokens + covered). Uncovered docs (__cov NULL) keep the whole
+    # token stream; covered docs always have n_tokens >= n > 0, so the
+    # kept-position sequence never hits the descending sequence(0, -1)
+    # trap and element_at(pos + 1) stays in range under ANSI.
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.size("__t") - 1), F.col("__cov")
+    )
+    clean = F.when(
+        F.col("__cov").isNull(),
+        F.coalesce(F.array_join("__t", " "), F.lit("")),
+    ).otherwise(
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at("__t", p + 1)), " "
+        )
     )
     return joined.select(
         id_col,

@@ -278,12 +278,19 @@ def pagerank_quantized(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        # pinned like the edge list: every iteration left-joins the
-        # node frame, and the count below materializes it anyway —
-        # without this the union+distinct shuffle re-runs per round
-        .localCheckpoint()
     )
-    n_nodes = nodes.count()
+    # pinned like the edge list: every iteration left-joins the node
+    # frame — without the checkpoint the union+distinct shuffle
+    # re-runs per round. The node count rides the SAME checkpoint job
+    # via observe() (map-side accumulation, no data to the driver)
+    # instead of a separate count job over the materialized frame —
+    # one driver roundtrip saved per call (the CC convergence-check
+    # pattern above).
+    obs = Observation("pr_n_nodes")
+    nodes = nodes.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    n_nodes = obs.get["n"] or 0
     if n_nodes == 0:
         # an empty edge set is a legitimate input at scale (a filtered
         # subgraph, an empty partition-date): return the empty
