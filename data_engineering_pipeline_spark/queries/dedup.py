@@ -738,29 +738,36 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(srcnum >= 10)
     # both arms (bloom screen + exact verifier) consume the same two
     # shingle frames; checkpoint them once so neither corpus explode
-    # runs twice (measured 5.61 -> 4.20 s at sf0.1)
-    train_sh = (
+    # runs twice (measured 5.61 -> 4.20 s at sf0.1). r13: the
+    # checkpointed frames now carry the PORTABLE HASH, not the raw
+    # shingle — each arm previously re-ran the per-char hash folds
+    # over its branch (train twice, every eval occurrence twice); both
+    # arms are defined over the hash anyway (bloom positions and the
+    # exact join key), so hashing before the checkpoint halves the
+    # hash work and narrows the checkpointed bytes to (id, int64).
+    _ident = lambda c: c  # noqa: E731 - pre-hashed passthrough
+    train_h = (
         _exploded_shingles(train, "doc_id", "text", 3)
         .select("shingle")
         .distinct()
+        .select(portable_token_hash(F.col("shingle")).alias("hk"))
         .localCheckpoint(eager=False)
     )
-    bloom = bloom_build(train_sh, F.col("shingle"))
+    bloom = bloom_build(train_h, F.col("hk"), hasher=_ident)
     evs = shingle_sets(ev, "doc_id", "text", 3).localCheckpoint(eager=False)
-    ev_ex = evs.select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    ev_h = (
+        evs.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select(
+            "doc_id", portable_token_hash(F.col("shingle")).alias("hk")
+        )
+        .localCheckpoint(eager=False)
     )
     bl = (
-        bloom_member(ev_ex, bloom, F.col("shingle"))
+        bloom_member(ev_h, bloom, F.col("hk"), hasher=_ident)
         .groupBy("doc_id")
         .agg(F.sum("is_member").cast("long").alias("n_contam_bloom"))
     )
-    tr_h = train_sh.select(
-        portable_token_hash(F.col("shingle")).alias("hk")
-    ).distinct()
-    ev_h = ev_ex.select(
-        "doc_id", portable_token_hash(F.col("shingle")).alias("hk")
-    )
+    tr_h = train_h.select("hk").distinct()
     exact = (
         ev_h.join(tr_h, "hk")
         .groupBy("doc_id")
