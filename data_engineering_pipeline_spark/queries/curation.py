@@ -896,8 +896,15 @@ def curation_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_hash,
     )
 
+    from data_engineering_pipeline_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    bg = bigram_explode(docs)
+    # tokenize ONCE across kn_train's stat branches + the scoring join
+    # (lazy map-only checkpoint; the kn3/bigram-ppl r13 finding)
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).localCheckpoint(eager=False)
+    bg = bigram_explode(toked, toks_col="__toks")
     scored = kn_doc_ce(bg, kn_train(bg)["lq"])
     w = Window.orderBy("kn_ce", "doc_id")
     bkt = scored.withColumn(

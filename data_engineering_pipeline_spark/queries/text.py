@@ -792,9 +792,18 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat with scale; BASELINE addendum 49), or use qsketch_quantiles
     for approximate cutoffs."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE: the LM's stat tables are independent aggregation
+    # branches over the same token arrays, and Catalyst gives each
+    # branch its own scan+tokenize (no cross-branch CSE) — a lazy
+    # map-only checkpoint caches the arrays at first compute and every
+    # branch reuses them (r13: the kn3 twin of this shape measured
+    # 1.70 -> 1.27 s at sf0.1). At corpus scale this pins the
+    # tokenized corpus in block-manager memory/disk for the duration
+    # of the training pass — the standard cache-vs-recompute call for
+    # an n-branch training read (n >= 4 here).
     toked = docs.select(
         "doc_id", tokens("text").alias("__toks")
-    ).filter(F.size("__toks") >= 2)
+    ).filter(F.size("__toks") >= 2).localCheckpoint(eager=False)
     bg = toked.select(
         "doc_id",
         F.explode(
@@ -1551,8 +1560,15 @@ def text_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         kn_train,
     )
 
+    from data_engineering_pipeline_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    bg = bigram_explode(docs)
+    # tokenize ONCE across kn_train's stat branches + the scoring join
+    # (lazy map-only checkpoint; the kn3/bigram-ppl r13 finding)
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).localCheckpoint(eager=False)
+    bg = bigram_explode(toked, toks_col="__toks")
     scored = kn_doc_ce(bg, kn_train(bg)["lq"])
     from pyspark.sql import Window
 
@@ -1649,9 +1665,12 @@ def text_kneser_ney3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile swaps for exact_kth_values cutoffs at 100 TB (as the
     pipeline freeze does)."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE across the 7 stat-table branches (lazy map-only
+    # checkpoint; measured 1.70 -> 1.27 s at sf0.1 — see
+    # text-bigram-ppl's note for the scale tradeoff)
     toked = docs.select(
         "doc_id", tokens("text").alias("__toks")
-    )
+    ).localCheckpoint(eager=False)
     tri = toked.filter(F.size("__toks") >= 3).select(
         "doc_id",
         F.explode(
