@@ -57,10 +57,43 @@ def _latest_green_rounds(root=None) -> dict[str, int]:
     return latest
 
 
+# Queries whose IMPLEMENTATION changed in an optimization round at or
+# after their latest driver-green row carry unbanked semantic risk: the
+# builder's change-time DuckDB re-proofs cover them, but the driver is
+# ground truth for the equivalence claim (r13 verdict item 3 — 7 of the
+# 9 r13-touched queries were last driver-checked BEFORE the change).
+# Map query -> round whose optimization touched it. A listed query
+# whose latest green evidence predates that round sorts just after the
+# never-checked block, so it fronts the next ~50-query driver window;
+# once a green row from a round >= the change round lands, the entry is
+# inert (the query falls back into normal oldest-evidence order) and
+# can be dropped at the next edit.
+_CHANGED_IN_ROUND = {
+    # r13 optimization touches (OPTIMIZATION_r13.md)
+    "dedup-incremental-store": 13,
+    "dedup-embedding-incremental-store": 13,
+    "curation-decon-spans": 13,
+    "text-contamination-bloom": 13,
+    "text-bigram-ppl": 13,
+    "text-kneser-ney-ppl": 13,
+    "text-kneser-ney3-ppl": 13,
+    "curation-ppl-gate": 13,
+    "op-graph-pagerank": 13,
+}
+
+
 def _rotate(d: dict) -> dict:
     latest = _latest_green_rounds()
-    # never-checked -> round 0 -> sorts first; then oldest evidence first.
-    order = sorted(d, key=lambda q: (latest.get(q, 0), q))
+
+    # never-checked -> round 0 -> sorts first; then changed-since-
+    # evidence (0.5); then oldest evidence first.
+    def _key(q: str):
+        lg = latest.get(q, 0)
+        if lg and lg < _CHANGED_IN_ROUND.get(q, 0):
+            return (0.5, q)
+        return (lg, q)
+
+    order = sorted(d, key=_key)
     return {k: d[k] for k in order}
 
 

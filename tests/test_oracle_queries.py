@@ -19,6 +19,8 @@ def con(sf_correct):
     c.close()
 
 
+@pytest.mark.slow  # ~30 min: the full 171-query sweep at sf0.01 — the
+# close-out gate, not the per-commit path (pytest.ini; r13 verdict #2)
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_correct, con):
     df = QUERIES[name](spark, sf_correct)

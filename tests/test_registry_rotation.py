@@ -78,11 +78,53 @@ def test_rotate_order_never_checked_then_oldest_then_alpha(monkeypatch):
     assert rotated["x"] == "X"  # values ride along
 
 
+def test_rotate_fronts_changed_since_evidence(monkeypatch):
+    """A query whose implementation changed in an optimization round
+    AFTER its latest driver-green row (queries/__init__.py
+    _CHANGED_IN_ROUND) must front the window — just behind the
+    never-checked block — until a green row from a round >= the change
+    round banks the equivalence claim at the driver (r13 verdict
+    item 3)."""
+    import data_engineering_pipeline_spark.queries as qmod
+
+    monkeypatch.setattr(
+        qmod, "_latest_green_rounds",
+        lambda root=None: {"stale": 11, "banked": 13, "old": 10},
+    )
+    monkeypatch.setattr(
+        qmod, "_CHANGED_IN_ROUND", {"stale": 13, "banked": 13},
+    )
+    d = {k: None for k in ("banked", "old", "stale", "virgin")}
+    # virgin never checked -> leads; stale changed in r13 with r11
+    # evidence -> fronts next; banked's r13 row covers its r13 change
+    # -> normal order; old (r10) precedes banked (r13).
+    assert list(qmod._rotate(d)) == ["virgin", "stale", "old", "banked"]
+
+
 def test_real_registry_leads_with_oldest_evidence():
     """The actual registry order must start with the queries whose
     committed driver evidence is oldest — the r9 verdict expects the
-    r10 window to lead with the 12 r6-evidence rows."""
+    r10 window to lead with the 12 r6-evidence rows. Queries in the
+    changed-since-evidence front list are exempt: they deliberately
+    jump the oldest-evidence order until the driver banks their
+    post-change proof."""
+    from data_engineering_pipeline_spark.queries import _CHANGED_IN_ROUND
+
     latest = _latest_green_rounds()
     rotated = _rotate({q: None for q in latest})
-    rounds = [latest[q] for q in rotated]
+    rounds = [
+        latest[q] for q in rotated
+        if latest[q] >= _CHANGED_IN_ROUND.get(q, 0)
+    ]
     assert rounds == sorted(rounds)
+    # and every fronted query sits before every non-fronted one
+    fronted = [
+        i for i, q in enumerate(rotated)
+        if latest[q] < _CHANGED_IN_ROUND.get(q, 0)
+    ]
+    if fronted:
+        first_normal = min(
+            i for i, q in enumerate(rotated)
+            if latest[q] >= _CHANGED_IN_ROUND.get(q, 0)
+        )
+        assert max(fronted) < first_normal
