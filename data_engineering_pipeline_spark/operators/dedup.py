@@ -96,18 +96,25 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, shingles array, n_sh) with the tokenization materialized in
-    its own projection so it is computed once per row. Docs with fewer
-    than n tokens (empty shingle set) are dropped, matching the SQL
-    oracle's `len(toks) >= n` gate."""
+    """(id, [keep...,] shingles array, n_sh) with the tokenization
+    materialized in its own projection so it is computed once per row.
+    Docs with fewer than n tokens (empty shingle set) are dropped,
+    matching the SQL oracle's `len(toks) >= n` gate. `keep` names
+    extra input columns to carry through unchanged — so a caller that
+    shingles a corpus ONCE can split it afterwards (e.g. by a batch
+    column) instead of re-shingling each slice (r14: the incremental-
+    store query's probe/verify arms share one tokenization)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    kept = [F.col(c) for c in keep]
+    toked = df.select(F.col(id_col), *kept, toks.alias("__toks"))
     sh = toked.select(
         F.col(id_col),
+        *kept,
         word_shingles(F.col("__toks"), n).alias("shingles"),
     )
     return sh.filter(F.size("shingles") > 0).withColumn(

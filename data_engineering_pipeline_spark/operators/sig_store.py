@@ -265,6 +265,7 @@ class BandedSignatureStore:
         assume_fresh: bool = False,
         max_bucket_size: int | None = None,
         stats: dict | None = None,
+        shingles: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """(fresh_sig, dup_pairs) for a batch against the store —
         the exact incremental_minhash_dedup semantics with pruned
@@ -272,7 +273,12 @@ class BandedSignatureStore:
         caller already removed seen ids (the curation pipeline does).
         `stats`, if given, receives the file-open witness counters
         (plus `cand_pairs`, the verified-candidate volume — the term
-        the cap bounds).
+        the cap bounds). `shingles`, if given, must equal
+        `shingle_sets(new_docs, id_col, text_col, n)` (same id set,
+        same arrays) and is used in its place — the caller that also
+        needs the batch's shingle sets (an exact-verify arm, say)
+        computes them ONCE and both consumers share the pass
+        (r14: parity pinned by test_probe_precomputed_shingles_parity).
 
         `max_bucket_size` (off by default — results exactly match the
         graded oracle) bounds the one term of probe cost that is NOT
@@ -307,7 +313,9 @@ class BandedSignatureStore:
         band_cols = _band_structs(self.bands, rows)
         mh_cols = [f"mh_{i}" for i in range(self.num_hashes)]
 
-        ex = shingle_sets(new_docs, id_col, self.text_col, self.n).select(
+        if shingles is None:
+            shingles = shingle_sets(new_docs, id_col, self.text_col, self.n)
+        ex = shingles.select(
             F.col(id_col), F.explode("shingles").alias("shingle")
         )
         # checkpoint the batch signatures ONCE: sig feeds the fresh
@@ -555,15 +563,35 @@ class BandedSignatureStore:
         # one file per partition dir per commit: repartition by the
         # partition columns so a batch adds bands*bucket_pfx files,
         # not tasks x dirs
-        banded.repartition("band", "bpfx").write.partitionBy(
-            "band", "bpfx"
-        ).mode("overwrite").parquet(b_stage)
         sigs = fresh_sig.withColumn(
             "pfx", self._pfx_expr(F.col(self.id_col))
         )
-        sigs.repartition("pfx").write.partitionBy("pfx").mode(
-            "overwrite"
-        ).parquet(s_stage)
+        # STAGE the two layouts concurrently (guide §2.6 — overlap
+        # independent jobs): the writes share only the checkpointed
+        # fresh_sig (concurrent first-materialization of one local
+        # checkpoint is a synchronized RDDCheckpointData path), and
+        # the crash-order contract lives in the MOVES below, which
+        # stay strictly banded-then-sigs. Staging was two serial
+        # driver jobs per commit; for a micro-batch each is mostly
+        # fixed job cost, so overlapping them cuts the commit wall
+        # by close to the smaller write.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_banded() -> None:
+            banded.repartition("band", "bpfx").write.partitionBy(
+                "band", "bpfx"
+            ).mode("overwrite").parquet(b_stage)
+
+        def _stage_sigs() -> None:
+            sigs.repartition("pfx").write.partitionBy("pfx").mode(
+                "overwrite"
+            ).parquet(s_stage)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(_stage_banded)
+            fs = pool.submit(_stage_sigs)
+            fb.result()
+            fs.result()
         tok = f"{batch_id}-{uuid.uuid4().hex}"
         if _move_partition_files(b_stage, self._banded, tok) == 0:
             # empty batch: nothing to land (a replayed batch's fresh

@@ -823,6 +823,26 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     srcnum = F.substring("source", 4, 10).try_cast("int")
     b1 = docs.filter(srcnum < 10)
+    # r14 (verdict item 1): tokenize+shingle the corpus ONCE and share
+    # the pass across probe 1, probe 2 AND the exact-verify arm — the
+    # three arms each re-shingled their slice before (the query's wall
+    # was ~1/3 signature compute, and its 8->32-core scaling ratio of
+    # 1.07 says serial per-job fixed cost, not parallelism, dominates).
+    # The checkpoint is MAP-ONLY (shingle_sets has no shuffle), so it
+    # stays genuinely lazy under AQE (the addendum-68 trap does not
+    # fire); the batch split rides along as __src and the two batch
+    # slices are FILTERS on the cached frame. doc_id is unique in
+    # documents at every SF (checked), so the __src split is exactly
+    # the old b1-filter/left-anti split; the null branch keeps the
+    # split exhaustive regardless.
+    sets_all = shingle_sets(
+        docs.withColumn("__src", srcnum), "doc_id", "text", 3,
+        keep=("__src",),
+    ).localCheckpoint(eager=False)
+    sets1 = sets_all.filter(F.col("__src") < 10).drop("__src")
+    sets2 = sets_all.filter(
+        F.col("__src").isNull() | (F.col("__src") >= 10)
+    ).drop("__src")
     b2 = docs.join(b1.select("doc_id"), "doc_id", "left_anti")
     root = fresh_tmpdir("sig_store_q_")
     # minimal prefix moduli for the graded scale: the partition scheme
@@ -840,11 +860,21 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_pfx=1, bucket_pfx=1,
     )
     t0 = time.perf_counter()
-    f1, p1 = st.probe(b1, threshold=0.0)  # all candidates; verify below
+    # all candidates; verify below
+    f1, p1 = st.probe(b1, threshold=0.0, shingles=sets1)
     t1 = time.perf_counter()
     st.commit(f1, 1)
     t2 = time.perf_counter()
-    _, p2 = st.probe(b2, threshold=0.0)
+    # assume_fresh: b2 is docs MINUS b1 by construction and the store
+    # holds exactly b1, so the seen-ids anti-join could never remove a
+    # row — the caller-already-deduped contract the flag exists for
+    # (the curation pipeline's shape). Skipping it drops one serial
+    # store read + anti-join checkpoint job from probe 2; the
+    # anti-join path itself stays graded by the store suite and the
+    # multi-prefix close-out witness.
+    _, p2 = st.probe(
+        b2, threshold=0.0, assume_fresh=True, shingles=sets2
+    )
     t3 = time.perf_counter()
     INCREMENTAL_STORE_TIMINGS.clear()
     INCREMENTAL_STORE_TIMINGS.update(
@@ -858,8 +888,9 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification, minhash_lsh_pairs-style: candidates are few,
-    # fetch both shingle arrays per pair and intersect in-expression
-    sets = shingle_sets(docs, "doc_id", "text", 3)
+    # fetch both shingle arrays per pair and intersect in-expression —
+    # from the SAME cached shingle pass the probes consumed
+    sets = sets_all.drop("__src")
     sa = sets.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sha")
     )
