@@ -159,3 +159,47 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank_quantized(edges)
     assert out.columns == ["node", "p"]
     assert out.count() == 0
+
+
+def test_star_forest_fixed_point_test_is_exact(spark):
+    """r14: convergence is now detected by the direct star-forest
+    fixed-point test (operators/graph.py _is_star_forest) instead of
+    running a full confirming round — the test must be EXACT in both
+    directions on the oriented edge shape the loop maintains."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        _is_star_forest,
+    )
+
+    def _e(rows):
+        return spark.createDataFrame(rows, "a long, b long")
+
+    # depth-1 stars (centers 0 and 5): fixed point
+    assert _is_star_forest(_e([(3, 0), (4, 0), (7, 5), (9, 5)]))
+    # empty edge set: trivially a forest
+    assert _is_star_forest(_e([]).filter("a > 100"))
+    # chain 2-1-0 oriented (a > b): 1 appears as child AND center
+    assert not _is_star_forest(_e([(1, 0), (2, 1)]))
+    # duplicate child: 4 has two parents
+    assert not _is_star_forest(_e([(4, 0), (4, 1)]))
+
+
+def test_cc_pair_graph_converges_in_one_round(spark):
+    """r14: disjoint near-dup PAIRS (the dominant dedup-graph shape)
+    are one large-star/small-star round from the fixed point; the old
+    fingerprint protocol still paid a second, confirming round plus an
+    exceptAll job. Pin the round count so the saving is structural,
+    not incidental."""
+    from data_engineering_pipeline_spark.operators.graph import (
+        _alternating_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 0), (3, 2), (5, 4)], "src long, dst long"
+    )
+    labels, rounds = _alternating_components(
+        verts, edges, "id", "src", "dst", max_iter=40
+    )
+    assert rounds == 1
+    got = {r.id: r.component for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 7}
