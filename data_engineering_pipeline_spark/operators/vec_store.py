@@ -414,16 +414,31 @@ class VecIndexStore:
             "__id", "tbl", "sig",
             F.pmod(F.col("sig"), F.lit(self.spfx)).alias("spfx"),
         )
-        signed.repartition("tbl", "spfx").write.partitionBy(
-            "tbl", "spfx"
-        ).mode("overwrite").parquet(s_stage)
         vecs = fresh_idx.filter(F.col("tbl") == 0).select(
             "__id", "__v", "__n",
             self._vpfx_expr(F.col("__id")).alias("pfx"),
         )
-        vecs.repartition("pfx").write.partitionBy("pfx").mode(
-            "overwrite"
-        ).parquet(v_stage)
+        # STAGE the two layouts concurrently (guide §2.6, the
+        # sig_store r14 move): independent write jobs over the same
+        # checkpointed fresh frame; the crash-order contract lives in
+        # the MOVES below, which stay strictly signed-then-vecs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_signed() -> None:
+            signed.repartition("tbl", "spfx").write.partitionBy(
+                "tbl", "spfx"
+            ).mode("overwrite").parquet(s_stage)
+
+        def _stage_vecs() -> None:
+            vecs.repartition("pfx").write.partitionBy("pfx").mode(
+                "overwrite"
+            ).parquet(v_stage)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = pool.submit(_stage_signed)
+            fv = pool.submit(_stage_vecs)
+            fs.result()
+            fv.result()
         tok = f"{batch_id}-{uuid.uuid4().hex}"
         if _move_partition_files(s_stage, self._signed, tok) == 0:
             shutil.rmtree(stage, ignore_errors=True)

@@ -1848,9 +1848,15 @@ class SnapshotTable:
         # full min/max/count pass and the short-circuit guard job.
         point_cap = 1024
         points: dict[str, list] = {}
+        # checkpointed: the grouped frame is batch-bounded (one row per
+        # distinct key) and up to four consumers read it — the capped
+        # sample, and on big batches the dup guard, the min/max ranges
+        # and the per-key point collections, which each re-shuffled the
+        # raw SOURCE before (r14: one full aggregation job + cheap
+        # cached probes instead of four source passes)
         grouped_keys = source.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("__n")
-        )
+        ).localCheckpoint(eager=False)
         sample = grouped_keys.limit(point_cap + 1).collect()
         if not sample:
             return head  # empty source (e.g. a replayed increment): no-op
@@ -1905,14 +1911,16 @@ class SnapshotTable:
                 )
         else:
             # big batch (or a value type whose Python ordering is not
-            # the engine's): one full min/max pass over the source.
-            # Deliberately a PURE min/max aggregate: adding a
-            # count_distinct here (the round-7 shape) mixed distinct
-            # and non-distinct aggregates, which Spark plans via
-            # Expand — every source row duplicated through a full
-            # shuffle — and showed up as a measured 1.3x on the merge
-            # wall.
-            rng = source.agg(
+            # the engine's): one min/max pass over the CACHED grouped
+            # keys — every source key value is a group key, so the
+            # aggregate is identical to one over the source, without
+            # re-shuffling the raw rows. Deliberately a PURE min/max
+            # aggregate: adding a count_distinct here (the round-7
+            # shape) mixed distinct and non-distinct aggregates, which
+            # Spark plans via Expand — every source row duplicated
+            # through a full shuffle — and showed up as a measured
+            # 1.3x on the merge wall.
+            rng = grouped_keys.agg(
                 *[F.min(k).alias(f"lo_{k}") for k in keys],
                 *[F.max(k).alias(f"hi_{k}") for k in keys],
             ).collect()[0]
@@ -1939,9 +1947,12 @@ class SnapshotTable:
             for k in keys:
                 if k not in prunable:
                     continue
+                # distinct over the cached grouped keys == distinct
+                # over the source column (every source value appears
+                # in some group key tuple)
                 vals = [
                     r[0]
-                    for r in source.select(k)
+                    for r in grouped_keys.select(k)
                     .where(F.col(k).isNotNull())
                     .distinct()
                     .limit(_BLOOM_MERGE_POINT_CAP + 1)
