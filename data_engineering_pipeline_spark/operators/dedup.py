@@ -178,25 +178,82 @@ def shingle_jaccard_pairs(
     )
 
 
+def _mh_coefs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) affine coefficients — ONE definition shared by
+    the exploded-aggregate and array-expression signature forms, so
+    the two can never drift apart."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     ex_shingles: DataFrame, id_col: str, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """K minhashes per doc from exploded shingles: h_i = min over shingles
     of (a_i * x + b_i mod p), x = xxhash64(shingle) folded into [0, p).
-    One groupBy with K min-aggregates — a single shuffle on doc id."""
-    import random
-
-    rng = random.Random(seed)
-    coefs = [
-        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
-        for _ in range(num_hashes)
-    ]
+    One groupBy with K min-aggregates — a single shuffle on doc id.
+    Kept as the semantic reference; the production paths use
+    minhash_signature_arrays (bit-identical, shuffle-free) below."""
     x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
     aggs = [
         F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(coefs)
+        for i, (a, b) in enumerate(_mh_coefs(num_hashes, seed))
     ]
     return ex_shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_arrays(
+    sets: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    seed: int = 42,
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """minhash_signature computed as PURE ARRAY EXPRESSIONS over the
+    per-doc shingle arrays shingle_sets already materializes — no
+    explode, no groupBy, NO SHUFFLE (r14, guide §2.4): mh_i(doc) =
+    array_min(transform(xs, x -> pmod(a_i*x + b_i, p))) with
+    xs = transform(shingles, s -> pmod(xxhash64(s), p)), bit-identical
+    to the exploded aggregate (same shared coefficients, same int64
+    arithmetic over the same distinct shingles; parity pinned by
+    test_minhash_array_form_matches_exploded). The raw hash fold xs is
+    materialized as its own projected column — Catalyst does not CSE
+    inside lambdas, so folding it into each of the K array_min
+    transforms would hash every shingle K times (the word_shingles
+    lesson). Removing the shuffle also removes the aggregation
+    barrier: a downstream lazy localCheckpoint on the signatures stays
+    genuinely lazy (a shuffle-bearing plan materializes AT CALL under
+    AQE, addendum 68) — the store probes lose their one unconditional
+    serial driver job each."""
+    xs = F.transform(
+        F.col(shingles_col),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+    )
+    xed = sets.select(F.col(id_col), xs.alias("__xs"))
+
+    def _affine_min(a: int, b: int) -> Column:
+        # closure factory, not lambda defaults: PySpark derives the
+        # higher-order function's arity from the lambda's parameter
+        # count, so `lambda x, a=a, b=b` would declare a 3-arg HOF
+        return F.array_min(
+            F.transform(
+                F.col("__xs"),
+                lambda x: F.pmod(
+                    F.lit(a) * x + F.lit(b), F.lit(_MH_PRIME)
+                ),
+            )
+        )
+
+    mh = [
+        _affine_min(a, b).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_mh_coefs(num_hashes, seed))
+    ]
+    return xed.select(F.col(id_col), *mh)
 
 
 def cap_hot_buckets(
@@ -271,8 +328,10 @@ def minhash_lsh_pairs(
     O(m^2) candidate pairs per band it floods."""
     rows = _band_rows(num_hashes, bands)
     sets = shingle_sets(df, id_col, text_col, n)
-    ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    sig = minhash_signature(ex, id_col, num_hashes)
+    # array-expression signatures: no explode, no aggregation shuffle
+    # (r14 — bit-identical to the exploded form, see
+    # minhash_signature_arrays)
+    sig = minhash_signature_arrays(sets, id_col, num_hashes)
 
     band_cols = _band_structs(bands, rows)
     banded = sig.select(
@@ -487,10 +546,11 @@ def incremental_minhash_dedup(
         # batch — fail loudly instead (same guard as the embedding twin)
         raise ValueError("state_mode must be 'full' or 'delta'")
     rows = _band_rows(num_hashes, bands)
-    ex = shingle_sets(new_docs, id_col, text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+    # array-expression signatures (r14): one map-only pass, no
+    # explode+aggregate shuffle per batch
+    sig = minhash_signature_arrays(
+        shingle_sets(new_docs, id_col, text_col, n), id_col, num_hashes
     )
-    sig = minhash_signature(ex, id_col, num_hashes)
 
     if existing_signatures is None:
         fresh_sig = sig

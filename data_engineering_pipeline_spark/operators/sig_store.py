@@ -304,7 +304,7 @@ class BandedSignatureStore:
         from data_engineering_pipeline_spark.operators.dedup import (
             _band_rows,
             _band_structs,
-            minhash_signature,
+            minhash_signature_arrays,
             shingle_sets,
         )
 
@@ -315,18 +315,20 @@ class BandedSignatureStore:
 
         if shingles is None:
             shingles = shingle_sets(new_docs, id_col, self.text_col, self.n)
-        ex = shingles.select(
-            F.col(id_col), F.explode("shingles").alias("shingle")
-        )
         # checkpoint the batch signatures ONCE: sig feeds the fresh
         # anti-join, the banding, the verify lookup AND the caller's
         # commit — without the checkpoint every one of those actions
-        # re-runs the shingle explode + minhash aggregation (and the
-        # caller's whole new_docs lineage above it); the r11 500k
-        # probe measured that recomputation as the dominant wall
-        sig = minhash_signature(ex, id_col, self.num_hashes).localCheckpoint(
-            eager=False
-        )
+        # re-runs the tokenize+shingle+minhash chain (and the caller's
+        # whole new_docs lineage above it); the r11 500k probe
+        # measured that recomputation as the dominant wall. r14: the
+        # array-expression signature form is MAP-ONLY (no explode+
+        # aggregate shuffle), so this lazy checkpoint now stays
+        # genuinely lazy under AQE (addendum 68) — the signature job
+        # first runs inside whichever caller action consumes it,
+        # instead of as an unconditional serial driver job here.
+        sig = minhash_signature_arrays(
+            shingles, id_col, self.num_hashes
+        ).localCheckpoint(eager=False)
         if assume_fresh or not self.exists():
             fresh_sig = sig
         else:

@@ -70,7 +70,6 @@ def _latest_green_rounds(root=None) -> dict[str, int]:
 # can be dropped at the next edit.
 _CHANGED_IN_ROUND = {
     # r13 optimization touches (OPTIMIZATION_r13.md)
-    "dedup-incremental-store": 13,
     "dedup-embedding-incremental-store": 13,
     "curation-decon-spans": 13,
     "text-contamination-bloom": 13,
@@ -79,6 +78,31 @@ _CHANGED_IN_ROUND = {
     "text-kneser-ney3-ppl": 13,
     "curation-ppl-gate": 13,
     "op-graph-pagerank": 13,
+    # r14 optimization touches (OPTIMIZATION_r14.md): the minhash
+    # array-form + store-probe sharing + CC star-forest convergence
+    # family, and every query whose scenario calls merge_into (the
+    # metadata job folds)
+    "dedup-incremental-store": 14,
+    "dedup-minhash-lsh": 14,
+    "dedup-keep-best": 14,
+    "dedup-components": 14,
+    "curation-split-leakage": 14,
+    "search-mmr-rerank": 14,
+    "op-snapshot-cdf": 14,
+    "op-snapshot-cdf-mor": 14,
+    "op-snapshot-change-feed": 14,
+    "op-snapshot-change-feed-format": 14,
+    "op-snapshot-clone": 14,
+    "op-snapshot-cluster-merge": 14,
+    "op-snapshot-incr-agg": 14,
+    "op-snapshot-incr-agg-cdf": 14,
+    "op-snapshot-incr-join": 14,
+    "op-snapshot-merge": 14,
+    "op-snapshot-merge-mor": 14,
+    "op-snapshot-restore": 14,
+    "op-snapshot-star-agg": 14,
+    "op-snapshot-time-travel": 14,
+    "op-snapshot-wap": 14,
 }
 
 

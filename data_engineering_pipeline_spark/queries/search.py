@@ -216,13 +216,20 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm,
     )
 
-    # NOTE: checkpointing this 20-row frame was A/B'd and does NOT
-    # help (3.21 vs 3.14 s at sf0.1 — noise): Spark already reuses
-    # the RRF chain's exchanges across the three consumers, so the
-    # plan executes the arms once either way.
+    # r14 (verdict item 7): the RRF subtree feeds THREE consumers
+    # (the rerank's cand, and the pair join's two sides) and the
+    # initial plan duplicated it wholesale — 80 Exchanges / 34 scans,
+    # zero ReusedExchange. Checkpointing the 20-row fused result
+    # collapses the plan to one copy of the arms; under AQE the
+    # checkpoint materializes at call time (addendum 68), which is
+    # acceptable here because every consumer needs cand in full —
+    # the materialization is the query's own work, not waste.
+    # (The r13 A/B of this same checkpoint read neutral, 3.21 vs
+    # 3.14 s — at sf0.1 the duplicated arms hide in task overlap;
+    # re-A/B'd this round with the plan evidence attached.)
     cand = search_hybrid_rrf(spark, sf_dir).select(
         "doc_id", F.col("rrf").alias("score")
-    )
+    ).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings")
     nv = emb.select(
         F.col("vec_id").alias("doc_id"),

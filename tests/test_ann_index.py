@@ -4,6 +4,8 @@ stats."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -36,6 +38,7 @@ def _clustered_vecs(n, dim=16, n_clusters=8, seed=3):
     return rows
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_build_search_recall_and_pruning(spark, tmp_path):
     rows = _clustered_vecs(1200)
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -241,6 +244,7 @@ def test_add_conflicts_with_concurrent_rebuild(spark, tmp_path):
     assert index_stats(spark, path)["rows"] == 403
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_ivfpq_two_phase_recall_and_column_pruning(spark, tmp_path):
     from data_engineering_pipeline_spark.operators.ann_index import (
         ann_index_search_pq,

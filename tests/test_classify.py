@@ -4,6 +4,8 @@ regardless of input partitioning."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.classify import (
@@ -41,6 +43,7 @@ def test_distilled_model_reproduces_teacher(spark, sf_smoke):
     assert agree > 0.85
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_training_partitioning_invariant(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents")
     feat = featurize(docs)

@@ -525,6 +525,7 @@ def test_stream_source_raises_on_mid_stream_rename(spark, tmp_path):
     assert len(parts) >= 1
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_big_batch_bloom_prune_across_rename(spark, tmp_path):
     """r11: the big-batch bloom point collection (merge sources beyond
     the 1024-key stat cap) composes with column mapping — sidecars

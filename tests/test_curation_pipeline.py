@@ -44,6 +44,7 @@ def _corpus(base_id, n):
     return rows
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_pipeline_increments_converge_to_one_shot(spark, tmp_path):
     b1 = _corpus(0, 60)
     # exact duplicate of doc 3, near-duplicate of doc 5, a too-short doc
@@ -115,6 +116,7 @@ def test_pipeline_fail_gate_blocks_batch(spark, tmp_path):
     assert not os.path.isdir(str(tmp_path / "w" / "landing" / "_log"))
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_curation_sink_streaming(spark, tmp_path):
     """The streaming front door: documents landed as files flow through
     the full pipeline per micro-batch, and a replay with a fresh
@@ -143,6 +145,7 @@ def test_curation_sink_streaming(spark, tmp_path):
     assert cur.latest_version() == v1 and cur.read().count() == n1
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_delta_mode_merges_and_retracts(spark, tmp_path):
     """O(batch) delta increments: batch survivors merge in under the
     FROZEN temperature rates, a pre-existing doc that loses to a
@@ -197,6 +200,7 @@ def test_delta_mode_merges_and_retracts(spark, tmp_path):
     assert cur.read().count() == n and s2["shards_rebuilt"] == 0
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_crash_between_side_stores_converges(spark, tmp_path, monkeypatch):
     """ADVICE r6: a crash between the two side-store appends must not
     permanently lose a batch's near-dup drop decisions. The write
@@ -253,6 +257,7 @@ def test_crash_between_side_stores_converges(spark, tmp_path, monkeypatch):
     assert have == want
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_delta_mode_multi_batch_convergence_and_obatch_writes(
     spark, tmp_path
 ):
@@ -333,6 +338,7 @@ def test_delta_mode_multi_batch_convergence_and_obatch_writes(
     assert sa == sb
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_split_assignment_rebuild_and_delta_contract(spark, tmp_path):
     """split_threshold adds a leakage-safe split column at rebuild
     time: near-dup components share a split, singletons distribute
@@ -381,6 +387,7 @@ def test_split_assignment_rebuild_and_delta_contract(spark, tmp_path):
     assert cur2.filter(F.col("split").isNull()).count() == 0
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_ppl_gate_rebuild_freeze_and_delta_convergence(spark, tmp_path):
     """ppl_gate wires the CCNet-style perplexity filter into the
     pipeline with the frozen-rate contract: the rebuild trains the KN
@@ -427,6 +434,7 @@ def test_ppl_gate_rebuild_freeze_and_delta_convergence(spark, tmp_path):
     assert have == want and len(have) > 0
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_ppl_gate_delta_requires_frozen_lm(spark, tmp_path):
     """Delta mode with ppl_gate but no frozen LM is an explicit error,
     not a silent ungated pass (same contract as the frozen rates)."""
@@ -506,6 +514,7 @@ def _contaminated_doc(did):
     )
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_decontaminate_rebuild_delta_and_convergence(spark, tmp_path):
     """Eval-set decontamination as a pipeline stage under the frozen-
     artifact contract: the rebuild freezes the eval shingle Bloom +
@@ -561,6 +570,7 @@ def test_decontaminate_rebuild_delta_and_convergence(spark, tmp_path):
     assert not any(t[0] in (950, 960) for t in have)
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_decontaminate_contract_errors(spark, tmp_path):
     """Delta without a frozen filter and rebuild without the eval
     frame are explicit errors, not silent unscreened passes."""
@@ -606,6 +616,7 @@ def test_kn_train_no_broadcast_matches_broadcast(spark):
     assert forced.count("ResolvedHint (strategy=broadcast)") == 4
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_null_lang_docs_converge_across_modes(spark, tmp_path):
     """r9 review: null-lang docs were kept at 100% by the delta path's
     plain left join but DROPPED entirely by the rebuild's equi-join —
@@ -653,6 +664,7 @@ def test_null_lang_docs_converge_across_modes(spark, tmp_path):
     assert have == want and any(t[1] is None for t in have)
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_curation_sink_streams_full_funnel(spark, tmp_path):
     """The streaming front door accepts the same funnel configuration
     as batch: a rebuild seeds frozen decon/ppl artifacts, then a
@@ -744,6 +756,7 @@ def test_decon_refreeze_is_staged_and_atomic(spark, tmp_path):
     assert kept == {1}  # doc 2 hits the NEW eval set's shingles
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_rebuild_accepts_decontaminate_false(spark, tmp_path):
     """r10 (ADVICE): rebuild mode normalizes decontaminate=False to
     'stage off' like delta mode does, instead of raising — a caller
@@ -820,6 +833,7 @@ def test_split_cap_bounds_planted_template_cluster(spark):
         assert split_of[p.id_a] == split_of[p.id_b]
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_rebuild_timings_decompose_split_stage(spark, tmp_path):
     """The rebuild's old monolithic rebalance_split_write wall is now
     split_pairs / split_components / rates_freeze / curated_write,
@@ -838,6 +852,7 @@ def test_rebuild_timings_decompose_split_stage(spark, tmp_path):
     assert isinstance(s["split_pairs"], int)
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_pipeline_survives_empty_batches(spark, tmp_path):
     """r10: an empty batch is a routine orchestrator state (a source
     that produced nothing this cycle) — the pipeline must land it,
@@ -875,6 +890,7 @@ def test_pipeline_survives_empty_batches(spark, tmp_path):
     assert s3["curated"] > 0  # the existing corpus is untouched
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_ppl_train_cap_deterministic_and_convergent(spark, tmp_path):
     """VERDICT r11 item 3: the frozen-LM trainer corpus is capped to a
     deterministic hash-top-N sample. With cap >= corpus the freeze is
@@ -933,6 +949,7 @@ def test_ppl_train_cap_deterministic_and_convergent(spark, tmp_path):
     assert seq_rows == one_rows
 
 
+@pytest.mark.slow  # multi-minute pipeline e2e: close-out tier (pytest.ini)
 def test_curated_clusters_by_doc_id_and_merge_prunes(spark, tmp_path):
     """r12 VERDICT item 1: the rebuild writes the curated table
     range-CLUSTERED by doc_id with per-file stats recorded, delta

@@ -22,6 +22,10 @@ import os
 import duckdb
 import pytest
 
+# registry-wide e2e sweeps (~3 min together): close-out tier, not the
+# per-commit path (pytest.ini; r13 verdict item 2)
+pytestmark = pytest.mark.slow
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -5,6 +5,8 @@ highest-(version, src) row per key — the ON CONFLICT DO UPDATE model
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -227,6 +229,7 @@ def test_cow_and_mor_merge_sequences_equivalent(
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_refresh_join_matches_full_recompute(
     spark, tmp_path_factory, a0, b0, steps
 ):
@@ -434,6 +437,7 @@ def test_publish_cycles_match_direct_dml_model(
         min_size=1, max_size=3,
     ),
 )
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_capture_net_diff_matches_file_diff(
     spark, tmp_path_factory, tgt, steps
 ):

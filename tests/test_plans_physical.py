@@ -4,6 +4,8 @@ refactors. These parse executedPlan/adaptive plans directly."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_engineering_pipeline_spark.queries import collect_registry
 
 QUERIES, _ = collect_registry()
@@ -149,6 +151,7 @@ def test_pack_single_arrow_stage(spark, sf_smoke):
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
 
 
+@pytest.mark.slow  # ~90 s registry-wide plan sweep: close-out tier
 def test_registry_wide_no_unintended_cartesian(spark, sf_smoke):
     """Scale lint over EVERY registered query: no CartesianProduct
     anywhere, and BroadcastNestedLoopJoin only where the algorithm is
@@ -247,6 +250,7 @@ def _unbounded_global_windows(plan) -> list[str]:
     return out
 
 
+@pytest.mark.slow  # ~90 s registry-wide plan sweep: close-out tier
 def test_registry_wide_no_unintended_global_window(spark, sf_smoke):
     """Scale lint over EVERY registered query: an unpartitioned window
     (ntile/row_number with Window.orderBy and no partitionBy) over

@@ -4,6 +4,8 @@ sorted, and epochs produce different permutations."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -318,6 +320,7 @@ def test_full_rebuild_stages_and_recovers(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_before
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_shard_manifest_audits_string_keyed_export(spark, tmp_path):
     """ADVICE r9: shard_manifest with key NAMES must agree row-for-row
     with the layout export_shards wrote for a STRING key — same shard

@@ -155,6 +155,7 @@ def test_meta_guard_rejects_structural_mismatch(spark, tmp_path):
         BandedSignatureStore(spark, str(tmp_path / "st"), bands=4)
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_migrate_flat_and_compact(spark, tmp_path):
     """Flat-store migration converges (idempotent under replay) and
     compaction folds per-batch files without changing contents."""
@@ -179,6 +180,7 @@ def test_migrate_flat_and_compact(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_commit_auto_compacts_at_threshold(spark, tmp_path, monkeypatch):
     """A long stream of commits must not accumulate one file per batch
     per partition dir forever: when a sampled sigs dir crosses
@@ -240,6 +242,7 @@ def test_compact_crash_window_heals(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "st"), ignore_errors=True)
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_commit_auto_compacts_on_skewed_dirs(spark, tmp_path, monkeypatch):
     """The compaction trigger must watch the FULLEST sigs dir, not a
     fixed sample: batches whose ids all hash into one pfx dir pile
@@ -279,6 +282,7 @@ def test_commit_auto_compacts_on_skewed_dirs(spark, tmp_path, monkeypatch):
     assert ids == set(pfx0[:10]) | set(pfx1[:60])
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_compact_migrates_prefix_moduli(spark, tmp_path):
     """r12 VERDICT item 5: compact(to_*) re-partitions the store to
     higher prefix moduli (the one legal migration point — it rewrites
@@ -322,6 +326,7 @@ def test_compact_migrates_prefix_moduli(spark, tmp_path):
     assert stats["banded_dirs_opened"] < stats["banded_dirs_total"]
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_migration_crash_between_layout_swaps(spark, tmp_path):
     """Dying between compact()'s banded swap and sigs swap leaves the
     two layouts under DIFFERENT moduli. Each dir carries its own
@@ -360,6 +365,7 @@ def test_migration_crash_between_layout_swaps(spark, tmp_path):
     assert _pairset(st3.probe(probe_docs)[1]) == before
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_auto_grow_doubles_moduli_when_dirs_outgrow_budget(
     spark, tmp_path, monkeypatch
 ):

@@ -6,6 +6,8 @@ sweep in test_oracle_queries.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_spark.operators.sketch import (
@@ -683,6 +685,7 @@ def test_bloom_sized_filter_no_false_negatives_lower_fpr(spark):
     assert fp_big < fp_small / 4, (fp_small, fp_big)
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_exact_ntile_matches_window_ntile_bit_for_bit(spark):
     """r10: exact_ntile_cutpoints + exact_ntile_bucket reproduce
     ntile(n) OVER (ORDER BY v DESC, tb ASC) EXACTLY — including tied

@@ -7,6 +7,8 @@ same operators relationally."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -50,6 +52,7 @@ def test_qsketch_bracket_holds_on_any_input(spark, xs, pct):
     a=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=80),
     b=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=80),
 )
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_hll_merge_commutes_and_is_idempotent(spark, a, b):
     """Register merge is max per (group, reg): merge(A, B) ==
     merge(B, A) == merge(A, A, B) == registers(A ++ B) exactly."""
@@ -197,6 +200,7 @@ def test_mmr_matches_python_greedy_trace(spark, data, simvals, k):
     ),
     data=st.data(),
 )
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_exact_kth_values_property(spark, vals, data):
     """Property: for ANY int64 multiset and ANY set of valid ranks,
     exact_kth_values equals the driver-side sorted answer — the

@@ -551,6 +551,7 @@ def test_refresh_aggregate_incremental_equals_full(spark, tmp_path):
     ) == src.latest_version()
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_concurrent_mixed_writers_stress(spark, tmp_path):
     """Torture the optimistic protocol: 4 threads interleave blind
     appends and serializable merges (retrying on SnapshotConflict).
@@ -1411,6 +1412,7 @@ def _view_rows(view):
     )
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_refresh_join_incremental_equals_full(spark, tmp_path):
     """Bootstrap, then churn BOTH sides (update/insert/delete on the
     fact, update/delete on the dim): every refresh must leave the view
@@ -1652,6 +1654,7 @@ def test_merge_schema_evolution_cow_and_guard(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 9]
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_incremental_star_schema_chain(spark, tmp_path):
     """Composability of the two view maintainers: fact -> materialized
     fact-dim join (refresh_join) -> grouped rollup maintained from the
@@ -2279,6 +2282,7 @@ def test_change_feed_keeps_intermediate_transitions(spark, tmp_path):
         t.change_feed(3, 3, ["k"])
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_cdf_capture_matches_diff_feed_exactly(spark, tmp_path):
     """Twin tables, same op sequence: one captures change-data files
     at commit time (cdf=True), one derives everything by per-commit

@@ -4,6 +4,8 @@ within the horizon."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 from pyspark.sql import functions as F
@@ -603,6 +605,7 @@ def test_snapshot_merge_sink_mor_mode(spark, tmp_path):
     assert {r.k: r.val for r in t.read().collect()} == want
 
 
+@pytest.mark.slow  # heavy e2e/property: close-out tier (pytest.ini)
 def test_join_refresh_sink_fact_dim_materialization(spark, tmp_path):
     """Streamed fact batches merge into the fact table and the
     materialized fact-dim join refreshes from both change feeds per
