@@ -328,10 +328,17 @@ def minhash_lsh_pairs(
     O(m^2) candidate pairs per band it floods."""
     rows = _band_rows(num_hashes, bands)
     sets = shingle_sets(df, id_col, text_col, n)
-    # array-expression signatures: no explode, no aggregation shuffle
-    # (r14 — bit-identical to the exploded form, see
-    # minhash_signature_arrays)
-    sig = minhash_signature_arrays(sets, id_col, num_hashes)
+    # exploded+aggregate signatures ON PURPOSE (r14 A/B): the
+    # array-expression form (minhash_signature_arrays) was 1.6x SLOWER
+    # here — higher-order array functions are CodegenFallback
+    # (interpreted per element), and with no exchange under the banded
+    # self-join both sides re-run the whole map-only chain, so the
+    # interpreted pass is paid twice. The groupBy aggregate is
+    # whole-stage-codegen'd and its exchange is shared by the
+    # self-join sides (interleaved probes 1.99/2.14 s aggregate vs
+    # 3.32/3.22 s arrays at sf0.1).
+    ex = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sig = minhash_signature(ex, id_col, num_hashes)
 
     band_cols = _band_structs(bands, rows)
     banded = sig.select(
@@ -546,11 +553,14 @@ def incremental_minhash_dedup(
         # batch — fail loudly instead (same guard as the embedding twin)
         raise ValueError("state_mode must be 'full' or 'delta'")
     rows = _band_rows(num_hashes, bands)
-    # array-expression signatures (r14): one map-only pass, no
-    # explode+aggregate shuffle per batch
-    sig = minhash_signature_arrays(
-        shingle_sets(new_docs, id_col, text_col, n), id_col, num_hashes
+    # exploded+aggregate signatures, like minhash_lsh_pairs (r14 A/B:
+    # the interpreted array form lost to codegen on the self-join
+    # shapes; the array form survives only inside the store probe,
+    # where the signature frame is checkpointed and computed once)
+    ex = shingle_sets(new_docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
+    sig = minhash_signature(ex, id_col, num_hashes)
 
     if existing_signatures is None:
         fresh_sig = sig
@@ -1092,9 +1102,12 @@ def decontaminate_spans(
     kept = F.array_except(
         F.sequence(F.lit(0), F.size("__t") - 1), F.col("__cov")
     )
+    # no inner coalesce in the NULL-__cov branch (ADVICE r13): the
+    # outer select already wraps clean in coalesce(clean, ''), which
+    # is the single place the NULL-text contract lives
     clean = F.when(
         F.col("__cov").isNull(),
-        F.coalesce(F.array_join("__t", " "), F.lit("")),
+        F.array_join("__t", " "),
     ).otherwise(
         F.array_join(
             F.transform(kept, lambda p: F.element_at("__t", p + 1)), " "

@@ -304,7 +304,7 @@ class BandedSignatureStore:
         from data_engineering_pipeline_spark.operators.dedup import (
             _band_rows,
             _band_structs,
-            minhash_signature_arrays,
+            minhash_signature,
             shingle_sets,
         )
 
@@ -320,15 +320,21 @@ class BandedSignatureStore:
         # commit — without the checkpoint every one of those actions
         # re-runs the tokenize+shingle+minhash chain (and the caller's
         # whole new_docs lineage above it); the r11 500k probe
-        # measured that recomputation as the dominant wall. r14: the
-        # array-expression signature form is MAP-ONLY (no explode+
-        # aggregate shuffle), so this lazy checkpoint now stays
-        # genuinely lazy under AQE (addendum 68) — the signature job
-        # first runs inside whichever caller action consumes it,
-        # instead of as an unconditional serial driver job here.
-        sig = minhash_signature_arrays(
-            shingles, id_col, self.num_hashes
-        ).localCheckpoint(eager=False)
+        # measured that recomputation as the dominant wall. The
+        # exploded+aggregate form ON PURPOSE (r14 A/B): the map-only
+        # array-expression form (minhash_signature_arrays) would keep
+        # this checkpoint lazy under AQE — no serial job here — but
+        # higher-order array functions are CodegenFallback
+        # (interpreted), and the interleaved probe-form A/B read the
+        # array variant 1.30x SLOWER on the corpus-sized graded
+        # batches (5.74/6.41 vs 4.67/4.66 s): the codegen'd aggregate
+        # beats the saved driver job.
+        ex = shingles.select(
+            F.col(id_col), F.explode("shingles").alias("shingle")
+        )
+        sig = minhash_signature(ex, id_col, self.num_hashes).localCheckpoint(
+            eager=False
+        )
         if assume_fresh or not self.exists():
             fresh_sig = sig
         else:

@@ -71,7 +71,7 @@ def _latest_green_rounds(root=None) -> dict[str, int]:
 _CHANGED_IN_ROUND = {
     # r13 optimization touches (OPTIMIZATION_r13.md)
     "dedup-embedding-incremental-store": 13,
-    "curation-decon-spans": 13,
+    "curation-decon-spans": 14,  # r14: ADVICE coalesce cleanup in the rebuild
     "text-contamination-bloom": 13,
     "text-bigram-ppl": 13,
     "text-kneser-ney-ppl": 13,

@@ -722,7 +722,16 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     62 bits so every mask literal stays positive). This is the 100 TB
     decontamination pre-filter: the crawl-side screen ships the bit
     array to the scan instead of joining the benchmark shingle set,
-    and only probable hits reach the exact verifier join."""
+    and only probable hits reach the exact verifier join.
+
+    Hash-collision caveat (ADVICE r13): since r13 the engine dedups
+    eval shingles per doc by their 61-bit portable hash while the
+    oracle's emem CTE groups by the raw shingle string — two distinct
+    shingles colliding in hash WITHIN one doc would undercount
+    n_contam_bloom vs the oracle. Probability ~2^-61 per in-doc pair,
+    the same accepted risk class as the registry's xxhash64
+    fingerprinting; recorded here so the asymmetry is a documented
+    contract, not an accident."""
     from data_engineering_pipeline_spark.operators.dedup import (
         _exploded_shingles,
         shingle_sets,
